@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion (count() forces the full plan; for
+top-k queries the limit collapses the result anyway). A warmup query runs
+first so JVM/codegen startup isn't attributed to the first measured query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from simple_map_reduce_spark.queries import QUERIES
+from simple_map_reduce_spark.session import get_session
+
+BENCH_QUERIES = [
+    "regex_filter",
+    "column_filter",
+    "equi_join",
+    "wordcount",
+    "filter_group_pct",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "topk_customers",
+    "window_running",
+    "events_windowed",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_session(app_name="smr-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warmup: JVM + codegen + parquet footer reads.
+    QUERIES["q1_pricing_summary"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        start = time.perf_counter()
+        df = QUERIES[name](spark, sf_dir)
+        df.count()
+        timings[name] = round(time.perf_counter() - start, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,125 @@
+"""Named-table catalog: the engine's equivalent of the reference's SDFS
+file namespace.
+
+Reference semantics being re-expressed (SURVEY.md §2.1):
+- ``put`` uploads a local file under a name, replicated 4× at random
+  (``sdfs/src/client.rs:30-162``, ``leader.rs:760-827``)  → here: register
+  a file/DataFrame as a named parquet-backed table (replication is the
+  storage layer's job — HDFS/S3 — not the engine's).
+- ``get`` downloads with replica failover (``client.rs:164-233``) → read
+  the table back / export to a local file.
+- ``ls`` / ``store`` list the namespace (``leader.rs:672-697``) → catalog
+  listing.
+- ``delete`` drops a file everywhere (``leader.rs:699-758``) → drop table.
+- A "dataset" for maple/juice is a file-name *prefix*
+  (``leader.rs:236-254``) → ``read_prefix`` unions all tables sharing a
+  prefix (and fixes the reference's take-first-file-only quirk,
+  SURVEY.md §2.6 "Limit").
+
+Scale: tables are parquet directories — splittable, column-pruned,
+predicate-pushdown-friendly. Writes go through Spark's atomic output
+committer, which is what makes the reference's per-file read/write
+admission actor (``leader.rs:1005-1124``) unnecessary.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Catalog:
+    """Parquet-backed named-table namespace rooted at ``root``."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, name: str) -> str:
+        if not name or "/" in name or name.startswith("."):
+            raise ValueError(f"invalid table name: {name!r}")
+        return os.path.join(self.root, name)
+
+    # -- put (S1): local file or DataFrame → named table ------------------
+    def put(self, source: str | DataFrame, name: str, fmt: str = "text") -> None:
+        """Register data under ``name``.
+
+        ``source`` may be a local file path (read as ``fmt``: text/csv/
+        json/parquet) or an existing DataFrame. Stored as parquet.
+        """
+        path = self._path(name)  # validate the name before any read
+        if isinstance(source, DataFrame):
+            df = source
+        elif fmt == "text":
+            df = self.spark.read.text(source)
+        elif fmt == "csv":
+            df = self.spark.read.option("header", "true").csv(source)
+        elif fmt == "json":
+            df = self.spark.read.json(source)
+        elif fmt == "parquet":
+            df = self.spark.read.parquet(source)
+        else:
+            raise ValueError(f"unsupported format: {fmt}")
+        df.write.mode("overwrite").parquet(path)
+
+    # -- get (S2): named table → DataFrame / local export -----------------
+    def get(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self._path(name))
+
+    def export(self, name: str, local_path: str) -> None:
+        """Single-file text export (the reference's ``get <remote> <local>``).
+
+        ``coalesce(1)`` is acceptable only because this is an explicit
+        "hand me one local file" sink, never part of a distributed plan.
+        """
+        df = self.get(name)
+        cols = df.columns
+        if cols == ["value"]:
+            lines = df
+        else:
+            from pyspark.sql import functions as F
+
+            lines = df.select(
+                F.concat_ws(",", *[F.col(c).cast("string") for c in cols]).alias("value")
+            )
+        tmp = local_path + ".spark-tmp"
+        lines.coalesce(1).write.mode("overwrite").text(tmp)
+        part = next(p for p in os.listdir(tmp) if p.startswith("part-"))
+        shutil.move(os.path.join(tmp, part), local_path)
+        shutil.rmtree(tmp)
+
+    # -- ls / store (S6) ---------------------------------------------------
+    def ls(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.root) if os.path.isdir(os.path.join(self.root, d))
+        )
+
+    def exists(self, name: str) -> bool:
+        return os.path.isdir(self._path(name))
+
+    # -- delete (S7) ---------------------------------------------------------
+    def delete(self, name: str) -> bool:
+        path = self._path(name)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+            return True
+        return False
+
+    # -- dataset-as-prefix (maple/juice input resolution) ------------------
+    def read_prefix(self, prefix: str) -> DataFrame:
+        """Union all tables whose name starts with ``prefix``.
+
+        The reference matched the prefix but then used only the *first*
+        file (``leader.rs:253``) — a quirk documented in SURVEY.md §2.6
+        that we deliberately do not replicate.
+        """
+        names = [n for n in self.ls() if n.startswith(prefix)]
+        if not names:
+            raise FileNotFoundError(f"no tables with prefix {prefix!r}")
+        df = self.get(names[0])
+        for n in names[1:]:
+            df = df.unionByName(self.get(n), allowMissingColumns=True)
+        return df

@@ -1,0 +1,87 @@
+"""Unit tests for operators with small inline DataFrames, plus the
+reference's own golden end-to-end test (SURVEY.md §5): the Video,Radio
+regex filter over Traffic_Signal_Intersections.csv must reproduce the
+checked-in golden output, order-insensitively.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from simple_map_reduce_spark.operators.aggregates import (
+    filter_group_count_percent,
+    wordcount,
+    wordcount_total,
+)
+from simple_map_reduce_spark.operators.filters import column_filter, regex_filter
+from simple_map_reduce_spark.operators.joins import equi_join
+
+GOLDEN_CSV = "/root/reference/sdfs/data/Traffic_Signal_Intersections.csv"
+GOLDEN_OUT = "/root/reference/sdfs/Traffic_Signal_Intersections_filter"
+
+
+@pytest.mark.skipif(not os.path.exists(GOLDEN_CSV), reason="reference data absent")
+def test_golden_regex_filter(spark):
+    """The only expected-output artifact in the reference repo
+    (``sdfs/Traffic_Signal_Intersections_filter``): lines matching
+    ``Video,Radio``. Order-insensitive — reference output order is
+    nondeterministic append order (SURVEY.md §2.6).
+
+    Documented deviation: the golden file holds 10 lines, but 13 lines of
+    the input genuinely match the regex (verified with Python ``re`` and
+    positionally) — the reference's recorded run dropped 3 rows, in line
+    with its input-split quirks (SURVEY.md §7 risk 4). We assert the
+    *correct* semantics: every golden line is produced, and the full
+    result is exactly the true match set."""
+    lines = spark.read.text(GOLDEN_CSV)
+    got = sorted(r["value"] for r in regex_filter(lines, "Video,Radio").collect())
+    with open(GOLDEN_OUT) as f:
+        golden = sorted(line.rstrip("\n") for line in f if line.strip())
+    assert set(golden) <= set(got), "golden lines must all be present"
+    import re as _re
+
+    true_matches = sorted(
+        l.rstrip("\n")
+        for l in open(GOLDEN_CSV)
+        if _re.search("Video,Radio", l)
+    )
+    assert got == true_matches
+    assert len(golden) == 10 and len(got) == 13
+
+
+def test_column_filter(spark):
+    df = spark.createDataFrame([("a", 1), ("b", 2), ("a", 3)], ["k", "v"])
+    assert column_filter(df, "k", "a").count() == 2
+
+
+def test_equi_join_disambiguates_collisions(spark):
+    left = spark.createDataFrame([(1, "x")], ["id", "name"])
+    right = spark.createDataFrame([(1, "y")], ["id", "name"])
+    out = equi_join(left, right, "id", "id", prefixes=("cars", "trucks"))
+    assert set(out.columns) == {"cars_id", "cars_name", "trucks_id", "trucks_name"}
+    assert out.count() == 1
+
+
+def test_wordcount_semantics(spark):
+    """Matches re.findall(r'\\w+', text.lower()) (wordcountmap.py:13)."""
+    df = spark.createDataFrame([("Hello, hello WORLD!",), ("it's a-b",)], ["text"])
+    got = {r["word"]: r["cnt"] for r in wordcount(df).collect()}
+    assert got == {"hello": 2, "world": 1, "it": 1, "s": 1, "a": 1, "b": 1}
+    assert wordcount_total(df).collect()[0]["total_words"] == 7
+
+
+def test_percent_of_total_is_global(spark):
+    """The reference computes percent within each reducer's key subset
+    (per-partition bug, SURVEY.md §2.4 A3); ours must be global even with
+    many shuffle partitions."""
+    rows = [("x", "g1")] * 3 + [("x", "g2")] * 1
+    df = spark.createDataFrame(rows, ["f", "g"]).repartition(8)
+    out = {r["grp"]: r["pct"] for r in filter_group_count_percent(df, "f", "x", "g").collect()}
+    assert out == {"g1": 75.0, "g2": 25.0}
