@@ -32,8 +32,14 @@ TOKEN_RE = r"\w+"
 
 
 def tokens(df: DataFrame, column: str = "text") -> DataFrame:
-    """One row per token: ``re.findall(r'\\w+', text.lower())`` semantics."""
-    return df.select(
+    """One row per token: ``re.findall(r'\\w+', text.lower())`` semantics.
+
+    Input is spread across cores first (no-op when already partitioned)
+    so the tokenize+explode map side parallelises even from a
+    single-split local file."""
+    from ..sources.readers import ensure_parallelism
+
+    return ensure_parallelism(df.select(F.col(column))).select(
         F.explode(
             F.regexp_extract_all(F.lower(F.col(column)), F.lit(TOKEN_RE), F.lit(0))
         ).alias("word")

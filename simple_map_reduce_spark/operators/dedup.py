@@ -71,8 +71,18 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
 
     Documents shorter than ``n`` tokens contribute their whole token
     stream as a single shingle so they still participate in dedup.
+
+    The token array is projected ONCE before the shingle expression (the
+    naive inline form re-evaluates the tokenizer regex for every
+    ``element_at``), and the input is spread across cores before the
+    explode (see ``ensure_parallelism``).
     """
-    toks = tokenize(text_col)
+    from ..sources.readers import ensure_parallelism
+
+    toked = ensure_parallelism(
+        df.select(F.col(id_col).alias("id"), tokenize(text_col).alias("t"))
+    )
+    toks = F.col("t")
     grams = F.when(
         F.size(toks) >= n,
         F.transform(
@@ -82,10 +92,7 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
             ),
         ),
     ).otherwise(F.array(F.array_join(toks, " ")))
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
-        .distinct()
-    )
+    return toked.select("id", F.explode(grams).alias("shingle")).distinct()
 
 
 # ---------------------------------------------------------------------------
@@ -202,9 +209,14 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS)
     """
     from ..functions.hashes import md5_long60
 
-    tok = df.select(
-        F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("tok")
-    ).select("id", md5_long60(F.col("tok")).alias("h"))
+    from ..sources.readers import ensure_parallelism
+
+    # repartition BEFORE the explode: shuffles |docs| rows, not |tokens|
+    tok = (
+        ensure_parallelism(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .select("id", F.explode(tokenize(text_col)).alias("tok"))
+        .select("id", md5_long60(F.col("tok")).alias("h"))
+    )
     # hash projected ONCE above; the 60 vote expressions below only do
     # shift/mask on the materialised column (not 60 md5 computations/row)
     votes = [

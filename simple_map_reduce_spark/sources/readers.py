@@ -52,6 +52,22 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
 
 
+def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Repartition ONLY when the plan is under-partitioned.
+
+    Locally, a small parquet table is one row group → one input split →
+    explode/hash-heavy operators run single-threaded. On a real cluster
+    inputs arrive with many splits and this is a no-op — the guard is
+    what makes it safe to call inside operators (an unconditional
+    ``repartition`` would add a full shuffle at 100 TB for nothing).
+    """
+    spark = df.sparkSession
+    target = min_parts or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def lines_view(df: DataFrame, sep: str = ",") -> DataFrame:
     """Whole-line view of a table: one ``value: string`` column, columns
     joined by ``sep`` in schema order — the record shape every reference

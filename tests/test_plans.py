@@ -1,0 +1,53 @@
+"""Physical-plan regression guards: the scale properties we rely on must
+stay in the plan — filter pushdown, column pruning, broadcast joins for
+dim tables, TakeOrderedAndProject for top-k (never a global sort)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from simple_map_reduce_spark.queries import QUERIES
+from tests.conftest import SF_SMOKE
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_pushdown_and_pruning(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    # pruned scan: never reads l_orderkey/l_partkey/l_suppkey
+    scan = [l for l in plan.splitlines() if "FileScan" in l][0]
+    assert "l_partkey" not in scan and "l_suppkey" not in scan
+
+
+def test_q3_filters_reach_all_scans(spark):
+    plan = _plan(spark, "q3_shipping_priority")
+    assert plan.count("PushedFilters: [Is") >= 3 or plan.count("DataFilters") >= 3
+    assert "TakeOrderedAndProject" in plan  # top-k is not a global sort
+    assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan
+
+
+def test_topk_uses_broadcast_and_takeordered(spark):
+    plan = _plan(spark, "topk_customers")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_regex_filter_is_scan_local(spark):
+    """The filter evaluates at the scan: no shuffle anywhere in the plan."""
+    plan = _plan(spark, "regex_filter")
+    assert "Exchange" not in plan
+
+
+def test_wordcount_has_partial_aggregation(spark):
+    """Map-side combine (the reference's in-dict combiner A1) must appear:
+    a HashAggregate below the shuffle and one above."""
+    plan = _plan(spark, "wordcount")
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning(word" in plan
