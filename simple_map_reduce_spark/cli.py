@@ -1,0 +1,95 @@
+"""Thin CLI over the MapleJuice facade — the reference's interactive
+shell (``main.rs:209-308``) as subcommands.
+
+Usage examples (mirror ``README.md:42-127``):
+
+    python -m simple_map_reduce_spark put data.csv traffic
+    python -m simple_map_reduce_spark ls
+    python -m simple_map_reduce_spark sql "SELECT ALL FROM traffic WHERE Video,Radio"
+    python -m simple_map_reduce_spark maple ./map.py 7 wc_mid traffic
+    python -m simple_map_reduce_spark juice ./reduce.py 7 wc_mid wc_out --delete
+    python -m simple_map_reduce_spark get wc_out ./out.txt
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from .engine import MapleJuice
+from .session import get_session
+
+DEFAULT_WAREHOUSE = os.environ.get("SMR_WAREHOUSE", os.path.expanduser("~/.smr_warehouse"))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="simple_map_reduce_spark")
+    p.add_argument("--warehouse", default=DEFAULT_WAREHOUSE)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("put", help="register a local file as a named table")
+    sp.add_argument("local"), sp.add_argument("name")
+    sp.add_argument("--fmt", default="text", choices=["text", "csv", "json", "parquet"])
+
+    sg = sub.add_parser("get", help="export a table to a local file")
+    sg.add_argument("name"), sg.add_argument("local")
+
+    sub.add_parser("ls", help="list tables")
+
+    sd = sub.add_parser("delete", help="drop a table")
+    sd.add_argument("name")
+
+    sq = sub.add_parser("sql", help="run a reference SQL statement")
+    sq.add_argument("statement")
+
+    sm = sub.add_parser("maple", help="map phase: <exe> <num_tasks> <out_prefix> <input_prefix> [args...]")
+    sm.add_argument("exe"), sm.add_argument("num_tasks", type=int)
+    sm.add_argument("out_prefix"), sm.add_argument("input_prefix")
+    sm.add_argument("args", nargs="*")
+
+    sj = sub.add_parser("juice", help="reduce phase: <exe> <num_tasks> <in_prefix> <out_name>")
+    sj.add_argument("exe"), sj.add_argument("num_tasks", type=int)
+    sj.add_argument("in_prefix"), sj.add_argument("out_name")
+    sj.add_argument("--delete", action="store_true", help="drop intermediates after the reduce")
+
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    ns = build_parser().parse_args(argv)
+    spark = get_session(app_name="smr-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    mj = MapleJuice(spark, ns.warehouse)
+
+    if ns.cmd == "put":
+        mj.put(ns.local, ns.name, ns.fmt)
+        print(f"put {ns.local} -> {ns.name}")
+    elif ns.cmd == "get":
+        mj.get(ns.name, ns.local)
+        print(f"get {ns.name} -> {ns.local}")
+    elif ns.cmd == "ls":
+        for name in mj.ls():
+            print(name)
+    elif ns.cmd == "delete":
+        ok = mj.delete(ns.name)
+        print("deleted" if ok else "not found")
+        return 0 if ok else 1
+    elif ns.cmd == "sql":
+        df = mj.sql(ns.statement)
+        for row in df.limit(20).collect():
+            print("\t".join("" if v is None else str(v) for v in row))
+        print(f"-- {df.count()} rows")
+    elif ns.cmd == "maple":
+        exe = ns.exe if not os.path.exists(ns.exe) else f"python3 {ns.exe}"
+        keys = mj.maple(exe, ns.num_tasks, ns.out_prefix, ns.input_prefix, tuple(ns.args))
+        print("\n".join(keys))
+    elif ns.cmd == "juice":
+        exe = ns.exe if not os.path.exists(ns.exe) else f"python3 {ns.exe}"
+        df = mj.juice(exe, ns.num_tasks, ns.in_prefix, ns.out_name, ns.delete)
+        print(f"-- {df.count()} rows -> {ns.out_name}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -208,6 +208,7 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .queries_analytics import ANALYTICS_ORACLES, ANALYTICS_QUERIES  # noqa: E402
 from .queries_ext import EXT_ORACLES, EXT_QUERIES  # noqa: E402
 
 QUERIES: dict[str, QueryFn] = {
@@ -224,6 +225,7 @@ QUERIES: dict[str, QueryFn] = {
     "window_running": q_window_running,
     "events_windowed": q_events_windowed,
     **EXT_QUERIES,
+    **ANALYTICS_QUERIES,
 }
 
 
@@ -326,4 +328,5 @@ ORACLES: dict[str, str] = {
         GROUP BY 1, 2
     """,
     **EXT_ORACLES,
+    **ANALYTICS_ORACLES,
 }
