@@ -37,7 +37,13 @@ BENCH_QUERIES = [
     "simhash_sigs",
     "jaccard_pairs",
     "similarity_topk",
+    "similarity_topk_ivf",
     "text_stats",
+    "token_counts",
+    "q5_regional_revenue",
+    "sales_rollup",
+    "stats_summary",
+    "events_json",
 ]
 
 

@@ -108,6 +108,28 @@ class Catalog:
             return True
         return False
 
+    # -- bucketed tables (co-located joins) --------------------------------
+    def put_bucketed(
+        self, df: DataFrame, name: str, bucket_col: str, num_buckets: int = 32
+    ) -> None:
+        """Save as a BUCKETED managed table: joins/aggregations keyed on
+        ``bucket_col`` between tables bucketed the same way skip the
+        shuffle entirely (verified in tests/test_skew_bucket.py). This is
+        the 100 TB answer to repeated fact⋈fact joins on the same key —
+        pay the shuffle once at write time."""
+        (
+            df.write.mode("overwrite")
+            .bucketBy(num_buckets, bucket_col)
+            .sortBy(bucket_col)
+            .option("path", self._path(name))
+            .saveAsTable(name)
+        )
+
+    def get_bucketed(self, name: str) -> DataFrame:
+        """Read a bucketed table through the session catalog (bucket
+        metadata lives there, not in the parquet footers)."""
+        return self.spark.table(name)
+
     # -- dataset-as-prefix (maple/juice input resolution) ------------------
     def read_prefix(self, prefix: str) -> DataFrame:
         """Union all tables whose name starts with ``prefix``.

@@ -145,6 +145,26 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return with_hits.withColumn("lang_pred", expr)
 
 
+# BPE-ish pre-tokenizer (GPT-2-style contractions + space-attached word/
+# number/punct runs). No lookahead/lookbehind, so the pattern means the
+# same thing in Java regex (Spark) and RE2 (DuckDB oracle).
+BPE_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+def token_count_ws(col: Column | str) -> Column:
+    """Whitespace-delimited token count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(r"\S+"), F.lit(0))).cast("bigint")
+
+
+def token_count_bpe(col: Column | str) -> Column:
+    """BPE-ish token count — the cheap LLM-cost estimator a corpus
+    pipeline runs over every document (a real BPE vocab merges further;
+    this pre-tokenization is the count's upper bound shape)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_RE), F.lit(0))).cast("bigint")
+
+
 def fingerprint(col: Column | str) -> Column:
     """Document fingerprint: md5 over the normalised token stream
     (lowercase, punctuation/whitespace collapsed) — two documents with the

@@ -150,6 +150,79 @@ def rhp_signature(
     return emb.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
 
 
+def ivf_assign(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer with DETERMINISTIC centroids: the first
+    ``n_centroids`` vectors by id serve as centroids (no k-means RNG —
+    reproducible across runs/engines; production would refine with
+    k-means, which only improves balance, not the algorithm shape).
+
+    Returns (centroids, assignment) where assignment = (id, centroid_id)
+    by max cosine. Assignment is one broadcast pass over the corpus.
+    """
+    w = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
+    centroids = (
+        emb.orderBy(id_col).limit(n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec"))
+    )
+    assignment = (
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("sim", cosine(F.col("vec"), F.col("cvec")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", "centroid_id")
+    )
+    return centroids, assignment
+
+
+def cosine_topk_ivf(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF: score only vectors assigned to the
+    query's ``nprobe`` closest centroids. Work per query ∝ corpus/
+    n_centroids × nprobe instead of the full corpus; recall tested
+    against the exact tier."""
+    centroids, assignment = ivf_assign(emb, n_centroids, id_col, vec_col)
+    queries = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("centroid_id"))
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("csim", cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+    cand = probes.join(assignment, "centroid_id").select(
+        "query_id", F.col("id").alias("neighbor_id")
+    ).filter(F.col("neighbor_id") != F.col("query_id")).distinct()
+    q = emb.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .withColumn("score", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
 def cosine_topk_lsh(
     emb: DataFrame,
     query_ids: list[int],

@@ -32,8 +32,9 @@ from .operators.dedup import (
     simhash,
     simhash_dup_pairs,
 )
+from .functions.text import BPE_RE, token_count_bpe, token_count_ws
 from .operators.maple_juice import juice, maple
-from .operators.similarity import cosine_topk
+from .operators.similarity import cosine_neardup_pairs, cosine_topk, cosine_topk_ivf
 from .multimodal import attach_binary
 from .sources.readers import load_table
 
@@ -85,6 +86,36 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_topk(emb, SIM_QUERY_IDS, k=SIM_K)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact tier; the LSH tier is the
+    scale path, tested separately)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(emb, threshold=0.35)
+
+
+def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN top-k — the scale path for similarity search.
+    Registered WITHOUT an oracle (rows-only check): the result is
+    deterministic but approximate by design; its quality gate is the
+    recall test against the exact tier (tests/test_similarity.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_ivf(emb, SIM_QUERY_IDS, k=SIM_K)
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three token-count estimators per document: whitespace, word-regex,
+    BPE-ish — the standard corpus-costing triple."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_ws("text").alias("n_ws"),
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\w+"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_word"),
+        token_count_bpe("text").alias("n_bpe"),
+    )
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -345,6 +376,9 @@ EXT_QUERIES = {
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "jaccard_pairs": q_jaccard_pairs,
     "similarity_topk": q_similarity_topk,
+    "similarity_topk_ivf": q_similarity_topk_ivf,
+    "embedding_neardup": q_embedding_neardup,
+    "token_counts": q_token_counts,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
@@ -363,6 +397,26 @@ EXT_ORACLES = {
     "simhash_dup_pairs": simhash_pairs_oracle(),
     "jaccard_pairs": jaccard_pairs_oracle(),
     "similarity_topk": similarity_topk_oracle(),
+    # similarity_topk_ivf: deliberately no oracle — approximate tier,
+    # gated by the recall test against the exact tier instead
+    "embedding_neardup": """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(
+                     list_sum(list_transform(list_zip(a.vec, b.vec), p -> p[1] * p[2]))
+                     / (sqrt(list_sum(list_transform(a.vec, x -> x * x)))
+                        * sqrt(list_sum(list_transform(b.vec, x -> x * x)))), 6) AS score
+            FROM v a JOIN v b ON a.vec_id < b.vec_id)
+        SELECT id_a, id_b, score FROM pairs WHERE score >= 0.35
+    """,
+    "token_counts": rf"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws,
+               CAST(len(regexp_extract_all(lower(text), '\w+')) AS BIGINT) AS n_word,
+               CAST(len(regexp_extract_all(text, '{BPE_RE.replace("'", "''")}')) AS BIGINT) AS n_bpe
+        FROM documents
+    """,
     "text_stats": text_stats_oracle(),
     "lang_id": lang_id_oracle(),
     "doc_fingerprint": rf"""

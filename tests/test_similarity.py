@@ -14,6 +14,7 @@ import pytest
 from simple_map_reduce_spark.operators.similarity import (
     cosine_neardup_pairs,
     cosine_topk,
+    cosine_topk_ivf,
     cosine_topk_lsh,
     rhp_signature,
 )
@@ -76,3 +77,20 @@ def test_lsh_recall_against_exact(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"LSH recall too low: {recall}"
+
+
+def test_ivf_recall_against_exact(spark):
+    """IVF tier: probing 8 of 16 clusters must recover most of exact
+    top-k, and results must be deterministic across runs."""
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, qids, k=5).collect()
+    }
+    run1 = cosine_topk_ivf(emb, qids, k=5, n_centroids=16, nprobe=8).collect()
+    run2 = cosine_topk_ivf(emb, qids, k=5, n_centroids=16, nprobe=8).collect()
+    assert sorted(map(tuple, run1)) == sorted(map(tuple, run2))  # deterministic
+    approx = {(r["query_id"], r["neighbor_id"]) for r in run1}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
