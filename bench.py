@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "sales_rollup",
     "stats_summary",
     "events_json",
+    "asof_last_order",
+    "deterministic_sample",
 ]
 
 

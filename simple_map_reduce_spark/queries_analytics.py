@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .functions.hashes import md5_long60
+from .operators.joins import asof_join
 from .sources.readers import load_table
 
 
@@ -150,6 +152,38 @@ def q_segment_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.intersect(b)
 
 
+def q_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event annotated with the user's most recent order
+    at event time (backward, inclusive). Right side pre-deduplicated to
+    one row per (custkey, orderdate) so tie-breaking is deterministic in
+    both engines (see asof_join docstring)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("last_orderkey"))
+    )
+    return asof_join(
+        ev,
+        orders,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        payload_cols=["last_orderkey"],
+    )
+
+
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5% hash sample — reproducible corpus subsetting
+    (training-data splits must be stable across runs and engines, so no
+    ``rand()``: membership is a pure function of the key)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.filter(md5_long60(F.col("c_custkey").cast("string")) % 20 == 0).select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
 ANALYTICS_QUERIES = {
     "q5_regional_revenue": q5_regional_revenue,
     "part_type_stats": q_part_type_stats,
@@ -160,6 +194,8 @@ ANALYTICS_QUERIES = {
     "stats_summary": q_stats_summary,
     "orders_sorted_limit": q_orders_sorted_limit,
     "segment_intersect": q_segment_intersect,
+    "asof_last_order": q_asof_last_order,
+    "deterministic_sample": q_deterministic_sample,
 }
 
 ANALYTICS_ORACLES = {
@@ -231,5 +267,21 @@ ANALYTICS_ORACLES = {
         SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
         INTERSECT
         SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    """,
+    # oracle uses DuckDB's NATIVE ASOF JOIN — an independent implementation
+    # of the same semantics as the engine's union-sort-window operator
+    "asof_last_order": """
+        WITH o AS (
+            SELECT o_custkey, o_orderdate, max(o_orderkey) AS last_orderkey
+            FROM orders GROUP BY o_custkey, o_orderdate
+        )
+        SELECT e.event_id, e.user_id, e.ts, o.last_orderkey
+        FROM events e
+        ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    "deterministic_sample": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 20 = 0
     """,
 }

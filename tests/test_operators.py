@@ -77,6 +77,30 @@ def test_wordcount_semantics(spark):
     assert wordcount_total(df).collect()[0]["total_words"] == 7
 
 
+def test_asof_join_semantics(spark):
+    """Backward as-of: greatest right_time <= left_time per key, inclusive
+    boundary, NULLs when no prior right row, keys fully independent."""
+    from simple_map_reduce_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "e1"), (1, 20, "e2"), (1, 5, "e0"), (2, 50, "e3")],
+        ["k", "t", "ev"],
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "r@10"), (1, 15, "r@15"), (2, 99, "r@99")],
+        ["k2", "t2", "payload"],
+    )
+    out = asof_join(left, right, "k", "k2", "t", "t2", ["payload"])
+    got = {r["ev"]: r["payload"] for r in out.collect()}
+    assert got == {
+        "e0": None,     # before any right row
+        "e1": "r@10",   # inclusive boundary: t == t2 matches
+        "e2": "r@15",   # greatest right_time <= 20
+        "e3": None,     # key 2's only right row is later (99 > 50)
+    }
+    assert out.count() == 4  # left-outer: every left row survives
+
+
 def test_percent_of_total_is_global(spark):
     """The reference computes percent within each reducer's key subset
     (per-partition bug, SURVEY.md §2.4 A3); ours must be global even with
