@@ -42,6 +42,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     session.py) it arrives as a nanosecond long and is converted here to a
     microsecond timestamp (matching DuckDB's cast-to-TIMESTAMP view).
     """
+    if name == "events":
+        # set on the CALLER's session, not only our builder: the driver
+        # harness passes its own SparkSession, which would otherwise fail
+        # on the nanos-typed ts column with PARQUET_TYPE_ILLEGAL
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
