@@ -55,29 +55,38 @@ def main() -> None:
     spark = get_session(app_name="smr-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warmup: JVM + codegen + parquet footer reads.
-    QUERIES["q1_pricing_summary"](spark, sf_dir).count()
+    # Warmup: JVM + codegen + parquet footer reads. Failures fall through
+    # to the per-query loop, which records them without voiding the run.
+    try:
+        QUERIES["q1_pricing_summary"](spark, sf_dir).count()
+    except Exception:
+        pass
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         start = time.perf_counter()
-        df = QUERIES[name](spark, sf_dir)
-        df.count()
-        timings[name] = round(time.perf_counter() - start, 4)
+        try:
+            df = QUERIES[name](spark, sf_dir)
+            df.count()
+            timings[name] = round(time.perf_counter() - start, 4)
+        except Exception as exc:  # one bad query must not void the record
+            errors[name] = str(exc).split("\n")[0][:200]
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    record = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        record["errors"] = errors
+    print(json.dumps(record))
     spark.stop()
+    if errors:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -53,6 +53,8 @@ def build_parser() -> argparse.ArgumentParser:
     sj.add_argument("in_prefix"), sj.add_argument("out_name")
     sj.add_argument("--delete", action="store_true", help="drop intermediates after the reduce")
 
+    sub.add_parser("repl", help="interactive shell (the reference's prompt, main.rs:209-308)")
+
     return p
 
 
@@ -88,7 +90,66 @@ def main(argv: list[str] | None = None) -> int:
         exe = ns.exe if not os.path.exists(ns.exe) else f"python3 {ns.exe}"
         df = mj.juice(exe, ns.num_tasks, ns.in_prefix, ns.out_name, ns.delete)
         print(f"-- {df.count()} rows -> {ns.out_name}")
+    elif ns.cmd == "repl":
+        repl(mj)
     return 0
+
+
+def repl(mj: MapleJuice, stdin=None, stdout=None) -> None:
+    """One-command-per-line shell, mirroring the reference's prompt loop
+    (``main.rs:209-308``): the same subcommand grammar as the CLI plus
+    raw ``SELECT ALL ...`` statements; ``exit`` leaves."""
+    import shlex
+
+    stdin = stdin or sys.stdin
+    stdout = stdout or sys.stdout
+    parser = build_parser()
+    print("simple-map-reduce-spark shell — 'exit' to quit", file=stdout)
+    for raw in stdin:
+        line = raw.strip()
+        if not line:
+            continue
+        if line.lower() in ("exit", "quit"):
+            break
+        try:
+            if line.upper().startswith("SELECT"):
+                df = mj.sql(line)
+                for row in df.limit(20).collect():
+                    print("\t".join("" if v is None else str(v) for v in row), file=stdout)
+                print(f"-- {df.count()} rows", file=stdout)
+                continue
+            ns = parser.parse_args(shlex.split(line))
+            ns.warehouse = mj.catalog.root  # shell is bound to one warehouse
+            _dispatch(ns, mj, stdout)
+        except SystemExit:  # argparse error: keep the shell alive
+            print("?: put/get/ls/delete/sql/maple/juice or SELECT ALL ...", file=stdout)
+        except Exception as exc:
+            print(f"error: {exc}", file=stdout)
+
+
+def _dispatch(ns: argparse.Namespace, mj: MapleJuice, out) -> None:
+    if ns.cmd == "put":
+        mj.put(ns.local, ns.name, ns.fmt)
+        print(f"put {ns.local} -> {ns.name}", file=out)
+    elif ns.cmd == "get":
+        mj.get(ns.name, ns.local)
+        print(f"get {ns.name} -> {ns.local}", file=out)
+    elif ns.cmd == "ls":
+        for name in mj.ls():
+            print(name, file=out)
+    elif ns.cmd == "delete":
+        print("deleted" if mj.delete(ns.name) else "not found", file=out)
+    elif ns.cmd == "sql":
+        df = mj.sql(ns.statement)
+        print(f"-- {df.count()} rows", file=out)
+    elif ns.cmd == "maple":
+        exe = ns.exe if not os.path.exists(ns.exe) else f"python3 {ns.exe}"
+        keys = mj.maple(exe, ns.num_tasks, ns.out_prefix, ns.input_prefix, tuple(ns.args))
+        print("\n".join(keys), file=out)
+    elif ns.cmd == "juice":
+        exe = ns.exe if not os.path.exists(ns.exe) else f"python3 {ns.exe}"
+        df = mj.juice(exe, ns.num_tasks, ns.in_prefix, ns.out_name, ns.delete)
+        print(f"-- {df.count()} rows -> {ns.out_name}", file=out)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,35 @@
+"""REPL test: drive the shell loop with a scripted stdin — the
+reference's interactive prompt surface (main.rs:209-308)."""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from simple_map_reduce_spark.cli import repl
+from simple_map_reduce_spark.engine import MapleJuice
+
+
+def test_repl_session(spark, tmp_path):
+    src = tmp_path / "data.csv"
+    src.write_text("1,ford,100\n2,kia,200\n")
+    mj = MapleJuice(spark, str(tmp_path / "wh"))
+    stdin = io.StringIO(
+        f"put {src} cars\n"
+        "ls\n"
+        "SELECT ALL FROM cars WHERE ford\n"
+        "delete cars_filter\n"
+        "bogus command\n"
+        "exit\n"
+    )
+    out = io.StringIO()
+    repl(mj, stdin=stdin, stdout=out)
+    text = out.getvalue()
+    assert "put" in text and "cars" in text
+    assert "1,ford,100" in text
+    assert "-- 1 rows" in text
+    assert "deleted" in text
+    assert "?:" in text  # bad command keeps the shell alive with a hint
