@@ -156,6 +156,30 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling-window rollup executed through STRUCTURED STREAMING
+    (availableNow drain of the events table as a file stream) — its
+    oracle is the same batch SQL as ``events_windowed``, so this checks
+    streaming semantics against an independent batch engine."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from .streaming.events import EVENTS_DDL, run_available_now, windowed_rollup
+
+    raw = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    sink = f"stream_rollup_{uuid.uuid4().hex[:8]}"
+    return run_available_now(
+        windowed_rollup(ev), sink, tempfile.mkdtemp(), output_mode="complete"
+    )
+
+
 def q_maple_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wordcount expressed through the generic maple/juice surface; its
     oracle is plain SQL — proving the contractual (non-relational) path
@@ -384,6 +408,7 @@ EXT_QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_meta": q_multimodal_meta,
     "maple_wordcount": q_maple_wordcount,
+    "streaming_rollup": q_streaming_rollup,
 }
 
 EXT_ORACLES = {
@@ -433,5 +458,13 @@ EXT_ORACLES = {
         FROM (SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS word
               FROM documents)
         GROUP BY word
+    """,
+    # the streaming path must converge to the batch answer
+    "streaming_rollup": """
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+               count(*) AS cnt,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1, 2
     """,
 }
