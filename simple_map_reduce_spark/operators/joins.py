@@ -51,6 +51,69 @@ def equi_join(
     return joined
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_point: str,
+    right_start: str,
+    right_end: str,
+) -> DataFrame:
+    """Keyed point-in-interval join: each left row (a point ``left_point``)
+    matches right rows whose half-open interval ``[right_start, right_end)``
+    contains it, within the same key. A custom operator the reference lacks
+    entirely (its only join is the equi-join J1, SURVEY.md §2.5).
+
+    Scale shape: the *equality* key carries the shuffle — Catalyst plans a
+    hash/sort-merge join on ``left_key = right_key`` and evaluates the range
+    predicate as a post-join filter inside each key group, so there is no
+    cross product beyond a key's own rows. For keyless interval joins use
+    :func:`interval_join_bucketed`, which manufactures an equality key.
+    """
+    cond = (
+        (left[left_key] == right[right_key])
+        & (left[left_point] >= right[right_start])
+        & (left[left_point] < right[right_end])
+    )
+    return left.join(right, cond, "inner")
+
+
+def interval_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_start: str,
+    right_end: str,
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Keyless point-in-interval join made shuffle-joinable: explode each
+    right interval into the fixed-width time buckets it overlaps, bucket
+    each left point, and equi-join on the bucket id before applying the
+    exact range predicate.
+
+    This turns an O(|L|·|R|) nested-loop (Spark's only native plan for a
+    pure theta join) into one shuffle on the bucket key — the standard
+    trick for interval joins at 100 TB. ``bucket_seconds`` should be close
+    to the typical interval length: too small explodes the right side,
+    too large piles unrelated rows into one bucket.
+    """
+    bucket = F.lit(int(bucket_seconds)).cast("long")
+    lp = F.unix_timestamp(F.col(left_point))
+    rs = F.unix_timestamp(F.col(right_start))
+    re_ = F.unix_timestamp(F.col(right_end))
+
+    lb = left.withColumn("__bucket", (lp / bucket).cast("long"))
+    rb = right.withColumn(
+        "__bucket",
+        F.explode(F.sequence((rs / bucket).cast("long"), (re_ / bucket).cast("long"))),
+    )
+    joined = lb.join(rb, "__bucket", "inner").filter(
+        (F.col(left_point) >= F.col(right_start)) & (F.col(left_point) < F.col(right_end))
+    )
+    return joined.drop("__bucket")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

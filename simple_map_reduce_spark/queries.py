@@ -209,6 +209,7 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from .queries_analytics import ANALYTICS_ORACLES, ANALYTICS_QUERIES  # noqa: E402
+from .queries_analytics3 import ANALYTICS3_ORACLES, ANALYTICS3_QUERIES  # noqa: E402
 from .queries_ext import EXT_ORACLES, EXT_QUERIES  # noqa: E402
 
 QUERIES: dict[str, QueryFn] = {
@@ -226,6 +227,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_windowed": q_events_windowed,
     **EXT_QUERIES,
     **ANALYTICS_QUERIES,
+    **ANALYTICS3_QUERIES,
 }
 
 
@@ -329,4 +331,5 @@ ORACLES: dict[str, str] = {
     """,
     **EXT_ORACLES,
     **ANALYTICS_ORACLES,
+    **ANALYTICS3_ORACLES,
 }

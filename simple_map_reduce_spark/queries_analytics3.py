@@ -1,0 +1,427 @@
+"""Analytics batch 3: sessionization, outer joins, conditional aggregation,
+CUBE grouping sets, rank/lag/lead windows, range join, discrete quantiles,
+calendar rollup, pivot, and string features.
+
+Everything here is oracle-checked (duckdb twin per query). Cross-engine
+determinism rules follow ``queries.py``: identical aliases on both sides,
+exact decimal arithmetic for money sums, BIGINT casts for conditional
+counts (duckdb ``sum(int)`` is HUGEINT), and deterministic tiebreakers in
+every window ORDER BY.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators.joins import range_join
+from .operators.sessions import session_rollup
+from .sources.readers import load_table
+
+_D12 = "decimal(12,2)"
+_D14 = "decimal(14,2)"
+
+
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions (30 min) over the event log — batch twin of the
+    streaming sessionizer (streaming/events.py). One row per session."""
+    ev = load_table(spark, sf_dir, "events")
+    return session_rollup(
+        ev,
+        key_col="user_id",
+        ts_col="ts",
+        gap_seconds=1800,
+        order_tiebreak="event_id",
+        value_col="value",
+    )
+
+
+def q_left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join: every customer with order count and spend, zeros
+    (not dropped rows) for customers that never ordered."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    total = F.col("o_totalprice").cast(_D14)
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("order_cnt"),
+            F.coalesce(F.sum(total), F.lit(0).cast(_D14)).cast("double").alias("total_spend"),
+        )
+    )
+
+
+def q_nation_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregates: BUILDING-segment customer count
+    vs high-balance supplier count per nation key."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .groupBy(F.col("c_nationkey").alias("cn"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .groupBy(F.col("s_nationkey").alias("sn"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    return (
+        cust.join(supp, F.col("cn") == F.col("sn"), "full_outer")
+        .select(
+            F.coalesce(F.col("cn"), F.col("sn")).cast("int").alias("nationkey"),
+            F.coalesce(F.col("n_customers"), F.lit(0)).alias("n_customers"),
+            F.coalesce(F.col("n_suppliers"), F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-style conditional aggregation: share of January-1998
+    revenue from PROMO parts. Part side broadcast; sums exact decimal,
+    final ratio in double with identical expression shape both engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-02-01").cast("timestamp"))
+    )
+    part = F.broadcast(load_table(spark, sf_dir, "part"))
+    price = F.col("l_extendedprice").cast(_D12)
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    one = F.lit(1).cast("decimal(4,2)")
+    rev = price * (one - disc)
+    zero = F.lit(0).cast("decimal(18,4)")
+    agg = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+            .cast("double")
+            .alias("promo_rev"),
+            F.sum(rev).cast("double").alias("total_rev"),
+        )
+    )
+    return agg.select(
+        "promo_rev",
+        "total_rev",
+        (F.lit(100.0) * F.col("promo_rev") / F.col("total_rev")).alias("promo_pct"),
+    )
+
+
+def q_flag_priority_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12-style CASE-WHEN counting: per return flag, lines on
+    urgent/high-priority orders vs the rest."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+def q_qty_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-style correlated aggregate, decorrelated into a join:
+    lines with quantity below 20% of their part's average. The comparison
+    is kept in exact integer/decimal form (qty*5*cnt < sum_qty) so both
+    engines agree at the boundary."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast(_D12)
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(qty).alias("sum_qty"), F.count("*").alias("cnt")
+    )
+    joined = li.join(per_part, F.col("l_partkey") == F.col("pk"))
+    outliers = joined.filter(qty * F.lit(5) * F.col("cnt") < F.col("sum_qty"))
+    return outliers.agg(
+        F.count("*").alias("n_outlier_lines"),
+        F.coalesce(
+            F.sum(F.col("l_extendedprice").cast(_D12)), F.lit(0).cast(_D12)
+        ).cast("double").alias("outlier_revenue"),
+    )
+
+
+def q_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (l_returnflag, l_linestatus): all four grouping sets in
+    one pass (sales_rollup covers ROLLUP; this is the full lattice)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("l_quantity").cast(_D12)).cast("double").alias("sum_qty"),
+    )
+
+
+def q_customer_order_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking + lag/lead windows per customer: price rank, previous/next
+    order key in date order, and whole days since the previous order."""
+    orders = load_table(spark, sf_dir, "orders")
+    w_price = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").cast(_D14).desc(), F.col("o_orderkey")
+    )
+    w_date = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev_date = F.lag("o_orderdate").over(w_date)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w_price).cast("bigint").alias("price_rank"),
+        F.lag("o_orderkey").over(w_date).alias("prev_orderkey"),
+        F.lead("o_orderkey").over(w_date).alias("next_orderkey"),
+        F.datediff(F.col("o_orderdate").cast("date"), prev_date.cast("date"))
+        .cast("bigint")
+        .alias("gap_days"),
+    )
+
+
+def q_purchase_click_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/joins.py::range_join): clicks landing in the
+    hour after the same user's purchase, counted per purchase event."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("p_end"),
+    )
+    joined = range_join(
+        clicks,
+        purchases,
+        left_key="c_user",
+        right_key="p_user",
+        left_point="c_ts",
+        right_start="p_ts",
+        right_end="p_end",
+    )
+    return joined.groupBy("purchase_id").agg(F.count("*").alias("n_clicks"))
+
+
+def q_qty_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete quantiles (type-1, value at ceil(p*n)) of quantity per
+    return flag via row_number — no interpolation arithmetic, so the
+    selected values are bit-identical across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    wcnt = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").alias("qty"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wcnt).alias("n"),
+    )
+    def pick(p: float, name: str):
+        target = F.ceil(F.lit(p) * F.col("n")).cast("bigint")
+        return F.min(F.when(F.col("rn") == target, F.col("qty"))).alias(name)
+    return ranked.groupBy("flag").agg(
+        pick(0.25, "q1"), pick(0.5, "median"), pick(0.75, "q3"),
+        F.max("qty").alias("max_qty"),
+    )
+
+
+def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar rollup: order count and exact spend per (year, month)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(_D14)).cast("double").alias("month_spend"),
+        )
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event counts, one column per event type (explicit
+    value list so the output schema is static — required for a pivot to
+    be plannable without a driver-side distinct scan)."""
+    ev = load_table(spark, sf_dir, "events")
+    pivoted = ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count()
+    return pivoted.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t) for t in _EVENT_TYPES],
+    )
+
+
+def q_part_name_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function surface (SURVEY.md §2.7 extended): case
+    mapping, length, substring, replace, position — all JVM-side."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.substring("p_name", 1, 4).alias("name_prefix"),
+        F.regexp_replace("p_name", " ", "_").alias("name_slug"),
+        F.instr(F.col("p_name"), "e").cast("bigint").alias("first_e"),
+    )
+
+
+ANALYTICS3_QUERIES = {
+    "sessionize_batch": q_sessionize_batch,
+    "left_join_order_counts": q_left_join_order_counts,
+    "nation_full_outer": q_nation_full_outer,
+    "promo_revenue": q_promo_revenue,
+    "flag_priority_matrix": q_flag_priority_matrix,
+    "qty_outliers": q_qty_outliers,
+    "sales_cube": q_sales_cube,
+    "customer_order_seq": q_customer_order_seq,
+    "purchase_click_burst": q_purchase_click_burst,
+    "qty_quartiles": q_qty_quartiles,
+    "orders_by_month": q_orders_by_month,
+    "events_pivot": q_events_pivot,
+    "part_name_features": q_part_name_features,
+}
+
+ANALYTICS3_ORACLES = {
+    "sessionize_batch": """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), numbered AS (
+            SELECT user_id, ts, value,
+                   CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+            FROM flagged
+        )
+        SELECT user_id, session_seq,
+               min(ts) AS session_start, max(ts) AS session_end,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM numbered GROUP BY user_id, session_seq
+    """,
+    "left_join_order_counts": """
+        SELECT c_custkey, c_name,
+               count(o_orderkey) AS order_cnt,
+               CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(14,2))),
+                             CAST(0 AS DECIMAL(14,2))) AS DOUBLE) AS total_spend
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_name
+    """,
+    "nation_full_outer": """
+        WITH c AS (SELECT c_nationkey AS cn, count(*) AS n_customers
+                   FROM customer WHERE c_mktsegment = 'BUILDING' GROUP BY 1),
+             s AS (SELECT s_nationkey AS sn, count(*) AS n_suppliers
+                   FROM supplier WHERE s_acctbal > 5000 GROUP BY 1)
+        SELECT CAST(coalesce(cn, sn) AS INTEGER) AS nationkey,
+               coalesce(n_customers, 0) AS n_customers,
+               coalesce(n_suppliers, 0) AS n_suppliers
+        FROM c FULL OUTER JOIN s ON cn = sn
+    """,
+    "promo_revenue": """
+        WITH agg AS (
+            SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                            THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                                 * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                            ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_rev,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                        AS DOUBLE) AS total_rev
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+              AND l_shipdate < TIMESTAMP '1998-02-01'
+        )
+        SELECT promo_rev, total_rev, 100.0 * promo_rev / total_rev AS promo_pct FROM agg
+    """,
+    "flag_priority_matrix": """
+        SELECT l_returnflag,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY l_returnflag
+    """,
+    "qty_outliers": """
+        WITH per_part AS (
+            SELECT l_partkey AS pk,
+                   sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+                   count(*) AS cnt
+            FROM lineitem GROUP BY 1
+        )
+        SELECT count(*) AS n_outlier_lines,
+               CAST(coalesce(sum(CAST(l_extendedprice AS DECIMAL(12,2))),
+                             CAST(0 AS DECIMAL(12,2))) AS DOUBLE) AS outlier_revenue
+        FROM lineitem JOIN per_part ON l_partkey = pk
+        WHERE CAST(l_quantity AS DECIMAL(12,2)) * 5 * cnt < sum_qty
+    """,
+    "sales_cube": """
+        SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "customer_order_seq": """
+        SELECT o_custkey, o_orderkey,
+               CAST(rank() OVER (PARTITION BY o_custkey
+                                 ORDER BY CAST(o_totalprice AS DECIMAL(14,2)) DESC,
+                                          o_orderkey) AS BIGINT) AS price_rank,
+               lag(o_orderkey) OVER w AS prev_orderkey,
+               lead(o_orderkey) OVER w AS next_orderkey,
+               CAST(date_diff('day', CAST(lag(o_orderdate) OVER w AS DATE),
+                              CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_days
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "purchase_click_burst": """
+        SELECT p.event_id AS purchase_id, count(*) AS n_clicks
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 1 HOUR
+        GROUP BY p.event_id
+    """,
+    "qty_quartiles": """
+        WITH ranked AS (
+            SELECT l_returnflag AS flag, l_quantity AS qty,
+                   row_number() OVER (PARTITION BY l_returnflag
+                                      ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+                   count(*) OVER (PARTITION BY l_returnflag) AS n
+            FROM lineitem
+        )
+        SELECT flag,
+               min(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN qty END) AS q1,
+               min(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN qty END) AS median,
+               min(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN qty END) AS q3,
+               max(qty) AS max_qty
+        FROM ranked GROUP BY flag
+    """,
+    "orders_by_month": """
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+               CAST(month(o_orderdate) AS INTEGER) AS order_month,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS month_spend
+        FROM orders GROUP BY 1, 2
+    """,
+    "events_pivot": """
+        SELECT user_id,
+               count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+               count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+               count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+               count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+               count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        FROM events GROUP BY user_id
+    """,
+    "part_name_features": """
+        SELECT p_partkey,
+               upper(p_name) AS name_upper,
+               CAST(length(p_name) AS BIGINT) AS name_len,
+               substr(p_name, 1, 4) AS name_prefix,
+               replace(p_name, ' ', '_') AS name_slug,
+               CAST(strpos(p_name, 'e') AS BIGINT) AS first_e
+        FROM part
+    """,
+}
