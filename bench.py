@@ -46,6 +46,12 @@ BENCH_QUERIES = [
     "events_json",
     "asof_last_order",
     "deterministic_sample",
+    "sessionize_batch",
+    "purchase_click_burst",
+    "sales_cube",
+    "left_join_order_counts",
+    "qty_outliers",
+    "customer_order_seq",
 ]
 
 

@@ -37,9 +37,11 @@ def sessionize_batch(
         order_cols.append(F.col(order_tiebreak))
     w = Window.partitionBy(key_col).orderBy(*order_cols)
     prev_ts = F.lag(F.col(ts_col)).over(w)
+    # full-precision (microsecond) gap comparison — matches the streaming
+    # sessionizer's pandas timedelta arithmetic, no truncation to seconds
     is_new = F.when(
         prev_ts.isNull()
-        | (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts) > gap_seconds),
+        | (F.col(ts_col) > prev_ts + F.expr(f"INTERVAL {int(gap_seconds)} SECONDS")),
         1,
     ).otherwise(0)
     run = Window.partitionBy(key_col).orderBy(*order_cols).rowsBetween(

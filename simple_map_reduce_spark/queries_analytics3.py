@@ -288,7 +288,7 @@ ANALYTICS3_ORACLES = {
         WITH flagged AS (
             SELECT user_id, ts, event_id, value,
                    CASE WHEN lag(ts) OVER w IS NULL
-                             OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                             OR ts > lag(ts) OVER w + INTERVAL 1800 SECOND
                         THEN 1 ELSE 0 END AS is_new
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

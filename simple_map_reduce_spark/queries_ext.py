@@ -180,6 +180,55 @@ def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_stream(spark: SparkSession, sf_dir: str):
+    from .streaming.events import EVENTS_DDL
+
+    raw = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup: the event stream unioned with itself
+    (every event arrives twice) then ``dropDuplicates`` on event_id —
+    per-type counts must equal the batch counts over the ORIGINAL table,
+    proving the duplicate copies were all eliminated. In production the
+    dedup state is bounded with ``dropDuplicatesWithinWatermark``; the
+    unbounded form keeps the oracle comparison exact."""
+    import tempfile
+    import uuid
+
+    from .streaming.events import run_available_now
+
+    ev = _events_stream(spark, sf_dir)
+    doubled = ev.union(_events_stream(spark, sf_dir))
+    counts = (
+        doubled.dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+    sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    return run_available_now(counts, sink, tempfile.mkdtemp(), output_mode="complete")
+
+
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL OPERATOR (applyInPandasWithState) oracle-checked:
+    per-user gap sessionization over the event stream. The stateful fold
+    emits only CLOSED sessions (each user's open tail stays in state), so
+    the oracle is batch sessionization minus every user's last session."""
+    import tempfile
+    import uuid
+
+    from .streaming.events import run_available_now, sessionize
+
+    ev = _events_stream(spark, sf_dir)
+    sink = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    return run_available_now(sessionize(ev, gap_minutes=30), sink, tempfile.mkdtemp())
+
+
 def q_maple_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wordcount expressed through the generic maple/juice surface; its
     oracle is plain SQL — proving the contractual (non-relational) path
@@ -409,6 +458,8 @@ EXT_QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "maple_wordcount": q_maple_wordcount,
     "streaming_rollup": q_streaming_rollup,
+    "streaming_dedup": q_streaming_dedup,
+    "streaming_sessions": q_streaming_sessions,
 }
 
 EXT_ORACLES = {
@@ -466,5 +517,36 @@ EXT_ORACLES = {
                CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         FROM events
         GROUP BY 1, 2
+    """,
+    # doubled stream deduped on event_id == plain batch counts
+    "streaming_dedup": """
+        SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type
+    """,
+    # closed sessions only: batch sessionization minus each user's last
+    # (still-open) session; gap comparison at full microsecond precision,
+    # matching the stateful fold's timedelta arithmetic
+    "streaming_sessions": """
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), numbered AS (
+            SELECT user_id, ts,
+                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM flagged
+        ), per_sess AS (
+            SELECT user_id, session_seq,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events
+            FROM numbered GROUP BY user_id, session_seq
+        )
+        SELECT user_id, session_start, session_end, n_events
+        FROM per_sess
+        WHERE session_seq < (SELECT max(session_seq) FROM per_sess p2
+                             WHERE p2.user_id = per_sess.user_id)
     """,
 }

@@ -51,3 +51,33 @@ def test_wordcount_has_partial_aggregation(spark):
     plan = _plan(spark, "wordcount")
     assert plan.count("HashAggregate") >= 2
     assert "Exchange hashpartitioning(word" in plan
+
+
+def test_range_join_is_keyed_not_nested_loop(spark):
+    """The range join must plan as an equi-join on the key (shuffle or
+    broadcast hash) with the range predicate as a post-join condition —
+    never a BroadcastNestedLoopJoin/CartesianProduct, which is the
+    |L|x|R| death plan at scale."""
+    plan = _plan(spark, "purchase_click_burst")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
+
+
+def test_sessionize_single_shuffle_for_windows_and_agg(spark):
+    """Sessionization = one hash-partitioning exchange on the session key;
+    the lag window, running sum, and session aggregate all reuse that
+    partitioning (no second shuffle of the event stream)."""
+    plan = _plan(spark, "sessionize_batch")
+    assert plan.count("Exchange hashpartitioning(user_id") <= 1
+
+
+def test_left_join_aggregate_partial(spark):
+    plan = _plan(spark, "left_join_order_counts")
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_cube_expands_without_extra_shuffles(spark):
+    plan = _plan(spark, "sales_cube")
+    assert "Expand" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final over the expand
