@@ -267,6 +267,44 @@ def q_part_name_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_segment_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (EXCEPT): nations with a BUILDING customer but no
+    AUTOMOBILE customer — completes the §2.6 set-op surface (union and
+    intersect are covered elsewhere)."""
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    b = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_nationkey")
+    return a.subtract(b)  # EXCEPT (set semantics: distinct result)
+
+
+def q_priority_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit UNION ALL of two filtered scans (the reference's reduce
+    phase is an append-union, SURVEY.md §2.6)."""
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = orders.filter(F.col("o_orderpriority") == "2-HIGH").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    return urgent.unionAll(high)
+
+
+def q_bigram_docfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: top-20 word bigrams by document frequency (distinct
+    docs containing the bigram), deterministic tiebreak on the bigram."""
+    from .operators.dedup import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    bg = shingles(docs, "doc_id", "text", n=2)
+    return (
+        bg.groupBy(F.col("shingle").alias("bigram"))
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("bigram"))
+        .limit(20)
+    )
+
+
 ANALYTICS3_QUERIES = {
     "sessionize_batch": q_sessionize_batch,
     "left_join_order_counts": q_left_join_order_counts,
@@ -281,6 +319,9 @@ ANALYTICS3_QUERIES = {
     "orders_by_month": q_orders_by_month,
     "events_pivot": q_events_pivot,
     "part_name_features": q_part_name_features,
+    "segment_except": q_segment_except,
+    "priority_union": q_priority_union,
+    "bigram_docfreq": q_bigram_docfreq,
 }
 
 ANALYTICS3_ORACLES = {
@@ -423,5 +464,33 @@ ANALYTICS3_ORACLES = {
                replace(p_name, ' ', '_') AS name_slug,
                CAST(strpos(p_name, 'e') AS BIGINT) AS first_e
         FROM part
+    """,
+    "segment_except": """
+        SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        EXCEPT
+        SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    """,
+    "priority_union": """
+        SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
+        UNION ALL
+        SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '2-HIGH'
+    """,
+    # same shingle construction as the dedup oracles (short docs collapse
+    # to their whole token stream), n=2
+    "bigram_docfreq": r"""
+        WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+                     FROM documents),
+        bg AS (
+            SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id, unnest(
+                    CASE WHEN len(t) >= 2
+                         THEN list_transform(range(1, len(t)),
+                              i -> concat_ws(' ', t[i], t[i+1]))
+                         ELSE [array_to_string(t, ' ')] END) AS shingle
+                FROM tok))
+        SELECT shingle AS bigram, count(*) AS doc_freq
+        FROM bg GROUP BY shingle
+        ORDER BY doc_freq DESC, bigram
+        LIMIT 20
     """,
 }
