@@ -66,6 +66,22 @@ def q_minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dup_pairs(docs, "doc_id", "text", threshold=MINHASH_THRESHOLD)
 
 
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup clusters: connected components over the MinHash
+    near-dup pair graph (operators/graph.py). Every document labelled
+    with the min doc_id of its duplicate cluster; singletons label
+    themselves. Oracle = recursive-CTE transitive closure over the same
+    pair set."""
+    from .operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dup_pairs(docs, "doc_id", "text", threshold=MINHASH_THRESHOLD)
+    verts = docs.select(F.col("doc_id").alias("id"))
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    cc = connected_components(verts, edges)
+    return cc.select(F.col("id").alias("doc_id"), F.col("component").alias("group_id"))
+
+
 def q_simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash(docs, "doc_id", "text")
@@ -319,6 +335,42 @@ def minhash_pairs_oracle() -> str:
     """
 
 
+def dedup_groups_oracle() -> str:
+    """Transitive closure over the MinHash pair set via a recursive CTE;
+    component label = min reachable doc_id (self included)."""
+    return f"""
+        WITH RECURSIVE {_SHINGLE_CTE}, {_minhash_sig_sql()}, {_band_sql()},
+        cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM buckets a JOIN buckets b
+              ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+             AND a.id < b.id),
+        sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+        inter AS (
+            SELECT c.id_a, c.id_b, count(*) AS inter_cnt
+            FROM cand c
+            JOIN sh x ON x.id = c.id_a
+            JOIN sh y ON y.id = c.id_b AND y.shingle = x.shingle
+            GROUP BY c.id_a, c.id_b),
+        pairs AS (
+            SELECT i.id_a, i.id_b
+            FROM inter i JOIN sz a ON i.id_a = a.id JOIN sz b ON i.id_b = b.id
+            WHERE i.inter_cnt * 1.0 / (a.sz + b.sz - i.inter_cnt)
+                  >= {MINHASH_THRESHOLD}),
+        edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(s, d) AS (
+            SELECT s, d FROM edges
+            UNION
+            SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+        )
+        SELECT doc_id,
+               least(doc_id, coalesce(min(r.d), doc_id)) AS group_id
+        FROM documents LEFT JOIN reach r ON r.s = doc_id
+        GROUP BY doc_id
+    """
+
+
 def _simhash_sig_sql(bits: int = SIMHASH_BITS) -> str:
     votes = ",\n           ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
@@ -445,6 +497,7 @@ EXT_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "minhash_buckets": q_minhash_buckets,
     "minhash_dup_pairs": q_minhash_dup_pairs,
+    "dedup_groups": q_dedup_groups,
     "simhash_sigs": q_simhash_sigs,
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "jaccard_pairs": q_jaccard_pairs,
@@ -469,6 +522,7 @@ EXT_ORACLES = {
     """,
     "minhash_buckets": minhash_buckets_oracle(),
     "minhash_dup_pairs": minhash_pairs_oracle(),
+    "dedup_groups": dedup_groups_oracle(),
     "simhash_sigs": simhash_sigs_oracle(),
     "simhash_dup_pairs": simhash_pairs_oracle(),
     "jaccard_pairs": jaccard_pairs_oracle(),
