@@ -196,6 +196,45 @@ def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-language vocabulary size via HyperLogLog++
+    (``approx_count_distinct``) — the 100 TB path for distinct counts
+    (exact distinct of a trillion-token corpus is a full shuffle of every
+    token; the sketch is a few KB per group, map-side merged). Registered
+    WITHOUT an oracle (duckdb's approx algorithm differs); the quality
+    gate is the accuracy test against the exact tier
+    (tests/test_sketches.py)."""
+    from .operators.aggregates import TOKEN_RE
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), F.lit(0))
+        ).alias("word"),
+    )
+    return tok.groupBy("lang").agg(
+        F.approx_count_distinct("word", rsd=0.02).alias("approx_vocab"),
+        F.count("*").alias("n_tokens"),
+    )
+
+
+def q_value_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles of event value per type via the
+    Greenwald-Khanna sketch (``percentile_approx``) — mergeable,
+    bounded-memory, the scale twin of the exact rank-based
+    ``qty_quartiles``. Rows-only check + accuracy test vs exact."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.25, 0.5, 0.75], 10000).alias("q"),
+    ).select(
+        "event_type",
+        F.col("q")[0].alias("p25"),
+        F.col("q")[1].alias("p50"),
+        F.col("q")[2].alias("p75"),
+    )
+
+
 def _events_stream(spark: SparkSession, sf_dir: str):
     from .streaming.events import EVENTS_DDL
 
@@ -513,6 +552,8 @@ EXT_QUERIES = {
     "streaming_rollup": q_streaming_rollup,
     "streaming_dedup": q_streaming_dedup,
     "streaming_sessions": q_streaming_sessions,
+    "vocab_sketch": q_vocab_sketch,
+    "value_quantiles_sketch": q_value_quantiles_sketch,
 }
 
 EXT_ORACLES = {
