@@ -305,6 +305,68 @@ def q_bigram_docfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-style EXISTS: orders placed in 1997 with at least one
+    line shipped after the order date, counted per priority. The EXISTS
+    decorrelates to a left-semi join whose condition carries a non-equi
+    predicate alongside the key."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    sem = orders.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return sem.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+def q_returned_revenue_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-style: top-20 customers by revenue on returned items
+    (l_returnflag = 'R'), deterministic tiebreak on custkey."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    price = F.col("l_extendedprice").cast(_D12)
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    one = F.lit(1).cast("decimal(4,2)")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(price * (one - disc)).cast("double").alias("returned_rev"))
+        .orderBy(F.col("returned_rev").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-style HAVING: orders whose total line quantity exceeds
+    120, with the customer attached (aggregate → filter → join)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(_D12)).alias("total_qty_d"))
+        .filter(F.col("total_qty_d") > 120)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "o_orderkey",
+            "c_custkey",
+            "c_name",
+            "o_orderdate",
+            F.col("total_qty_d").cast("double").alias("total_qty"),
+        )
+    )
+
+
 ANALYTICS3_QUERIES = {
     "sessionize_batch": q_sessionize_batch,
     "left_join_order_counts": q_left_join_order_counts,
@@ -322,6 +384,9 @@ ANALYTICS3_QUERIES = {
     "segment_except": q_segment_except,
     "priority_union": q_priority_union,
     "bigram_docfreq": q_bigram_docfreq,
+    "late_ship_priority": q_late_ship_priority,
+    "returned_revenue_top": q_returned_revenue_top,
+    "big_orders": q_big_orders,
 }
 
 ANALYTICS3_ORACLES = {
@@ -492,5 +557,36 @@ ANALYTICS3_ORACLES = {
         FROM bg GROUP BY shingle
         ORDER BY doc_freq DESC, bigram
         LIMIT 20
+    """,
+    "late_ship_priority": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+    """,
+    "returned_revenue_top": """
+        SELECT c_custkey, c_name,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                    AS DOUBLE) AS returned_rev
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name
+        ORDER BY returned_rev DESC, c_custkey
+        LIMIT 20
+    """,
+    "big_orders": """
+        SELECT o_orderkey, c_custkey, c_name, o_orderdate,
+               CAST(total_qty_d AS DOUBLE) AS total_qty
+        FROM (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty_d
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 120) big
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
     """,
 }
