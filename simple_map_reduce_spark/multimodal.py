@@ -30,7 +30,7 @@ MEDIA_SCHEMA = (
 )
 
 IMAGE_FEATURES_SCHEMA = (
-    "doc_id bigint, width int, height int, n_channels int, feature array<float>"
+    "doc_id bigint, width int, height int, n_channels int, feature array<double>"
 )
 
 AUDIO_FEATURES_SCHEMA = "doc_id bigint, sample_rate int, n_samples bigint, rms double"
@@ -57,8 +57,10 @@ def attach_binary(df: DataFrame, id_col: str, payload_col: str, media_type: str)
 
 def _fake_dims(payload: bytes) -> tuple[int, int, int]:
     """DETERMINISTIC FAKE decode: dimensions derived from a content hash.
-    Stands in for a real image decoder (not available in this container)."""
-    h = hashlib.sha1(payload).digest()
+    Stands in for a real image decoder (not available in this container).
+    md5 (not sha1) so the DuckDB oracle can recompute the same values —
+    the fake stays cross-engine checkable end-to-end."""
+    h = hashlib.md5(payload).digest()
     return 16 + h[0] % 64, 16 + h[1] % 64, 1 + h[2] % 3
 
 
@@ -82,7 +84,7 @@ def decode_image_features(media: DataFrame, strict: bool = False) -> DataFrame:
                 payload = bytes(content)
                 w, h, c = _fake_dims(payload)
                 # fake 4-dim feature: normalized leading hash bytes
-                d = hashlib.sha1(payload + b"#f").digest()
+                d = hashlib.md5(payload + b"#f").digest()
                 feat = [b / 255.0 for b in d[:4]]
                 rows.append((doc_id, w, h, c, feat))
             yield pd.DataFrame(

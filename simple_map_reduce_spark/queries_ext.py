@@ -196,6 +196,30 @@ def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode path end-to-end through ``mapInPandas``: binary
+    payloads → (width, height, channels, feature vector). The decoder is
+    the DETERMINISTIC md5-derived fake (multimodal._fake_dims) so the
+    oracle can recompute the identical values — proving the Arrow batch
+    plumbing, schema, and per-row transform, not the codec."""
+    from .multimodal import decode_image_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_binary(docs, "doc_id", "text", "image/fake")
+    return decode_image_features(media)
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal UDTF shape: 1..3 sampled frames per payload (0..n rows
+    per input row through ``mapInPandas``), frame = leading 8 payload
+    bytes in the fake."""
+    from .multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_binary(docs, "doc_id", "text", "video/fake")
+    return sample_frames(media, every_n=10)
+
+
 def q_vocab_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate per-language vocabulary size via HyperLogLog++
     (``approx_count_distinct``) — the 100 TB path for distinct counts
@@ -554,6 +578,8 @@ EXT_QUERIES = {
     "streaming_sessions": q_streaming_sessions,
     "vocab_sketch": q_vocab_sketch,
     "value_quantiles_sketch": q_value_quantiles_sketch,
+    "image_features": q_image_features,
+    "frame_sample": q_frame_sample,
 }
 
 EXT_ORACLES = {
@@ -643,5 +669,34 @@ EXT_ORACLES = {
         FROM per_sess
         WHERE session_seq < (SELECT max(session_seq) FROM per_sess p2
                              WHERE p2.user_id = per_sess.user_id)
+    """,
+    # md5-derived fake decode recomputed in SQL (md5(text) hashes the
+    # same utf8 bytes the Python fake hashes)
+    "image_features": """
+        SELECT doc_id,
+               CAST(16 + CAST(('0x' || substr(md5(text), 1, 2)) AS INT) % 64 AS INT)
+                   AS width,
+               CAST(16 + CAST(('0x' || substr(md5(text), 3, 2)) AS INT) % 64 AS INT)
+                   AS height,
+               CAST(1 + CAST(('0x' || substr(md5(text), 5, 2)) AS INT) % 3 AS INT)
+                   AS n_channels,
+               [CAST(('0x' || substr(md5(text || '#f'), 1, 2)) AS INT) / 255.0,
+                CAST(('0x' || substr(md5(text || '#f'), 3, 2)) AS INT) / 255.0,
+                CAST(('0x' || substr(md5(text || '#f'), 5, 2)) AS INT) / 255.0,
+                CAST(('0x' || substr(md5(text || '#f'), 7, 2)) AS INT) / 255.0]
+                   AS feature
+        FROM documents
+    """,
+    # duckdb can't byte-slice BLOBs; the corpus is pure ascii (verified:
+    # octet_length(encode(text)) == length(text) for every doc), so the
+    # char-substr before encode() yields exactly the first 8 payload bytes
+    "frame_sample": """
+        WITH base AS (
+            SELECT doc_id, encode(substr(text, 1, 8)) AS frame8,
+                   greatest(1, octet_length(encode(text)) // 10) AS n_frames
+            FROM documents)
+        SELECT doc_id, CAST(t.i * 10 AS INT) AS frame_idx, frame8 AS frame
+        FROM base, range(0, 3) t(i)
+        WHERE t.i < least(n_frames, 3)
     """,
 }
