@@ -367,6 +367,17 @@ def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nation_segment_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: distinct market segments per nation as a SORTED
+    list — collect_set is order-nondeterministic across partitions, so the
+    sort is what makes the result an engine-independent value."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_nationkey").agg(
+        F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+        F.count("*").alias("n_customers"),
+    )
+
+
 ANALYTICS3_QUERIES = {
     "sessionize_batch": q_sessionize_batch,
     "left_join_order_counts": q_left_join_order_counts,
@@ -384,6 +395,7 @@ ANALYTICS3_QUERIES = {
     "segment_except": q_segment_except,
     "priority_union": q_priority_union,
     "bigram_docfreq": q_bigram_docfreq,
+    "nation_segment_list": q_nation_segment_list,
     "late_ship_priority": q_late_ship_priority,
     "returned_revenue_top": q_returned_revenue_top,
     "big_orders": q_big_orders,
@@ -557,6 +569,12 @@ ANALYTICS3_ORACLES = {
         FROM bg GROUP BY shingle
         ORDER BY doc_freq DESC, bigram
         LIMIT 20
+    """,
+    "nation_segment_list": """
+        SELECT c_nationkey,
+               list_sort(list(DISTINCT c_mktsegment)) AS segments,
+               count(*) AS n_customers
+        FROM customer GROUP BY c_nationkey
     """,
     "late_ship_priority": """
         SELECT o_orderpriority, count(*) AS order_count
