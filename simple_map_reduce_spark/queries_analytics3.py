@@ -378,6 +378,34 @@ def q_nation_segment_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key aggregation through the SALTED two-round path
+    (operators/skew.py): events have only 5 distinct types, so a plain
+    groupBy lands each type on one reducer — the worst-case skew shape.
+    The salted plan spreads each type over 16 partitions and merges
+    partials; the oracle (a plain GROUP BY) proves the rewrite is
+    result-identical."""
+    from .operators.skew import salted_aggregation
+
+    ev = load_table(spark, sf_dir, "events")
+    val = F.col("value").cast(_D12)
+    out = salted_aggregation(
+        ev,
+        ["event_type"],
+        {
+            "cnt": ("sum", F.count("*")),
+            "sum_value_d": ("sum", F.sum(val)),
+            "max_value": ("max", F.max("value")),
+        },
+    )
+    return out.select(
+        "event_type",
+        "cnt",
+        F.col("sum_value_d").cast("double").alias("sum_value"),
+        "max_value",
+    )
+
+
 ANALYTICS3_QUERIES = {
     "sessionize_batch": q_sessionize_batch,
     "left_join_order_counts": q_left_join_order_counts,
@@ -396,6 +424,7 @@ ANALYTICS3_QUERIES = {
     "priority_union": q_priority_union,
     "bigram_docfreq": q_bigram_docfreq,
     "nation_segment_list": q_nation_segment_list,
+    "salted_type_rollup": q_salted_type_rollup,
     "late_ship_priority": q_late_ship_priority,
     "returned_revenue_top": q_returned_revenue_top,
     "big_orders": q_big_orders,
@@ -569,6 +598,12 @@ ANALYTICS3_ORACLES = {
         FROM bg GROUP BY shingle
         ORDER BY doc_freq DESC, bigram
         LIMIT 20
+    """,
+    "salted_type_rollup": """
+        SELECT event_type, count(*) AS cnt,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+               max(value) AS max_value
+        FROM events GROUP BY event_type
     """,
     "nation_segment_list": """
         SELECT c_nationkey,
