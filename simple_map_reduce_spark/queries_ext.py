@@ -308,6 +308,23 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(sessionize(ev, gap_minutes=30), sink, tempfile.mkdtemp())
 
 
+def q_streaming_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched with the static
+    customer dimension (broadcast per micro-batch), rolled up per market
+    segment — oracle is the equivalent batch join."""
+    import tempfile
+    import uuid
+
+    from .streaming.events import run_available_now
+
+    ev = _events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = ev.join(F.broadcast(cust), ev["user_id"] == cust["c_custkey"])
+    counts = joined.groupBy("c_mktsegment").agg(F.count("*").alias("cnt"))
+    sink = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    return run_available_now(counts, sink, tempfile.mkdtemp(), output_mode="complete")
+
+
 def q_maple_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wordcount expressed through the generic maple/juice surface; its
     oracle is plain SQL — proving the contractual (non-relational) path
@@ -580,6 +597,7 @@ EXT_QUERIES = {
     "value_quantiles_sketch": q_value_quantiles_sketch,
     "image_features": q_image_features,
     "frame_sample": q_frame_sample,
+    "streaming_enriched": q_streaming_enriched,
 }
 
 EXT_ORACLES = {
@@ -669,6 +687,11 @@ EXT_ORACLES = {
         FROM per_sess
         WHERE session_seq < (SELECT max(session_seq) FROM per_sess p2
                              WHERE p2.user_id = per_sess.user_id)
+    """,
+    "streaming_enriched": """
+        SELECT c_mktsegment, count(*) AS cnt
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment
     """,
     # md5-derived fake decode recomputed in SQL (md5(text) hashes the
     # same utf8 bytes the Python fake hashes)
