@@ -406,6 +406,19 @@ def q_salted_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (posexplode / UNNEST WITH ORDINALITY shape):
+    the first five tokens of each document with their 0-based position."""
+    from .functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.posexplode(tokenize("text")).alias("pos", "word"))
+        .filter(F.col("pos") < 5)
+        .select("doc_id", F.col("pos").cast("int").alias("pos"), "word")
+    )
+
+
 ANALYTICS3_QUERIES = {
     "sessionize_batch": q_sessionize_batch,
     "left_join_order_counts": q_left_join_order_counts,
@@ -425,6 +438,7 @@ ANALYTICS3_QUERIES = {
     "bigram_docfreq": q_bigram_docfreq,
     "nation_segment_list": q_nation_segment_list,
     "salted_type_rollup": q_salted_type_rollup,
+    "token_positions": q_token_positions,
     "late_ship_priority": q_late_ship_priority,
     "returned_revenue_top": q_returned_revenue_top,
     "big_orders": q_big_orders,
@@ -598,6 +612,13 @@ ANALYTICS3_ORACLES = {
         FROM bg GROUP BY shingle
         ORDER BY doc_freq DESC, bigram
         LIMIT 20
+    """,
+    "token_positions": r"""
+        SELECT doc_id, CAST(t.i - 1 AS INT) AS pos, tok[t.i] AS word
+        FROM (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS tok
+              FROM documents) d,
+             range(1, 6) t(i)
+        WHERE t.i <= len(tok)
     """,
     "salted_type_rollup": """
         SELECT event_type, count(*) AS cnt,
