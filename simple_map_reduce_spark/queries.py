@@ -210,6 +210,7 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from .queries_analytics import ANALYTICS_ORACLES, ANALYTICS_QUERIES  # noqa: E402
 from .queries_analytics3 import ANALYTICS3_ORACLES, ANALYTICS3_QUERIES  # noqa: E402
+from .queries_analytics4 import ANALYTICS4_ORACLES, ANALYTICS4_QUERIES  # noqa: E402
 from .queries_ext import EXT_ORACLES, EXT_QUERIES  # noqa: E402
 
 QUERIES: dict[str, QueryFn] = {
@@ -228,6 +229,7 @@ QUERIES: dict[str, QueryFn] = {
     **EXT_QUERIES,
     **ANALYTICS_QUERIES,
     **ANALYTICS3_QUERIES,
+    **ANALYTICS4_QUERIES,
 }
 
 
@@ -332,4 +334,5 @@ ORACLES: dict[str, str] = {
     **EXT_ORACLES,
     **ANALYTICS_ORACLES,
     **ANALYTICS3_ORACLES,
+    **ANALYTICS4_ORACLES,
 }
