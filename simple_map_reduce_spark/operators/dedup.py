@@ -27,6 +27,7 @@ candidates that the verify step would reject at far higher cost).
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -151,14 +152,30 @@ def minhash_dup_pairs(
     Pipeline: signature → band buckets → bucket self-join (candidates) →
     exact Jaccard verification over shingle sets. Buckets larger than
     ``max_bucket`` are dropped (hot-bucket skew guard).
+
+    The shingle set and the filtered buckets are **persisted**
+    (MEMORY_AND_DISK): shingles feed three downstream branches (signature,
+    set sizes, intersection join) and buckets feed both sides of the
+    self-join — without a persist each branch re-tokenizes the corpus
+    from the scan. Materializing signatures/shingles once is the standard
+    production shape for LSH dedup at scale; MEMORY_AND_DISK spills
+    rather than OOMs when the shingle set exceeds executor memory.
     """
-    sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
+    sh = shingles(df, id_col, text_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    aggs = [
+        F.min(md5_hex(F.col("shingle"), seed=i)).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("id").agg(*aggs)
     buckets = lsh_band_buckets(sig, num_hashes, bands)
     if max_bucket:
         sizes = buckets.groupBy("band_idx", "band_hash").agg(F.count("*").alias("bsz"))
         buckets = buckets.join(
             sizes.filter(F.col("bsz") <= max_bucket), ["band_idx", "band_hash"]
         ).drop("bsz")
+    buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
     left = buckets.select(F.col("id").alias("id_a"), "band_idx", "band_hash")
     right = buckets.select(F.col("id").alias("id_b"), "band_idx", "band_hash")
     cand = (
@@ -167,7 +184,6 @@ def minhash_dup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    sh = shingles(df, id_col, text_col, shingle_n)
     return _verify_jaccard(cand, sh, threshold)
 
 
@@ -302,11 +318,16 @@ def ngram_jaccard_pairs(
     """All pairs with n-gram-set Jaccard ≥ threshold, via an
     inverted-index join (pairs must share ≥1 shingle). ``max_bucket``
     caps the posting-list length per shingle (hot-shingle skew guard)
-    — a shingle present in that many docs carries no dedup signal."""
+    — a shingle present in that many docs carries no dedup signal.
+
+    The (filtered) shingle set feeds three branches — per-doc sizes and
+    both sides of the inverted-index self-join — so it is persisted once
+    (MEMORY_AND_DISK) instead of re-tokenizing the corpus per branch."""
     sh = shingles(df, id_col, text_col, n)
     if max_bucket:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("df_cnt"))
         sh = sh.join(freq.filter(F.col("df_cnt") <= max_bucket), "shingle").drop("df_cnt")
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
