@@ -54,6 +54,23 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(ad, bd) / (norm(ad) * norm(bd))
 
 
+def _prep(
+    emb: DataFrame, id_col: str, vec_col: str, id_alias: str, vec_alias: str, n_alias: str
+) -> DataFrame:
+    """Corpus-side prep: spread across cores, cast the vector to double
+    and compute its norm ONCE per row (projected *below* the exchange, so
+    the cast array and norm ride the shuffle instead of being re-derived
+    per scored pair). Values are bit-identical to inline evaluation —
+    same left-to-right fold — just computed per row, not per pair."""
+    from ..sources.readers import ensure_parallelism
+
+    return ensure_parallelism(
+        emb.select(
+            F.col(id_col).alias(id_alias), _to_double(F.col(vec_col)).alias(vec_alias)
+        )
+    ).withColumn(n_alias, norm(F.col(vec_alias)))
+
+
 def cosine_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -66,14 +83,17 @@ def cosine_topk(
     Output: (query_id, neighbor_id, score, rank); score rounded to 6
     decimals, rank ties broken by neighbor_id — fully deterministic.
     """
-    queries = emb.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    queries = _prep(
+        emb.filter(F.col(id_col).isin(query_ids)), id_col, vec_col, "query_id", "qvec", "qn"
     )
-    cand = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    cand = _prep(emb, id_col, vec_col, "neighbor_id", "cvec", "cn")
     scored = (
         cand.crossJoin(F.broadcast(queries))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("score", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
+        .withColumn(
+            "score",
+            F.round(dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn")), 6),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return (
@@ -97,8 +117,8 @@ def cosine_neardup_pairs(
     (approximate, scale path); otherwise all pairs are scored (exact,
     oracle path — quadratic, for verification scale only).
     """
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    a = _prep(emb, id_col, vec_col, "id_a", "vec_a", "n_a")
+    b = _prep(emb, id_col, vec_col, "id_b", "vec_b", "n_b")
     if use_lsh:
         sig = rhp_signature(emb, id_col=id_col, vec_col=vec_col, planes=planes)
         cand = (
@@ -114,7 +134,12 @@ def cosine_neardup_pairs(
     else:
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     return (
-        pairs.withColumn("score", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
+        pairs.withColumn(
+            "score",
+            F.round(
+                dot(F.col("vec_a"), F.col("vec_b")) / (F.col("n_a") * F.col("n_b")), 6
+            ),
+        )
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
     )
@@ -140,14 +165,20 @@ def rhp_signature(
     """(id, bucket): random-hyperplane LSH signature packed into a BIGINT.
     Sign of ⟨v, plane_p⟩ sets bit p. Cosine-similar vectors agree on most
     bits, so equal buckets concentrate near-duplicates."""
-    vec = _to_double(F.col(vec_col))
+    from ..sources.readers import ensure_parallelism
+
+    # cast projected once below the (local-only) exchange; each plane's
+    # projection then folds over the materialised double array
+    prepped = ensure_parallelism(
+        emb.select(F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v"))
+    )
     bucket = None
     for p in range(planes):
         coeffs = F.array(*[F.lit(c) for c in _plane_coeffs(p, dims)])
-        proj = dot(vec, coeffs)
+        proj = dot(F.col("v"), coeffs)
         bit = F.when(proj >= 0, F.lit(2 ** p).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
         bucket = bit if bucket is None else bucket + bit
-    return emb.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
+    return prepped.select("id", bucket.alias("bucket"))
 
 
 def ivf_assign(
@@ -165,19 +196,20 @@ def ivf_assign(
     by max cosine. Assignment is one broadcast pass over the corpus.
     """
     w = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
-    centroids = (
-        emb.orderBy(id_col).limit(n_centroids)
-        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec"))
+    centroids = _prep(
+        emb.orderBy(id_col).limit(n_centroids), id_col, vec_col, "centroid_id", "cvec", "cn"
     )
     assignment = (
-        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        _prep(emb, id_col, vec_col, "id", "vec", "vn")
         .crossJoin(F.broadcast(centroids))
-        .withColumn("sim", cosine(F.col("vec"), F.col("cvec")))
+        .withColumn(
+            "sim", dot(F.col("vec"), F.col("cvec")) / (F.col("vn") * F.col("cn"))
+        )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("id", "centroid_id")
     )
-    return centroids, assignment
+    return centroids.select("centroid_id", "cvec", "cn"), assignment
 
 
 def cosine_topk_ivf(
@@ -194,13 +226,15 @@ def cosine_topk_ivf(
     n_centroids × nprobe instead of the full corpus; recall tested
     against the exact tier."""
     centroids, assignment = ivf_assign(emb, n_centroids, id_col, vec_col)
-    queries = emb.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    queries = _prep(
+        emb.filter(F.col(id_col).isin(query_ids)), id_col, vec_col, "query_id", "qvec", "qn"
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("centroid_id"))
     probes = (
         queries.crossJoin(F.broadcast(centroids))
-        .withColumn("csim", cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn(
+            "csim", dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn"))
+        )
         .withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= nprobe)
         .select("query_id", "centroid_id")
@@ -208,12 +242,15 @@ def cosine_topk_ivf(
     cand = probes.join(assignment, "centroid_id").select(
         "query_id", F.col("id").alias("neighbor_id")
     ).filter(F.col("neighbor_id") != F.col("query_id")).distinct()
-    q = emb.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
-    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    q = _prep(emb, id_col, vec_col, "query_id", "qvec", "qn")
+    c = _prep(emb, id_col, vec_col, "neighbor_id", "cvec", "cn")
     scored = (
         cand.join(F.broadcast(q), "query_id")
         .join(c, "neighbor_id")
-        .withColumn("score", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
+        .withColumn(
+            "score",
+            F.round(dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn")), 6),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return (
@@ -255,12 +292,15 @@ def cosine_topk_lsh(
         .filter(F.col("hd") <= max_band_hamming)
         .select("query_id", F.col("id").alias("neighbor_id"))
     )
-    q = emb.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
-    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    q = _prep(emb, id_col, vec_col, "query_id", "qvec", "qn")
+    c = _prep(emb, id_col, vec_col, "neighbor_id", "cvec", "cn")
     scored = (
         cand_ids.join(F.broadcast(q), "query_id")
         .join(c, "neighbor_id")
-        .withColumn("score", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
+        .withColumn(
+            "score",
+            F.round(dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn")), 6),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return (
