@@ -172,6 +172,21 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance self-join over distinct part names (lev ≤ 2) via
+    FastSS deletion-neighborhood blocking — complete candidate generation
+    with no cross join (see ``operators.fuzzy``). The name doubles as the
+    id so pair ordering is lexicographic and deterministic."""
+    from .operators.fuzzy import fuzzy_self_join
+
+    part = load_table(spark, sf_dir, "part")
+    names = part.select("p_name").distinct()
+    pairs = fuzzy_self_join(names, "p_name", "p_name", max_dist=2)
+    return pairs.select(
+        F.col("s_a").alias("name_a"), F.col("s_b").alias("name_b"), "dist"
+    )
+
+
 ANALYTICS4_QUERIES = {
     "cheapest_item_per_order": q_cheapest_item_per_order,
     "disjunctive_revenue": q_disjunctive_revenue,
@@ -179,6 +194,7 @@ ANALYTICS4_QUERIES = {
     "multi_distinct": q_multi_distinct,
     "segment_priority_grid": q_segment_priority_grid,
     "cohort_retention": q_cohort_retention,
+    "fuzzy_part_names": q_fuzzy_part_names,
 }
 
 ANALYTICS4_ORACLES = {
@@ -254,5 +270,12 @@ ANALYTICS4_ORACLES = {
             FROM orders
         )
         GROUP BY 1, 2
+    """,
+    "fuzzy_part_names": """
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        FROM (SELECT DISTINCT p_name FROM part) a
+        JOIN (SELECT DISTINCT p_name FROM part) b ON a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= 2
     """,
 }

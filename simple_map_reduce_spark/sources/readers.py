@@ -96,3 +96,11 @@ def read_csv(
     else:
         reader = reader.option("inferSchema", "true")
     return reader.csv(path)
+
+
+def read_format(spark: SparkSession, path: str, fmt: str = "parquet", **options) -> DataFrame:
+    """Format-parameterized scan: parquet / orc / json / csv / text.
+    Columnar formats (parquet, orc) get predicate pushdown + column
+    pruning from the file source; see ``sinks.write_format`` for the
+    writing side."""
+    return spark.read.options(**options).format(fmt).load(path)

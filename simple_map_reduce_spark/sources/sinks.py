@@ -51,3 +51,13 @@ def write_sorted_within_partitions(
     min/max statistics make range predicates on those columns skip whole
     row groups. No global sort — only a per-partition sort."""
     df.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
+
+
+def write_format(
+    df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite", **options
+) -> None:
+    """Format-parameterized sink: parquet / orc / json / csv — the
+    columnar formats keep predicate pushdown + column pruning; json/csv
+    are interchange sinks (the reference's universe was line-oriented
+    text only, ``server.rs:147-176``)."""
+    df.write.mode(mode).options(**options).format(fmt).save(path)

@@ -10,7 +10,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
+from simple_map_reduce_spark.sources.readers import read_format
 from simple_map_reduce_spark.sources.sinks import (
+    write_format,
     write_partitioned,
     write_sorted_within_partitions,
     write_table,
@@ -57,3 +59,28 @@ def test_roundtrip_and_sorted_write(spark, tmp_path):
         by_file.setdefault(r["f"], []).append(r["id"])
     # collect() preserves within-file read order for parquet scans
     assert all(v == sorted(v) for v in by_file.values())
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    df = spark.createDataFrame([(i, f"n{i}") for i in range(1000)], ["id", "name"])
+    path = str(tmp_path / "orc")
+    write_format(df, path, fmt="orc")
+    back = read_format(spark, path, fmt="orc").filter(F.col("id") < 10).select("id")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # ORC scan must receive both the pushed predicate and the pruned schema
+    assert "PushedFilters: [" in plan and "id" in plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "name" not in plan.split("ReadSchema:")[1].split("\n")[0]
+    assert back.count() == 10
+
+
+def test_json_csv_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x"), (2, "y")], ["id", "s"])
+    pj = str(tmp_path / "j")
+    write_format(df, pj, fmt="json")
+    assert sorted(
+        (r.id, r.s) for r in read_format(spark, pj, fmt="json").collect()
+    ) == [(1, "x"), (2, "y")]
+    pc = str(tmp_path / "c")
+    write_format(df, pc, fmt="csv", header="true")
+    got = read_format(spark, pc, fmt="csv", header="true", inferSchema="true")
+    assert sorted((r.id, r.s) for r in got.collect()) == [(1, "x"), (2, "y")]
