@@ -87,3 +87,54 @@ def filter_group_count_percent(
         pct,
         F.format_string(pct_format, F.col("cnt") * F.lit(100.0) / total).alias("pct_str"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Top-``k`` terms per document by tf·idf [EXT].
+
+    tf = term count within the document; idf = ln(N / df) with N = corpus
+    size and df = number of documents containing the term. Output:
+    (id, term, tf, score, rank).
+
+    Shuffle shape at scale: one groupBy (id, term) for tf (map-side
+    combined over the token explode), one groupBy (term) for df over the
+    already-aggregated tf rows, and a broadcast of the single-row N
+    aggregate. The per-doc top-k window partitions by document id —
+    bounded partitions, no global sort.
+
+    Determinism: ranking orders by the score ROUNDED to 6 decimals (with
+    a term tiebreak), so sub-ulp differences in ``ln`` between engines
+    can never reorder results.
+    """
+    tok = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+        .select(
+            "id",
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("t")), F.lit(TOKEN_RE), F.lit(0))
+            ).alias("term"),
+        )
+    )
+    tf = tok.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count("*").alias("df_cnt"))
+    n_docs = df.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df_cnt")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "term", "tf", "score", F.col("rank").cast("bigint").alias("rank"))
+    )

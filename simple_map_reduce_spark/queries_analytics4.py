@@ -187,6 +187,15 @@ def q_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf·idf terms per document (see
+    ``operators.aggregates.tfidf_top_terms`` for the shuffle shape)."""
+    from .operators.aggregates import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", "text", k=3).withColumnRenamed("id", "doc_id")
+
+
 ANALYTICS4_QUERIES = {
     "cheapest_item_per_order": q_cheapest_item_per_order,
     "disjunctive_revenue": q_disjunctive_revenue,
@@ -195,6 +204,7 @@ ANALYTICS4_QUERIES = {
     "segment_priority_grid": q_segment_priority_grid,
     "cohort_retention": q_cohort_retention,
     "fuzzy_part_names": q_fuzzy_part_names,
+    "tfidf_terms": q_tfidf_terms,
 }
 
 ANALYTICS4_ORACLES = {
@@ -277,5 +287,32 @@ ANALYTICS4_ORACLES = {
         FROM (SELECT DISTINCT p_name FROM part) a
         JOIN (SELECT DISTINCT p_name FROM part) b ON a.p_name < b.p_name
         WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+    "tfidf_terms": r"""
+        WITH tok AS (
+            SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+        ),
+        docfreq AS (
+            SELECT term, count(*) AS df_cnt FROM tf GROUP BY term
+        ),
+        n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT doc_id, term, tf, score, rank
+        FROM (
+            SELECT tf.doc_id, tf.term, tf.tf,
+                   round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / docfreq.df_cnt), 6)
+                       AS score,
+                   row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY round(tf.tf * ln(CAST(n.n_docs AS DOUBLE)
+                                                 / docfreq.df_cnt), 6) DESC,
+                                tf.term ASC
+                   ) AS rank
+            FROM tf JOIN docfreq USING (term) CROSS JOIN n
+        )
+        WHERE rank <= 3
     """,
 }

@@ -325,6 +325,45 @@ def q_streaming_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(counts, sink, tempfile.mkdtemp(), output_mode="complete")
 
 
+def q_streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join (streaming.events.interval_join_streams):
+    the click stream joined with the purchase stream — same user, click
+    within the hour after the purchase — emitting attribution pairs.
+    Watermarks on both sides bound the join state; inner-join emission is
+    immediate, so the AvailableNow drain equals the batch join, which is
+    exactly what the oracle computes."""
+    import tempfile
+    import uuid
+
+    from .streaming.events import interval_join_streams, run_available_now
+
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("p_end"),
+        )
+    )
+    joined = interval_join_streams(
+        clicks,
+        purchases,
+        key_cond=F.col("c_user") == F.col("p_user"),
+        left_time="c_ts",
+        right_start="p_ts",
+        right_end="p_end",
+    ).select("purchase_id", F.col("c_ts").alias("click_ts"))
+    sink = f"stream_attr_{uuid.uuid4().hex[:8]}"
+    return run_available_now(joined, sink, tempfile.mkdtemp())
+
+
 def q_maple_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wordcount expressed through the generic maple/juice surface; its
     oracle is plain SQL — proving the contractual (non-relational) path
@@ -598,6 +637,7 @@ EXT_QUERIES = {
     "image_features": q_image_features,
     "frame_sample": q_frame_sample,
     "streaming_enriched": q_streaming_enriched,
+    "streaming_click_attribution": q_streaming_click_attribution,
 }
 
 EXT_ORACLES = {
@@ -692,6 +732,13 @@ EXT_ORACLES = {
         SELECT c_mktsegment, count(*) AS cnt
         FROM events JOIN customer ON user_id = c_custkey
         GROUP BY c_mktsegment
+    """,
+    "streaming_click_attribution": """
+        SELECT p.event_id AS purchase_id, c.ts AS click_ts
+        FROM events p JOIN events c
+          ON p.event_type = 'purchase' AND c.event_type = 'click'
+         AND p.user_id = c.user_id
+         AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
     """,
     # md5-derived fake decode recomputed in SQL (md5(text) hashes the
     # same utf8 bytes the Python fake hashes)

@@ -116,6 +116,37 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key_cond,
+    left_time: str,
+    right_start: str,
+    right_end: str,
+    left_watermark: str = "2 hours",
+    right_watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with a time-interval condition — the
+    canonical two-stream join: ``left.{left_time}`` must fall inside
+    ``[right.{right_start}, right.{right_end}]`` and ``key_cond`` must
+    hold.
+
+    Both sides are watermarked; with the interval bound, Spark derives a
+    state-retention horizon per side and evicts buffered rows past it —
+    state is O(watermark-window of both streams), not O(history). Inner
+    join results are emitted as soon as both sides arrive (no watermark
+    wait), so an AvailableNow drain yields the exact batch-join answer.
+    """
+    l = left.withWatermark(left_time, left_watermark)
+    r = right.withWatermark(right_start, right_watermark)
+    cond = (
+        key_cond
+        & (F.col(left_time) >= F.col(right_start))
+        & (F.col(left_time) <= F.col(right_end))
+    )
+    return l.join(r, cond)
+
+
 def run_available_now(
     stream_df: DataFrame, name: str, checkpoint_dir: str, output_mode: str = "append"
 ) -> DataFrame:
