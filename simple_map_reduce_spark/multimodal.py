@@ -95,7 +95,11 @@ def decode_image_features(media: DataFrame, strict: bool = False) -> DataFrame:
 
 
 def decode_audio_features(media: DataFrame, strict: bool = False) -> DataFrame:
-    """Audio decode stub (same pattern; real impl would use soundfile/ffmpeg)."""
+    """Audio decode stub (same pattern; real impl would use soundfile/
+    ffmpeg). The fake is md5-derived — like ``_fake_dims`` — so the
+    DuckDB oracle recomputes identical values and the whole Arrow path
+    stays cross-engine checkable; ``rms`` is an exact two-decimal-digit
+    ratio (h[1]/100 rounded), immune to float-formatting drift."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -106,9 +110,9 @@ def decode_audio_features(media: DataFrame, strict: bool = False) -> DataFrame:
             rows = []
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
                 payload = bytes(content)
-                h = hashlib.sha1(payload + b"#a").digest()
+                h = hashlib.md5(payload + b"#a").digest()
                 rows.append(
-                    (doc_id, 8000 * (1 + h[0] % 6), len(payload) * 100, h[1] / 255.0)
+                    (doc_id, 8000 * (1 + h[0] % 6), len(payload) * 100, (h[1] % 100) / 100.0)
                 )
             yield pd.DataFrame(
                 rows, columns=["doc_id", "sample_rate", "n_samples", "rms"]

@@ -209,6 +209,17 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_features(media)
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio decode path through ``mapInPandas`` (md5-derived
+    deterministic fake; real impl = soundfile/ffmpeg in the same body):
+    binary payloads → (sample_rate, n_samples, rms)."""
+    from .multimodal import decode_audio_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_binary(docs, "doc_id", "text", "audio/fake")
+    return decode_audio_features(media)
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal UDTF shape: 1..3 sampled frames per payload (0..n rows
     per input row through ``mapInPandas``), frame = leading 8 payload
@@ -635,6 +646,7 @@ EXT_QUERIES = {
     "vocab_sketch": q_vocab_sketch,
     "value_quantiles_sketch": q_value_quantiles_sketch,
     "image_features": q_image_features,
+    "audio_features": q_audio_features,
     "frame_sample": q_frame_sample,
     "streaming_enriched": q_streaming_enriched,
     "streaming_click_attribution": q_streaming_click_attribution,
@@ -755,6 +767,15 @@ EXT_ORACLES = {
                 CAST(('0x' || substr(md5(text || '#f'), 5, 2)) AS INT) / 255.0,
                 CAST(('0x' || substr(md5(text || '#f'), 7, 2)) AS INT) / 255.0]
                    AS feature
+        FROM documents
+    """,
+    "audio_features": """
+        SELECT doc_id,
+               CAST(8000 * (1 + CAST(('0x' || substr(md5(text || '#a'), 1, 2)) AS INT) % 6)
+                    AS INT) AS sample_rate,
+               CAST(octet_length(encode(text)) * 100 AS BIGINT) AS n_samples,
+               CAST(('0x' || substr(md5(text || '#a'), 3, 2)) AS INT) % 100 / 100.0
+                   AS rms
         FROM documents
     """,
     # duckdb can't byte-slice BLOBs; the corpus is pure ascii (verified:
