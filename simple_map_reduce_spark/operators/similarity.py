@@ -168,17 +168,27 @@ def rhp_signature(
     from ..sources.readers import ensure_parallelism
 
     # cast projected once below the (local-only) exchange; each plane's
-    # projection then folds over the materialised double array
+    # projection then folds over the materialised double array.
+    # The whole bucket expression is ONE parsed SQL string: building it as
+    # a Column tree costs ~planes×dims py4j round trips (~1 s of driver
+    # time); the parsed plan is identical.
     prepped = ensure_parallelism(
         emb.select(F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v"))
     )
-    bucket = None
+    terms = []
     for p in range(planes):
-        coeffs = F.array(*[F.lit(c) for c in _plane_coeffs(p, dims)])
-        proj = dot(F.col("v"), coeffs)
-        bit = F.when(proj >= 0, F.lit(2 ** p).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-        bucket = bit if bucket is None else bucket + bit
-    return prepped.select("id", bucket.alias("bucket"))
+        arr = ",".join(
+            "1.0D" if c > 0 else "-1.0D" for c in _plane_coeffs(p, dims)
+        )
+        proj = (
+            f"aggregate(zip_with(v, array({arr}), (x, y) -> x * y), "
+            f"0.0D, (acc, w) -> acc + w)"
+        )
+        terms.append(
+            f"(CASE WHEN ({proj}) >= 0 THEN CAST({2 ** p} AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END)"
+        )
+    return prepped.select("id", F.expr(" + ".join(terms)).alias("bucket"))
 
 
 def ivf_assign(
