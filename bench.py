@@ -58,6 +58,13 @@ BENCH_QUERIES = [
     "left_join_order_counts",
     "qty_outliers",
     "customer_order_seq",
+    "simhash_dup_pairs",
+    "embedding_neardup",
+    "tfidf_terms",
+    "fuzzy_part_names",
+    "audio_features",
+    "cheapest_item_per_order",
+    "cohort_retention",
 ]
 
 
