@@ -211,6 +211,7 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .queries_analytics import ANALYTICS_ORACLES, ANALYTICS_QUERIES  # noqa: E402
 from .queries_analytics3 import ANALYTICS3_ORACLES, ANALYTICS3_QUERIES  # noqa: E402
 from .queries_analytics4 import ANALYTICS4_ORACLES, ANALYTICS4_QUERIES  # noqa: E402
+from .queries_analytics5 import ANALYTICS5_ORACLES, ANALYTICS5_QUERIES  # noqa: E402
 from .queries_ext import EXT_ORACLES, EXT_QUERIES  # noqa: E402
 
 QUERIES: dict[str, QueryFn] = {
@@ -230,6 +231,7 @@ QUERIES: dict[str, QueryFn] = {
     **ANALYTICS_QUERIES,
     **ANALYTICS3_QUERIES,
     **ANALYTICS4_QUERIES,
+    **ANALYTICS5_QUERIES,
 }
 
 
@@ -335,4 +337,5 @@ ORACLES: dict[str, str] = {
     **ANALYTICS_ORACLES,
     **ANALYTICS3_ORACLES,
     **ANALYTICS4_ORACLES,
+    **ANALYTICS5_ORACLES,
 }

@@ -1,0 +1,175 @@
+"""Analytics batch 5: the window-function shapes not yet in the registry —
+lag-based month-over-month growth, moving-average frames (ROWS BETWEEN),
+NTILE bucketing, dense_rank (ties kept), and exact interpolated medians
+per group.
+
+Conventions follow ``queries.py``: identical aliases both sides, exact
+decimal arithmetic for money before one final double cast, ranking always
+over ROUNDED values with deterministic tiebreaks.
+
+Scale notes inline; the common rule: every window partitions by a real,
+bounded key (month, type, customer) and frames are cumulative or fixed-
+width — state per partition is O(1) or O(frame), never O(history).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .sources.readers import load_table
+
+_D14 = "decimal(14,2)"
+
+
+def q_mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: monthly totals (one groupBy over
+    orders), then ``lag`` over the tiny aggregated series. The window runs
+    over #months rows — its single-partition spec is not a scale hazard
+    because it executes strictly AFTER aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(F.trunc("o_orderdate", "month").alias("month"))
+        .agg(F.sum(F.col("o_totalprice").cast(_D14)).alias("rev_dec"))
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("rev_dec").over(w)
+    return monthly.select(
+        "month",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        F.when(prev.isNotNull(), ((F.col("rev_dec") - prev) * 100.0 / prev))
+        .cast("double")
+        .alias("growth_pct"),
+    ).withColumn("growth_pct", F.round("growth_pct", 6))
+
+
+def q_moving_avg_3m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-month trailing moving average per order priority: a fixed-width
+    ROWS frame over the (priority, month) aggregate — frame state is 3
+    rows per partition, partitions keyed by priority."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.trunc("o_orderdate", "month").alias("month"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+    )
+    w = Window.partitionBy("priority").orderBy("month").rowsBetween(-2, 0)
+    return monthly.select(
+        "priority",
+        "month",
+        "n_orders",
+        F.round(F.avg(F.col("n_orders")).over(w), 6).alias("ma3"),
+    )
+
+
+def q_customer_spend_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend quartiles via NTILE(4): one groupBy on custkey, then
+    the quartile window over per-customer totals, tie-broken by custkey so
+    bucket assignment is reproducible. The window's single partition runs
+    over |customers-with-orders| aggregated rows; for a truly unbounded
+    population the same query runs per-nation (add a partition key)."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.col("o_totalprice").cast(_D14)).alias("spend_dec")
+    )
+    w = Window.orderBy(F.col("spend_dec").desc(), F.col("custkey").asc())
+    return spend.select(
+        "custkey",
+        F.col("spend_dec").cast("double").alias("total_spend"),
+        F.ntile(4).over(w).cast("bigint").alias("spend_quartile"),
+    )
+
+
+def q_pricey_parts_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top price tiers per part type with TIES KEPT: ``dense_rank`` over
+    retail price per type — every part in the top-3 distinct prices
+    qualifies (vs. row_number's arbitrary cut). One shuffle on p_type."""
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_type").orderBy(F.col("p_retailprice").desc())
+    return (
+        part.withColumn("price_rank", F.dense_rank().over(w).cast("bigint"))
+        .filter(F.col("price_rank") <= 3)
+        .select("p_type", "p_partkey", "p_retailprice", "price_rank")
+    )
+
+
+def q_qty_median_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median (and quartile spread) of quantity per
+    return flag: ``percentile`` is Spark's exact interpolated quantile —
+    it shuffles the group's values once; for the approximate tier at
+    extreme cardinality see ``value_quantiles_sketch``."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("q1"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("q3"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+ANALYTICS5_QUERIES = {
+    "mom_revenue_growth": q_mom_revenue_growth,
+    "moving_avg_3m": q_moving_avg_3m,
+    "customer_spend_ntile": q_customer_spend_ntile,
+    "pricey_parts_dense": q_pricey_parts_dense,
+    "qty_median_by_flag": q_qty_median_by_flag,
+}
+
+ANALYTICS5_ORACLES = {
+    "mom_revenue_growth": """
+        SELECT month,
+               CAST(rev_dec AS DOUBLE) AS revenue,
+               round(CAST((rev_dec - lag(rev_dec) OVER (ORDER BY month)) * 100.0
+                          / lag(rev_dec) OVER (ORDER BY month) AS DOUBLE), 6)
+                   AS growth_pct
+        FROM (
+            SELECT date_trunc('month', o_orderdate) AS month,
+                   sum(CAST(o_totalprice AS DECIMAL(14,2))) AS rev_dec
+            FROM orders GROUP BY 1
+        )
+    """,
+    "moving_avg_3m": """
+        SELECT priority, month, n_orders,
+               round(avg(n_orders) OVER (
+                   PARTITION BY priority ORDER BY month
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS ma3
+        FROM (
+            SELECT o_orderpriority AS priority,
+                   date_trunc('month', o_orderdate) AS month,
+                   count(*) AS n_orders
+            FROM orders GROUP BY 1, 2
+        )
+    """,
+    "customer_spend_ntile": """
+        SELECT custkey,
+               CAST(spend_dec AS DOUBLE) AS total_spend,
+               CAST(ntile(4) OVER (ORDER BY spend_dec DESC, custkey ASC) AS BIGINT)
+                   AS spend_quartile
+        FROM (
+            SELECT o_custkey AS custkey,
+                   sum(CAST(o_totalprice AS DECIMAL(14,2))) AS spend_dec
+            FROM orders GROUP BY 1
+        )
+    """,
+    "pricey_parts_dense": """
+        SELECT p_type, p_partkey, p_retailprice, price_rank
+        FROM (
+            SELECT p_type, p_partkey, p_retailprice,
+                   CAST(dense_rank() OVER (
+                       PARTITION BY p_type ORDER BY p_retailprice DESC
+                   ) AS BIGINT) AS price_rank
+            FROM part
+        )
+        WHERE price_rank <= 3
+    """,
+    "qty_median_by_flag": """
+        SELECT l_returnflag,
+               round(quantile_cont(l_quantity, 0.25), 6) AS q1,
+               round(quantile_cont(l_quantity, 0.5), 6) AS median,
+               round(quantile_cont(l_quantity, 0.75), 6) AS q3,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    """,
+}
