@@ -81,3 +81,48 @@ def test_cube_expands_without_extra_shuffles(spark):
     plan = _plan(spark, "sales_cube")
     assert "Expand" in plan
     assert plan.count("HashAggregate") >= 2  # partial + final over the expand
+
+
+def test_fuzzy_join_is_variant_hash_join_not_cartesian(spark):
+    """FastSS blocking must plan as an equi-join on the variant string —
+    never a cartesian product over the name sets."""
+    plan = _plan(spark, "fuzzy_part_names")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
+
+
+def test_tfidf_partial_aggregation_and_broadcast_n(spark):
+    """tf groupBy must map-side combine over the token explode; the
+    single-row corpus count joins in as a broadcast (never a shuffle)."""
+    plan = _plan(spark, "tfidf_terms")
+    assert plan.count("HashAggregate") >= 2
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_cheapest_item_single_shuffle_window(spark):
+    """Greatest-n-per-group: exactly one hash exchange on the group key;
+    the row_number window sorts within partitions (no global sort)."""
+    plan = _plan(spark, "cheapest_item_per_order")
+    assert plan.count("Exchange hashpartitioning(l_orderkey") == 1
+    # Spark 4 prunes to the per-group top row BEFORE the shuffle (partial
+    # WindowGroupLimit) — shuffle volume is O(groups), not O(rows)
+    assert "WindowGroupLimit" in plan
+    assert "Exchange rangepartitioning" not in plan  # would mean a global sort
+
+
+def test_disjunctive_revenue_broadcasts_part(spark):
+    """q19 shape: the part side must broadcast — lineitem is never
+    shuffled for this join."""
+    plan = _plan(spark, "disjunctive_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning(l_partkey" not in plan
+
+
+def test_cosine_topk_corpus_never_shuffles(spark):
+    """Exact similarity tier: queries broadcast; the corpus side must not
+    hash-shuffle (only the tiny post-score window repartitions)."""
+    plan = _plan(spark, "similarity_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # no exchange keyed on the corpus id column
+    assert "Exchange hashpartitioning(neighbor_id" not in plan.split("Window")[0]
