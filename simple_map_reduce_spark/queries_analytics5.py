@@ -109,12 +109,43 @@ def q_qty_median_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_monthly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill: a dense month spine (``sequence`` over the
+    observed min..max) crossed with the priority domain, left-joined to
+    the monthly counts — months with no orders appear with 0.
+
+    Scale: the spine derives from a single-row min/max aggregate (tiny,
+    broadcast), the domain from a distinct over an enum-cardinality
+    column; the only full-data shuffle is the monthly groupBy. This is
+    the hypertable-style rollup surface: downstream window math (lag,
+    moving averages) is only correct over gap-free series."""
+    orders = load_table(spark, sf_dir, "orders")
+    month = F.trunc("o_orderdate", "month")
+    monthly = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"), month.alias("month")
+    ).agg(F.count("*").alias("n_orders"))
+    bounds = orders.agg(
+        F.min(month).alias("mn"), F.max(month).alias("mx")
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(mn, mx, interval 1 month)")).alias("month")
+    )
+    prios = orders.select(F.col("o_orderpriority").alias("priority")).distinct()
+    grid = spine.crossJoin(F.broadcast(prios))
+    return grid.join(F.broadcast(monthly), ["priority", "month"], "left").select(
+        "priority",
+        "month",
+        F.coalesce(F.col("n_orders"), F.lit(0)).cast("bigint").alias("n_orders"),
+    )
+
+
 ANALYTICS5_QUERIES = {
     "mom_revenue_growth": q_mom_revenue_growth,
     "moving_avg_3m": q_moving_avg_3m,
     "customer_spend_ntile": q_customer_spend_ntile,
     "pricey_parts_dense": q_pricey_parts_dense,
     "qty_median_by_flag": q_qty_median_by_flag,
+    "monthly_gapfill": q_monthly_gapfill,
 }
 
 ANALYTICS5_ORACLES = {
@@ -171,5 +202,27 @@ ANALYTICS5_ORACLES = {
                round(quantile_cont(l_quantity, 0.75), 6) AS q3,
                count(*) AS n_rows
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "monthly_gapfill": """
+        WITH monthly AS (
+            SELECT o_orderpriority AS priority,
+                   date_trunc('month', o_orderdate) AS month,
+                   count(*) AS n_orders
+            FROM orders GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT min(date_trunc('month', o_orderdate)) AS mn,
+                   max(date_trunc('month', o_orderdate)) AS mx
+            FROM orders
+        ),
+        spine AS (
+            SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 MONTH)) AS DATE)
+                       AS month
+            FROM bounds
+        ),
+        prios AS (SELECT DISTINCT o_orderpriority AS priority FROM orders)
+        SELECT priority, month, coalesce(n_orders, 0) AS n_orders
+        FROM spine CROSS JOIN prios
+        LEFT JOIN monthly USING (priority, month)
     """,
 }
