@@ -55,6 +55,29 @@ def test_two_table_join(spark):
     assert got == {(1, 10, 1), (2, 11, 1)}
 
 
+def test_randomized_completeness(spark):
+    """FastSS blocking must find EVERY lev≤2 pair in a seeded random
+    corpus (no recall loss — the property that justifies calling the
+    blocking 'complete')."""
+    import random
+
+    rng = random.Random(42)
+    alphabet = "abc"  # small alphabet → dense near-pairs
+    words = list({"".join(rng.choice(alphabet) for _ in range(rng.randint(0, 6)))
+                  for _ in range(120)})
+    df = spark.createDataFrame([(w, w) for w in words], ["id", "s"])
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in fuzzy_self_join(df, "id", "s", max_dist=2).collect()
+    }
+    want = {
+        (min(a, b), max(a, b), _lev(a, b))
+        for a, b in itertools.combinations(words, 2)
+        if _lev(a, b) <= 2
+    }
+    assert got == want and len(want) > 50
+
+
 def test_dist_zero_pairs_counted(spark):
     # identical strings under different ids are distance-0 pairs
     df = spark.createDataFrame([(1, "same"), (2, "same")], ["id", "s"])
