@@ -55,20 +55,31 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def _prep(
-    emb: DataFrame, id_col: str, vec_col: str, id_alias: str, vec_alias: str, n_alias: str
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    id_alias: str,
+    vec_alias: str,
+    n_alias: str,
+    spread: bool = True,
 ) -> DataFrame:
     """Corpus-side prep: spread across cores, cast the vector to double
     and compute its norm ONCE per row (projected *below* the exchange, so
     the cast array and norm ride the shuffle instead of being re-derived
     per scored pair). Values are bit-identical to inline evaluation —
-    same left-to-right fold — just computed per row, not per pair."""
-    from ..sources.readers import ensure_parallelism
+    same left-to-right fold — just computed per row, not per pair.
 
-    return ensure_parallelism(
-        emb.select(
-            F.col(id_col).alias(id_alias), _to_double(F.col(vec_col)).alias(vec_alias)
-        )
-    ).withColumn(n_alias, norm(F.col(vec_alias)))
+    ``spread=False`` for sides known tiny (filtered query sets, centroid
+    lists): skips the under-partitioning probe, which costs a driver-side
+    plan→RDD conversion per call."""
+    sel = emb.select(
+        F.col(id_col).alias(id_alias), _to_double(F.col(vec_col)).alias(vec_alias)
+    )
+    if spread:
+        from ..sources.readers import ensure_parallelism
+
+        sel = ensure_parallelism(sel)
+    return sel.withColumn(n_alias, norm(F.col(vec_alias)))
 
 
 def cosine_topk(
@@ -84,7 +95,8 @@ def cosine_topk(
     decimals, rank ties broken by neighbor_id — fully deterministic.
     """
     queries = _prep(
-        emb.filter(F.col(id_col).isin(query_ids)), id_col, vec_col, "query_id", "qvec", "qn"
+        emb.filter(F.col(id_col).isin(query_ids)), id_col, vec_col,
+        "query_id", "qvec", "qn", spread=False,
     )
     cand = _prep(emb, id_col, vec_col, "neighbor_id", "cvec", "cn")
     scored = (
@@ -207,7 +219,8 @@ def ivf_assign(
     """
     w = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
     centroids = _prep(
-        emb.orderBy(id_col).limit(n_centroids), id_col, vec_col, "centroid_id", "cvec", "cn"
+        emb.orderBy(id_col).limit(n_centroids), id_col, vec_col,
+        "centroid_id", "cvec", "cn", spread=False,
     )
     assignment = (
         _prep(emb, id_col, vec_col, "id", "vec", "vn")
@@ -237,7 +250,8 @@ def cosine_topk_ivf(
     against the exact tier."""
     centroids, assignment = ivf_assign(emb, n_centroids, id_col, vec_col)
     queries = _prep(
-        emb.filter(F.col(id_col).isin(query_ids)), id_col, vec_col, "query_id", "qvec", "qn"
+        emb.filter(F.col(id_col).isin(query_ids)), id_col, vec_col,
+        "query_id", "qvec", "qn", spread=False,
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("centroid_id"))
     probes = (
@@ -252,7 +266,7 @@ def cosine_topk_ivf(
     cand = probes.join(assignment, "centroid_id").select(
         "query_id", F.col("id").alias("neighbor_id")
     ).filter(F.col("neighbor_id") != F.col("query_id")).distinct()
-    q = _prep(emb, id_col, vec_col, "query_id", "qvec", "qn")
+    q = _prep(emb, id_col, vec_col, "query_id", "qvec", "qn", spread=False)
     c = _prep(emb, id_col, vec_col, "neighbor_id", "cvec", "cn")
     scored = (
         cand.join(F.broadcast(q), "query_id")
@@ -302,7 +316,7 @@ def cosine_topk_lsh(
         .filter(F.col("hd") <= max_band_hamming)
         .select("query_id", F.col("id").alias("neighbor_id"))
     )
-    q = _prep(emb, id_col, vec_col, "query_id", "qvec", "qn")
+    q = _prep(emb, id_col, vec_col, "query_id", "qvec", "qn", spread=False)
     c = _prep(emb, id_col, vec_col, "neighbor_id", "cvec", "cn")
     scored = (
         cand_ids.join(F.broadcast(q), "query_id")
