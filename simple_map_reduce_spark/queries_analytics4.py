@@ -85,22 +85,23 @@ def q_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     least one order ever — a plain no-orders anti-join is vacuously empty.
 
     The scalar subquery aggregates to a single row (exact decimal mean,
-    then one double), which Spark broadcasts into the filter; the date
-    filter prunes the orders side *before* the anti-join shuffle, so the
-    shuffle carries only the recent slice. No correlated re-execution.
+    then one double) that joins back as a broadcast cross join — fully
+    lazy, one DAG, no driver-side ``first()`` round trip; the date filter
+    prunes the orders side *before* the anti-join shuffle, so the shuffle
+    carries only the recent slice. No correlated re-execution.
     """
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    avg_bal = (
-        cust.filter(F.col("c_acctbal") > 0)
-        .agg(
-            (
-                F.sum(F.col("c_acctbal").cast(_D14)) / F.count("*")
-            ).cast("double").alias("avg_bal")
-        )
-        .first()["avg_bal"]
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(F.col("c_acctbal").cast(_D14)) / F.count("*"))
+        .cast("double")
+        .alias("avg_bal")
     )
-    rich = cust.filter(F.col("c_acctbal") > F.lit(avg_bal))
+    rich = (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .drop("avg_bal")
+    )
     recent = orders.filter(F.col("o_orderdate") >= F.lit("2000-01-01"))
     inactive = rich.join(
         recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
