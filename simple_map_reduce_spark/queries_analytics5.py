@@ -139,6 +139,24 @@ def q_monthly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted JOIN (operators/skew.py::salted_broadcast_left):
+    the orders fact salted over 16 partitions, the customer dim replicated
+    once per salt, joined on (custkey, salt) — the manual hot-key defence
+    when AQE's runtime skew split isn't available (e.g. a non-AQE engine
+    or a streaming micro-batch). The oracle is the PLAIN join: salting
+    must be invisible in the result."""
+    from .operators.skew import salted_broadcast_left
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_broadcast_left(orders, cust, "o_custkey", "c_custkey")
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(_D14)).cast("double").alias("total_value"),
+    )
+
+
 ANALYTICS5_QUERIES = {
     "mom_revenue_growth": q_mom_revenue_growth,
     "moving_avg_3m": q_moving_avg_3m,
@@ -146,6 +164,7 @@ ANALYTICS5_QUERIES = {
     "pricey_parts_dense": q_pricey_parts_dense,
     "qty_median_by_flag": q_qty_median_by_flag,
     "monthly_gapfill": q_monthly_gapfill,
+    "salted_join_segments": q_salted_join_segments,
 }
 
 ANALYTICS5_ORACLES = {
@@ -224,5 +243,13 @@ ANALYTICS5_ORACLES = {
         SELECT priority, month, coalesce(n_orders, 0) AS n_orders
         FROM spine CROSS JOIN prios
         LEFT JOIN monthly USING (priority, month)
+    """,
+    "salted_join_segments": """
+        SELECT c_mktsegment AS segment,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                   AS total_value
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
     """,
 }
