@@ -272,7 +272,10 @@ def simhash_dup_pairs(
     it's a bucket join, never |docs|².
     """
     assert max_hamming < bands, "pigeonhole completeness needs max_hamming < bands"
-    sig = simhash(df, id_col, text_col, bits)
+    # the signature feeds both sides of the band self-join — persist so
+    # the tokenize+vote pipeline runs once, not twice (standard
+    # materialize-signatures shape; MEMORY_AND_DISK spills, never OOMs)
+    sig = simhash(df, id_col, text_col, bits).persist(StorageLevel.MEMORY_AND_DISK)
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
     pieces = [

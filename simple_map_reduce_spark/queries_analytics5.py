@@ -157,6 +157,46 @@ def q_salted_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_priority_trailing_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: per order priority, the count of orders in
+    the trailing 7 *days* (not 7 rows) at each distinct order date.
+
+    Spark's rangeBetween is numeric, so the frame orders by epoch days —
+    value-identical to DuckDB's ``RANGE BETWEEN INTERVAL 6 DAYS
+    PRECEDING``. Runs over the (priority, date) daily aggregate, so the
+    window input is bounded by the calendar, not the fact table."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(F.count("*").alias("n_day"))
+    w = (
+        Window.partitionBy("priority")
+        .orderBy(F.unix_date(F.col("day")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "priority",
+        "day",
+        "n_day",
+        F.sum("n_day").over(w).cast("bigint").alias("n_trailing_7d"),
+    )
+
+
+def q_part_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long): each part's numeric columns melted into
+    (metric, value) rows via ``stack`` — the inverse of the pivot surface
+    (``events_pivot``). Map-side only: no shuffle, output = 2 rows/part."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.expr(
+            "stack(2, 'size', CAST(p_size AS DOUBLE), "
+            "'retailprice', CAST(p_retailprice AS DOUBLE)) AS (metric, value)"
+        ),
+    )
+
+
 ANALYTICS5_QUERIES = {
     "mom_revenue_growth": q_mom_revenue_growth,
     "moving_avg_3m": q_moving_avg_3m,
@@ -165,6 +205,8 @@ ANALYTICS5_QUERIES = {
     "qty_median_by_flag": q_qty_median_by_flag,
     "monthly_gapfill": q_monthly_gapfill,
     "salted_join_segments": q_salted_join_segments,
+    "priority_trailing_week": q_priority_trailing_week,
+    "part_metrics_unpivot": q_part_metrics_unpivot,
 }
 
 ANALYTICS5_ORACLES = {
@@ -251,5 +293,26 @@ ANALYTICS5_ORACLES = {
                    AS total_value
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
+    """,
+    "priority_trailing_week": """
+        SELECT priority, day, n_day,
+               CAST(sum(n_day) OVER (
+                   PARTITION BY priority ORDER BY day
+                   RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS n_trailing_7d
+        FROM (
+            SELECT o_orderpriority AS priority,
+                   CAST(o_orderdate AS DATE) AS day,
+                   count(*) AS n_day
+            FROM orders GROUP BY 1, 2
+        )
+    """,
+    "part_metrics_unpivot": """
+        SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
+        FROM part
+        UNION ALL
+        SELECT p_partkey, 'retailprice' AS metric,
+               CAST(p_retailprice AS DOUBLE) AS value
+        FROM part
     """,
 }
