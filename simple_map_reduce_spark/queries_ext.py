@@ -120,6 +120,25 @@ def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf(emb, SIM_QUERY_IDS, k=SIM_K)
 
 
+def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RHP-LSH ANN tier (the other scale path besides IVF): candidates
+    from signature hamming balls, exact rescoring on candidates only.
+    Registered WITHOUT an oracle (rows-only): approximate by design; its
+    quality gate is the recall test against the exact tier."""
+    from .operators.similarity import cosine_topk_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_lsh(emb, SIM_QUERY_IDS, k=SIM_K)
+
+
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup through RHP-LSH candidate buckets (the scale
+    path twin of ``embedding_neardup``). Rows-only check; recall-gated in
+    tests against the exact pair set."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(emb, threshold=0.35, use_lsh=True)
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three token-count estimators per document: whitespace, word-regex,
     BPE-ish — the standard corpus-costing triple."""
@@ -633,6 +652,8 @@ EXT_QUERIES = {
     "jaccard_pairs": q_jaccard_pairs,
     "similarity_topk": q_similarity_topk,
     "similarity_topk_ivf": q_similarity_topk_ivf,
+    "similarity_topk_lsh": q_similarity_topk_lsh,
+    "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "embedding_neardup": q_embedding_neardup,
     "token_counts": q_token_counts,
     "text_stats": q_text_stats,

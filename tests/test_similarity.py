@@ -49,6 +49,26 @@ def test_neardup_pairs(spark):
     assert (0, 3) not in got
 
 
+def test_neardup_lsh_is_subset_of_exact(spark):
+    """The LSH near-dup tier may miss pairs (recall < 1) but must never
+    invent one: exact rescoring on bucket candidates ⇒ every emitted pair
+    is also in the exact tier's output, with the identical score."""
+    from simple_map_reduce_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in cosine_neardup_pairs(emb, threshold=0.35).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in cosine_neardup_pairs(emb, threshold=0.35, use_lsh=True).collect()
+    }
+    assert lsh and set(lsh) <= set(exact)
+    assert all(exact[k] == v for k, v in lsh.items())
+
+
 def test_rhp_buckets_similar_vectors_collide(spark):
     sig = {r["id"]: r["bucket"] for r in rhp_signature(_emb(spark), planes=12, dims=4).collect()}
     ham = lambda a, b: bin(sig[a] ^ sig[b]).count("1")
