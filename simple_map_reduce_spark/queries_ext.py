@@ -355,6 +355,56 @@ def q_streaming_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(counts, sink, tempfile.mkdtemp(), output_mode="complete")
 
 
+def q_maple_filter_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship demo (Sdemo1: filter → per-group count →
+    percent-of-total) run through the CONTRACTUAL maple/juice surface as
+    a TWO-ROUND MapReduce DAG — round 1 computes per-status counts
+    (map-side combined like ``Sdemo1map.py:22-25``), round 2 folds every
+    partial under one key so the percent denominator is GLOBAL (the
+    reference's per-reducer-percent bug, SURVEY.md §2.4 A3, fixed inside
+    the same executor model). Oracle = the relational filter_group_pct
+    SQL."""
+
+    def filt_map(lines):
+        counts: dict[str, int] = {}
+        for line in lines:
+            parts = line.split(",")
+            if len(parts) >= 2 and parts[1] == "1-URGENT":
+                counts[parts[0]] = counts.get(parts[0], 0) + 1
+        for status, c in counts.items():
+            yield (status, str(c))
+
+    def sum_reduce(key, values):
+        yield (key, str(sum(int(v) for v in values)))
+
+    def all_map(lines):
+        for line in lines:
+            status, cnt = line.split(",")
+            yield ("all", f"{status}:{cnt}")
+
+    def pct_reduce(key, values):
+        pairs = [(v.split(":")[0], int(v.split(":")[1])) for v in values]
+        total = sum(c for _, c in pairs)
+        for status, c in pairs:
+            pct = c * 100.0 / total
+            yield (status, f"{c}|{pct:.2f}%")
+
+    orders = load_table(spark, sf_dir, "orders")
+    lines = orders.select(
+        F.concat_ws(",", F.col("o_orderstatus"), F.col("o_orderpriority")).alias("value")
+    )
+    counts = juice(sum_reduce, maple(filt_map, lines, input_col="value"))
+    count_lines = counts.select(
+        F.concat_ws(",", F.col("key"), F.col("value")).alias("value")
+    )
+    out = juice(pct_reduce, maple(all_map, count_lines, input_col="value"))
+    return out.select(
+        F.col("key").alias("grp"),
+        F.split(F.col("value"), r"\|").getItem(0).cast("bigint").alias("cnt"),
+        F.split(F.col("value"), r"\|").getItem(1).alias("pct_str"),
+    )
+
+
 def q_streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAM-STREAM interval join (streaming.events.interval_join_streams):
     the click stream joined with the purchase stream — same user, click
@@ -671,6 +721,7 @@ EXT_QUERIES = {
     "frame_sample": q_frame_sample,
     "streaming_enriched": q_streaming_enriched,
     "streaming_click_attribution": q_streaming_click_attribution,
+    "maple_filter_pct": q_maple_filter_pct,
 }
 
 EXT_ORACLES = {
@@ -765,6 +816,13 @@ EXT_ORACLES = {
         SELECT c_mktsegment, count(*) AS cnt
         FROM events JOIN customer ON user_id = c_custkey
         GROUP BY c_mktsegment
+    """,
+    "maple_filter_pct": """
+        SELECT o_orderstatus AS grp,
+               count(*) AS cnt,
+               printf('%.2f%%', 100.0 * count(*) / sum(count(*)) OVER ()) AS pct_str
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+        GROUP BY o_orderstatus
     """,
     "streaming_click_attribution": """
         SELECT p.event_id AS purchase_id, c.ts AS click_ts
