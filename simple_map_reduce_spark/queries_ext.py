@@ -355,6 +355,18 @@ def q_streaming_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(counts, sink, tempfile.mkdtemp(), output_mode="complete")
 
 
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus-preparation pipeline (pipelines.prepare_corpus):
+    quality score + language ID (fused into one scan pass by Catalyst) →
+    filter → exact dedup (min-id representative) → token costing. The
+    oracle recomposes every stage in SQL, so the whole chained pipeline
+    is hash-checked, not just its pieces."""
+    from .pipelines import prepare_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prepare_corpus(docs, min_quality=0.45, langs=("en",))
+
+
 def q_maple_filter_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's flagship demo (Sdemo1: filter → per-group count →
     percent-of-total) run through the CONTRACTUAL maple/juice surface as
@@ -674,6 +686,47 @@ def text_stats_oracle() -> str:
     """
 
 
+def corpus_prep_oracle() -> str:
+    """SQL recomposition of pipelines.prepare_corpus: quality + lang per
+    doc, filter, min-id-per-content dedup, token costing."""
+    stop_list = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+    hits = ",\n               ".join(
+        f"CAST(len(list_filter({_TOK}, t -> list_contains({_marker_list(lang)}, t))) AS BIGINT) AS hits_{lang}"
+        for lang in LANG_PRIORITY
+    )
+    bpe = BPE_RE.replace("'", "''")
+    return rf"""
+        WITH feats AS (
+            SELECT doc_id, text,
+                   CAST(len({_TOK}) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars_computed,
+                   CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS BIGINT) AS n_punct,
+                   CAST(len(list_filter({_TOK},
+                        t -> list_contains({stop_list}, t))) AS BIGINT) AS n_stopwords,
+                   {hits}
+            FROM documents),
+        scored AS (
+            SELECT doc_id, text,
+                   (least(n_tokens / 100.0, 1.0) * 0.4
+                    + least((n_stopwords / greatest(1, n_tokens)) * 4.0, 1.0) * 0.4
+                    + (1.0 - least((n_punct / greatest(1, n_chars_computed)) * 5.0, 1.0)) * 0.2)
+                       AS quality,
+                   CASE
+                     WHEN hits_en > 0 AND hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+                     WHEN hits_es > 0 AND hits_es > hits_en AND hits_es >= hits_fr THEN 'es'
+                     WHEN hits_fr > 0 AND hits_fr > hits_en AND hits_fr > hits_es THEN 'fr'
+                     ELSE 'und'
+                   END AS lang_pred
+            FROM feats),
+        kept AS (SELECT * FROM scored WHERE quality >= 0.45 AND lang_pred IN ('en')),
+        reps AS (SELECT text, min(doc_id) AS doc_id FROM kept GROUP BY text)
+        SELECT k.doc_id, k.lang_pred, k.quality,
+               CAST(len(regexp_extract_all(k.text, '\S+')) AS BIGINT) AS n_ws,
+               CAST(len(regexp_extract_all(k.text, '{bpe}')) AS BIGINT) AS n_bpe
+        FROM kept k JOIN reps r ON k.doc_id = r.doc_id AND k.text = r.text
+    """
+
+
 def lang_id_oracle() -> str:
     hits = ",\n               ".join(
         f"CAST(len(list_filter({_TOK}, t -> list_contains({_marker_list(lang)}, t))) AS BIGINT) AS hits_{lang}"
@@ -722,6 +775,7 @@ EXT_QUERIES = {
     "streaming_enriched": q_streaming_enriched,
     "streaming_click_attribution": q_streaming_click_attribution,
     "maple_filter_pct": q_maple_filter_pct,
+    "corpus_prep": q_corpus_prep,
 }
 
 EXT_ORACLES = {
@@ -758,6 +812,7 @@ EXT_ORACLES = {
     """,
     "text_stats": text_stats_oracle(),
     "lang_id": lang_id_oracle(),
+    "corpus_prep": corpus_prep_oracle(),
     "doc_fingerprint": rf"""
         SELECT doc_id, md5(array_to_string({_TOK}, ' ')) AS fp FROM documents
     """,
