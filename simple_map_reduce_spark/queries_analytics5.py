@@ -197,6 +197,34 @@ def q_part_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_status_priority_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — (status), (priority), and the grand total
+    in ONE pass (an Expand node feeding a single shuffle, not three
+    jobs). ``grouping_id`` disambiguates the set each row came from;
+    NULLs from the expansion are labelled so the oracle compare is
+    unambiguous."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(_D14)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("<all>")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("<all>")).alias("priority"),
+            "gid",
+            "n_orders",
+            "total_value",
+        )
+    )
+
+
 ANALYTICS5_QUERIES = {
     "mom_revenue_growth": q_mom_revenue_growth,
     "moving_avg_3m": q_moving_avg_3m,
@@ -207,6 +235,7 @@ ANALYTICS5_QUERIES = {
     "salted_join_segments": q_salted_join_segments,
     "priority_trailing_week": q_priority_trailing_week,
     "part_metrics_unpivot": q_part_metrics_unpivot,
+    "status_priority_sets": q_status_priority_sets,
 }
 
 ANALYTICS5_ORACLES = {
@@ -314,5 +343,16 @@ ANALYTICS5_ORACLES = {
         SELECT p_partkey, 'retailprice' AS metric,
                CAST(p_retailprice AS DOUBLE) AS value
         FROM part
+    """,
+    "status_priority_sets": """
+        SELECT coalesce(o_orderstatus, '<all>') AS status,
+               coalesce(o_orderpriority, '<all>') AS priority,
+               CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+                    AS BIGINT) AS gid,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                   AS total_value
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
 }
