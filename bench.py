@@ -65,6 +65,9 @@ BENCH_QUERIES = [
     "audio_features",
     "cheapest_item_per_order",
     "cohort_retention",
+    "forecast_revenue",
+    "nation_trade_volume",
+    "order_count_histogram",
 ]
 
 

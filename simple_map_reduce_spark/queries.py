@@ -212,6 +212,7 @@ from .queries_analytics import ANALYTICS_ORACLES, ANALYTICS_QUERIES  # noqa: E40
 from .queries_analytics3 import ANALYTICS3_ORACLES, ANALYTICS3_QUERIES  # noqa: E402
 from .queries_analytics4 import ANALYTICS4_ORACLES, ANALYTICS4_QUERIES  # noqa: E402
 from .queries_analytics5 import ANALYTICS5_ORACLES, ANALYTICS5_QUERIES  # noqa: E402
+from .queries_analytics6 import ANALYTICS6_ORACLES, ANALYTICS6_QUERIES  # noqa: E402
 from .queries_ext import EXT_ORACLES, EXT_QUERIES  # noqa: E402
 
 QUERIES: dict[str, QueryFn] = {
@@ -232,6 +233,7 @@ QUERIES: dict[str, QueryFn] = {
     **ANALYTICS3_QUERIES,
     **ANALYTICS4_QUERIES,
     **ANALYTICS5_QUERIES,
+    **ANALYTICS6_QUERIES,
 }
 
 
@@ -338,4 +340,5 @@ ORACLES: dict[str, str] = {
     **ANALYTICS3_ORACLES,
     **ANALYTICS4_ORACLES,
     **ANALYTICS5_ORACLES,
+    **ANALYTICS6_ORACLES,
 }

@@ -1,0 +1,322 @@
+"""Analytics batch 6: the remaining classic TPC-H decision-support shapes
+not yet in the registry — fully-pushed-down scalar aggregate (q6),
+nation-pair trade volume (q7), market share via conditional aggregation
+(q8), profit rollup with a derived cost term (q9), order-count histogram
+(q13 two-level aggregation), and top-supplier-by-revenue via a scalar max
+that stays lazy (q15).
+
+Everything here is "free" Spark per SURVEY.md §2 (the reference computes
+only regex filters / group counts / equi-joins — `client.rs:505-541`),
+but registered + oracle-checked so the relational breadth is proven.
+
+Conventions match ``queries.py``: identical aliases on both engines,
+exact decimal arithmetic for money (sums cast to DOUBLE only at the very
+end), BIGINT counts, and filters written so both engines evaluate the
+same double literals.
+
+Scale notes inline; general posture: dimension sides broadcast, scalar
+subqueries reduce to one row before fanning back out (broadcast cross
+join, never a driver ``first()``), and every aggregation is a single
+map-side-combined shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .sources.readers import load_table
+
+_D12 = "decimal(12,2)"
+_D14 = "decimal(14,2)"
+
+
+def _revenue() -> F.Column:
+    return F.col("l_extendedprice").cast(_D12) * (
+        F.lit(1).cast(_D12) - F.col("l_discount").cast(_D12)
+    )
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q6 shape: revenue delta from discount changes — one scalar
+    over a conjunctive range predicate.
+
+    Every predicate is on a scan column, so the whole WHERE reaches the
+    parquet reader as ``PushedFilters`` (min/max row-group pruning at
+    100 TB); no join, one partial+final agg, shuffle carries one row per
+    map task.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    filtered = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.col("l_extendedprice").cast(_D12) * F.col("l_discount").cast(_D12)
+    return filtered.agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q7 shape: shipping volume between every (supplier nation →
+    customer nation) pair per ship-year.
+
+    supplier (100 rows) and nation (25 rows, used twice under different
+    aliases) broadcast; the only big shuffles are lineitem⋈orders and
+    ⋈customer on their natural keys. Output is ≤ |nations|² × years rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = F.broadcast(nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    ))
+    n2 = F.broadcast(nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    ))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n1, F.col("s_nationkey") == F.col("sn_key"))
+        .join(n2, F.col("c_nationkey") == F.col("cn_key"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(
+            F.sum(_revenue()).cast("double").alias("volume"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q8 shape: NATION_7's share of PROMO-part revenue per order
+    year — conditional aggregation (sum-if over total) in ONE pass.
+
+    Both sums come out of the same grouped aggregate (no second scan, no
+    self-join); part filters to the PROMO slice before the join and
+    broadcasts with the predicate already applied.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    )
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    rev = _revenue()
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("n_name") == "NATION_7", rev).otherwise(F.lit(None)))
+                .cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("mkt_share"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def q_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q9 shape: profit per (supplier nation, ship year) over parts
+    whose name contains 'bolt'. The schema has no partsupp table, so cost
+    is derived as 10% of retail price × quantity — kept in exact decimal
+    form end to end so both engines agree bit-for-bit.
+
+    part filters+broadcasts ('bolt' predicate applied below the join);
+    supplier and nation broadcast; lineitem never shuffles before the
+    final groupBy.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("bolt"))
+    )
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    cost = (
+        F.col("p_retailprice").cast(_D12)
+        * F.col("l_quantity").cast(_D12)
+        * F.lit(0.10).cast("decimal(4,2)")
+    )
+    profit = _revenue().cast("decimal(30,6)") - cost.cast("decimal(30,6)")
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(
+            F.sum(profit).cast("double").alias("profit"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q13 shape: distribution of customers by how many non-urgent
+    orders they placed (including zero) — left outer join + two-level
+    aggregation.
+
+    First groupBy shuffles on ``c_custkey`` (same key as the join, so AQE
+    reuses the exchange); the second aggregates |customers| rows down to
+    the histogram — tiny. The zero bucket comes from the outer join, not
+    a union.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q15 shape: supplier(s) with the maximum revenue over Q1+Q2
+    1997. The max is a 1-row aggregate that joins back as a broadcast
+    cross join — one lazy DAG, no driver round-trip; the revenue-per-
+    supplier aggregate is computed once and reused for both the max and
+    the final equality filter (Spark re-executes the subtree, but it is
+    one shuffle of ≤|suppliers| rows). Equality compares exact decimals,
+    never doubles.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01"))
+    )
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(_revenue()).alias("total_revenue_d")
+    )
+    max_rev = per_supp.agg(F.max("total_revenue_d").alias("max_rev"))
+    return (
+        per_supp.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue_d") == F.col("max_rev"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            "s_name",
+            F.col("total_revenue_d").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+ANALYTICS6_QUERIES = {
+    "forecast_revenue": q_forecast_revenue,
+    "nation_trade_volume": q_nation_trade_volume,
+    "market_share": q_market_share,
+    "profit_by_nation_year": q_profit_by_nation_year,
+    "order_count_histogram": q_order_count_histogram,
+    "top_supplier": q_top_supplier,
+}
+
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"
+)
+
+ANALYTICS6_ORACLES = {
+    "forecast_revenue": """
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND l_discount >= CAST(0.05 AS DOUBLE)
+          AND l_discount <= CAST(0.07 AS DOUBLE)
+          AND l_quantity < 24
+    """,
+    "nation_trade_volume": f"""
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+               CAST(sum({_REV_SQL}) AS DOUBLE) AS volume,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey  = c_custkey
+        JOIN supplier ON l_suppkey  = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2, 3
+    """,
+    "market_share": f"""
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+               CAST(sum(CASE WHEN n_name = 'NATION_7' THEN {_REV_SQL} END) AS DOUBLE)
+                   / CAST(sum({_REV_SQL}) AS DOUBLE) AS mkt_share,
+               CAST(sum({_REV_SQL}) AS DOUBLE) AS total_revenue
+        FROM lineitem
+        JOIN part     ON l_partkey  = p_partkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey  = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_type = 'PROMO'
+        GROUP BY 1
+    """,
+    "profit_by_nation_year": f"""
+        SELECT n_name AS nation,
+               CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+               CAST(sum(CAST({_REV_SQL} AS DECIMAL(30,6))
+                        - CAST(CAST(p_retailprice AS DECIMAL(12,2))
+                               * CAST(l_quantity AS DECIMAL(12,2))
+                               * CAST(0.10 AS DECIMAL(4,2)) AS DECIMAL(30,6)))
+                    AS DOUBLE) AS profit,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN part     ON l_partkey  = p_partkey
+        JOIN supplier ON l_suppkey  = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%bolt%'
+        GROUP BY 1, 2
+    """,
+    "order_count_histogram": """
+        SELECT c_count, count(*) AS custdist
+        FROM (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer
+            LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT') o
+                   ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        )
+        GROUP BY c_count
+    """,
+    "top_supplier": f"""
+        WITH per_supp AS (
+            SELECT l_suppkey, sum({_REV_SQL}) AS total_revenue_d
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-07-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey AS suppkey, s_name,
+               CAST(total_revenue_d AS DOUBLE) AS total_revenue
+        FROM per_supp
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue_d = (SELECT max(total_revenue_d) FROM per_supp)
+    """,
+}
