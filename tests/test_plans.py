@@ -126,3 +126,54 @@ def test_cosine_topk_corpus_never_shuffles(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     # no exchange keyed on the corpus id column
     assert "Exchange hashpartitioning(neighbor_id" not in plan.split("Window")[0]
+
+
+def test_forecast_revenue_fully_pushed_scan(spark):
+    """q6 shape: every predicate reaches the parquet scan (row-group
+    pruning at scale) and there is no join — the only exchange is the
+    single-row partial-agg merge."""
+    plan = _plan(spark, "forecast_revenue")
+    pushed = plan.split("PushedFilters")[1][:300]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2 or "SortAggregate" in plan
+
+
+def test_nation_trade_volume_dims_broadcast(spark):
+    """q7 shape: supplier + both nation aliases broadcast — the fact side
+    only shuffles for the orders/customer equi-joins."""
+    plan = _plan(spark, "nation_trade_volume")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "Exchange hashpartitioning(l_suppkey" not in plan
+    assert "Exchange hashpartitioning(s_nationkey" not in plan
+
+
+def test_profit_rollup_part_filter_below_broadcast(spark):
+    """q9 shape: the 'bolt' predicate must apply on the part side BEFORE
+    it broadcasts (broadcast carries the filtered slice), and lineitem
+    must not hash-shuffle for any of the three dim joins."""
+    plan = _plan(spark, "profit_by_nation_year")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "Exchange hashpartitioning(l_partkey" not in plan
+    assert "Exchange hashpartitioning(l_suppkey" not in plan
+    # p_name filter sits below the broadcast exchange
+    bcast_sections = plan.split("BroadcastExchange")
+    assert any("bolt" in s for s in bcast_sections[1:]) or "bolt" in plan.split("PushedFilters")[1][:400]
+
+
+def test_order_histogram_two_level_aggregation(spark):
+    """q13 shape: both aggregation levels map-side combine; the orders
+    priority filter reaches the scan so the outer join carries only the
+    non-urgent slice."""
+    plan = _plan(spark, "order_count_histogram")
+    assert plan.count("HashAggregate") >= 3
+    assert "o_orderpriority" in plan.split("PushedFilters")[1][:400] or "DataFilters" in plan
+
+
+def test_top_supplier_scalar_max_stays_lazy(spark):
+    """q15 shape: the 1-row max joins back via broadcast (no driver
+    collect, no cartesian of real data) and supplier joins broadcast."""
+    plan = _plan(spark, "top_supplier")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan or plan.count("BroadcastExchange") >= 2
