@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "forecast_revenue",
     "nation_trade_volume",
     "order_count_histogram",
+    "dominant_suppliers",
 ]
 
 

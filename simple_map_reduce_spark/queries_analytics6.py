@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from .sources.readers import load_table
 
@@ -223,6 +224,69 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q16 shape: how many distinct suppliers can provide parts of
+    each (brand, type, size) combination — excluding one brand and
+    restricting to an IN-list of sizes. The schema has no partsupp table,
+    so lineitem serves as the observed part↔supplier bridge.
+
+    part filters+broadcasts; the distinct-supplier count plans through
+    Catalyst's expand/partial-distinct, so the shuffle carries
+    (attrs, suppkey) pairs already deduplicated map-side — never raw
+    lineitem rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(
+            (F.col("p_brand") != "Brand#5")
+            & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+        )
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q20 shape (nested aggregate + semi-join): suppliers that
+    shipped more than half of some part's total 1997 volume, i.e. they
+    dominate at least one part. Inner aggregate computes per-(part,
+    supplier) and per-part totals in two passes over the SAME grouped
+    intermediate (the second is a re-aggregation of the first, |parts|-
+    sized); the >50% filter reduces to a semi-join on s_suppkey.
+
+    Exact integer/decimal comparison (2*pair > total) avoids float
+    boundaries. The pair aggregate feeds two consumers (the per-part
+    re-aggregation and the join's probe side); Catalyst does not reuse
+    that exchange across an aggregation boundary, so without a persist
+    the fact table would be scanned twice. Persisting the |part×supplier|-
+    sized intermediate (MEMORY_AND_DISK — spills, never OOMs) keeps the
+    100 TB scan single-pass.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    pair = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast(_D12)).alias("pair_qty")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    per_part = pair.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("pair_qty").alias("part_qty")
+    )
+    dominant = (
+        pair.join(per_part, F.col("l_partkey") == F.col("pk"))
+        .filter(F.lit(2).cast(_D12) * F.col("pair_qty") > F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return supp.join(
+        dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name", "s_nationkey")
+
+
 ANALYTICS6_QUERIES = {
     "forecast_revenue": q_forecast_revenue,
     "nation_trade_volume": q_nation_trade_volume,
@@ -230,6 +294,8 @@ ANALYTICS6_QUERIES = {
     "profit_by_nation_year": q_profit_by_nation_year,
     "order_count_histogram": q_order_count_histogram,
     "top_supplier": q_top_supplier,
+    "supplier_variety": q_supplier_variety,
+    "dominant_suppliers": q_dominant_suppliers,
 }
 
 _REV_SQL = (
@@ -304,6 +370,35 @@ ANALYTICS6_ORACLES = {
             GROUP BY c_custkey
         )
         GROUP BY c_count
+    """,
+    "supplier_variety": """
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#5'
+          AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+        GROUP BY p_brand, p_type, p_size
+    """,
+    "dominant_suppliers": """
+        WITH pair AS (
+            SELECT l_partkey, l_suppkey,
+                   sum(CAST(l_quantity AS DECIMAL(12,2))) AS pair_qty
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+            GROUP BY l_partkey, l_suppkey
+        ), per_part AS (
+            SELECT l_partkey AS pk, sum(pair_qty) AS part_qty
+            FROM pair GROUP BY l_partkey
+        )
+        SELECT s_suppkey, s_name, s_nationkey
+        FROM supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey
+            FROM pair JOIN per_part ON l_partkey = pk
+            WHERE CAST(2 AS DECIMAL(12,2)) * pair_qty > part_qty
+        )
     """,
     "top_supplier": f"""
         WITH per_supp AS (

@@ -177,3 +177,19 @@ def test_top_supplier_scalar_max_stays_lazy(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" in plan or plan.count("BroadcastExchange") >= 2
+
+
+def test_supplier_variety_distinct_via_expand(spark):
+    """q16 shape: part filters below the broadcast; the distinct count
+    plans with map-side dedup (partial aggregate under the shuffle)."""
+    plan = _plan(spark, "supplier_variety")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning(l_partkey" not in plan
+
+
+def test_dominant_suppliers_single_fact_pass(spark):
+    """q20 shape: the pair aggregate is persisted, so both its consumers
+    read the cached intermediate — the fact scan happens once."""
+    plan = _plan(spark, "dominant_suppliers")
+    assert plan.count("InMemoryTableScan") >= 2
