@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "nation_trade_volume",
     "order_count_histogram",
     "dominant_suppliers",
+    "waiting_suppliers",
 ]
 
 

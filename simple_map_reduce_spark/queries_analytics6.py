@@ -287,6 +287,54 @@ def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey", "s_name", "s_nationkey")
 
 
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q21 shape: suppliers who kept multi-supplier orders waiting —
+    for finished ('F') orders involving ≥2 suppliers, count per supplier
+    the orders where they were the ONLY late shipper. The schema has no
+    commit/receipt dates, so "late" = shipped more than 90 days after the
+    order date.
+
+    The reference's q21 double-correlated EXISTS / NOT EXISTS decorrelates
+    into one (order, supplier, was_late) aggregate consumed twice: once
+    re-aggregated per order (supplier count + late-supplier count), once
+    as the probe side. The persist makes that intermediate — already
+    reduced to order×supplier granularity — the only thing read twice;
+    lineitem is scanned once. Both joins share the l_orderkey key, so AQE
+    plans one co-partitioned exchange chain.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    pair = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late.cast("int")).alias("supp_late"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    per_order = pair.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.count("*").alias("n_supps"),
+        F.sum("supp_late").alias("n_late_supps"),
+    )
+    waiting = (
+        pair.filter(F.col("supp_late") == 1)
+        .join(per_order, F.col("l_orderkey") == F.col("ok"))
+        .filter((F.col("n_supps") >= 2) & (F.col("n_late_supps") == 1))
+    )
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    return (
+        waiting.groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
 ANALYTICS6_QUERIES = {
     "forecast_revenue": q_forecast_revenue,
     "nation_trade_volume": q_nation_trade_volume,
@@ -296,6 +344,7 @@ ANALYTICS6_QUERIES = {
     "top_supplier": q_top_supplier,
     "supplier_variety": q_supplier_variety,
     "dominant_suppliers": q_dominant_suppliers,
+    "waiting_suppliers": q_waiting_suppliers,
 }
 
 _REV_SQL = (
@@ -370,6 +419,29 @@ ANALYTICS6_ORACLES = {
             GROUP BY c_custkey
         )
         GROUP BY c_count
+    """,
+    "waiting_suppliers": """
+        WITH pair AS (
+            SELECT l_orderkey, l_suppkey,
+                   max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                            THEN 1 ELSE 0 END) AS supp_late
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+            GROUP BY l_orderkey, l_suppkey
+        ), per_order AS (
+            SELECT l_orderkey AS ok, count(*) AS n_supps,
+                   sum(supp_late) AS n_late_supps
+            FROM pair GROUP BY l_orderkey
+        )
+        SELECT s_name, count(*) AS numwait
+        FROM pair
+        JOIN per_order ON l_orderkey = ok
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE supp_late = 1 AND n_supps >= 2 AND n_late_supps = 1
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
     """,
     "supplier_variety": """
         SELECT p_brand, p_type, p_size,

@@ -193,3 +193,13 @@ def test_dominant_suppliers_single_fact_pass(spark):
     read the cached intermediate — the fact scan happens once."""
     plan = _plan(spark, "dominant_suppliers")
     assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_waiting_suppliers_shared_pair_and_topk(spark):
+    """q21 shape: the order×supplier pair aggregate is persisted (read
+    twice, computed once) and the final top-20 is a per-partition heap,
+    never a global sort."""
+    plan = _plan(spark, "waiting_suppliers")
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
