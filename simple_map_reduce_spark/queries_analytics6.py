@@ -335,6 +335,24 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Corpus mixing: per-language deterministic keep rates over the
+    documents table (all of en, half of zh/es, a quarter of de, 10% of
+    fr). Membership is a pure hash of doc_id — reproducible across runs,
+    engines, and cluster sizes; evaluated at the scan with zero shuffles.
+    """
+    from .operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = stratified_sample(
+        docs,
+        key_col="doc_id",
+        stratum_col="lang",
+        rates={"en": 1.0, "zh": 0.5, "es": 0.5, "de": 0.25, "fr": 0.1},
+    )
+    return sampled.select("doc_id", "lang", "source")
+
+
 ANALYTICS6_QUERIES = {
     "forecast_revenue": q_forecast_revenue,
     "nation_trade_volume": q_nation_trade_volume,
@@ -345,6 +363,7 @@ ANALYTICS6_QUERIES = {
     "supplier_variety": q_supplier_variety,
     "dominant_suppliers": q_dominant_suppliers,
     "waiting_suppliers": q_waiting_suppliers,
+    "stratified_sample": q_stratified_sample,
 }
 
 _REV_SQL = (
@@ -419,6 +438,19 @@ ANALYTICS6_ORACLES = {
             GROUP BY c_custkey
         )
         GROUP BY c_count
+    """,
+    "stratified_sample": """
+        SELECT doc_id, lang, source
+        FROM documents
+        WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
+              < CASE lang
+                    WHEN 'en' THEN 10000
+                    WHEN 'zh' THEN 5000
+                    WHEN 'es' THEN 5000
+                    WHEN 'de' THEN 2500
+                    WHEN 'fr' THEN 1000
+                    ELSE 0
+                END
     """,
     "waiting_suppliers": """
         WITH pair AS (

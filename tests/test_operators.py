@@ -109,3 +109,26 @@ def test_percent_of_total_is_global(spark):
     df = spark.createDataFrame(rows, ["f", "g"]).repartition(8)
     out = {r["grp"]: r["pct"] for r in filter_group_count_percent(df, "f", "x", "g").collect()}
     assert out == {"g1": 75.0, "g2": 25.0}
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    """Full-rate strata survive whole, zero/unlisted strata vanish,
+    fractional strata keep a subset; membership is stable across calls
+    and the whole decision is scan-local (no Exchange in the plan)."""
+    from simple_map_reduce_spark.operators.sampling import stratified_sample
+
+    rows = [(i, "en" if i % 3 == 0 else ("de" if i % 3 == 1 else "xx"))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, ["id", "lang"])
+    out = stratified_sample(df, "id", "lang", {"en": 1.0, "de": 0.5})
+    got = out.groupBy("lang").count().collect()
+    counts = {r["lang"]: r["count"] for r in got}
+    assert counts.get("en") == 100          # rate 1.0 keeps everything
+    assert "xx" not in counts               # unlisted stratum dropped
+    assert 20 <= counts.get("de", 0) <= 80  # fractional stratum: a real subset
+    ids_a = sorted(r["id"] for r in out.collect())
+    ids_b = sorted(r["id"] for r in stratified_sample(
+        df, "id", "lang", {"en": 1.0, "de": 0.5}).collect())
+    assert ids_a == ids_b                   # pure function of the key
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
