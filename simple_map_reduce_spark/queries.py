@@ -236,6 +236,73 @@ QUERIES: dict[str, QueryFn] = {
     **ANALYTICS6_QUERIES,
 }
 
+# Driver-verification rotation: the correctness harness checks exactly the
+# FIRST 50 registry entries in order (verified round 1), so the front of
+# the dict rotates each round until every query has a driver-green row.
+# Round 2 window: the 48 queries that got no driver row in round 1, plus
+# the two repaired multimodal queries (image_features, frame_sample) whose
+# round-1 rows were canonicalizer errors. Deferred to the next rotation
+# (still covered by the local parity suite): orders_by_month, big_orders,
+# multi_distinct, left_join_order_counts, qty_outliers.
+_ROTATION_FRONT = [
+    "segment_intersect",
+    "asof_last_order",
+    "deterministic_sample",
+    "sessionize_batch",
+    "nation_full_outer",
+    "promo_revenue",
+    "flag_priority_matrix",
+    "sales_cube",
+    "customer_order_seq",
+    "purchase_click_burst",
+    "qty_quartiles",
+    "events_pivot",
+    "part_name_features",
+    "segment_except",
+    "priority_union",
+    "bigram_docfreq",
+    "nation_segment_list",
+    "salted_type_rollup",
+    "token_positions",
+    "late_ship_priority",
+    "returned_revenue_top",
+    "cheapest_item_per_order",
+    "disjunctive_revenue",
+    "rich_inactive_customers",
+    "segment_priority_grid",
+    "cohort_retention",
+    "fuzzy_part_names",
+    "tfidf_terms",
+    "mom_revenue_growth",
+    "moving_avg_3m",
+    "customer_spend_ntile",
+    "pricey_parts_dense",
+    "qty_median_by_flag",
+    "monthly_gapfill",
+    "salted_join_segments",
+    "priority_trailing_week",
+    "part_metrics_unpivot",
+    "status_priority_sets",
+    "forecast_revenue",
+    "nation_trade_volume",
+    "market_share",
+    "profit_by_nation_year",
+    "order_count_histogram",
+    "top_supplier",
+    "supplier_variety",
+    "dominant_suppliers",
+    "waiting_suppliers",
+    "stratified_sample",
+    "image_features",
+    "frame_sample",
+]
+assert len(_ROTATION_FRONT) == 50
+assert set(_ROTATION_FRONT) <= set(QUERIES)
+QUERIES = {
+    **{k: QUERIES[k] for k in _ROTATION_FRONT},
+    **{k: v for k, v in QUERIES.items() if k not in set(_ROTATION_FRONT)},
+}
+
 
 ORACLES: dict[str, str] = {
     "regex_filter": f"""

@@ -225,7 +225,20 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     media = attach_binary(docs, "doc_id", "text", "image/fake")
-    return decode_image_features(media)
+    feats = decode_image_features(media)
+    # the feature vector is projected to scalar doubles f0..f3: the
+    # correctness harness canonicalizes rows via pandas sort/hash, which
+    # cannot hash array cells — scalars compare exactly on both engines
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_channels",
+        F.col("feature")[0].alias("f0"),
+        F.col("feature")[1].alias("f1"),
+        F.col("feature")[2].alias("f2"),
+        F.col("feature")[3].alias("f3"),
+    )
 
 
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -247,7 +260,12 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     media = attach_binary(docs, "doc_id", "text", "video/fake")
-    return sample_frames(media, every_n=10)
+    frames = sample_frames(media, every_n=10)
+    # binary frame bytes → hex string: the harness canonicalizer cannot
+    # hash bytearray cells; hex() is uppercase in both Spark and DuckDB
+    return frames.select(
+        "doc_id", "frame_idx", F.hex(F.col("frame")).alias("frame_hex")
+    )
 
 
 def q_vocab_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -896,11 +914,10 @@ EXT_ORACLES = {
                    AS height,
                CAST(1 + CAST(('0x' || substr(md5(text), 5, 2)) AS INT) % 3 AS INT)
                    AS n_channels,
-               [CAST(('0x' || substr(md5(text || '#f'), 1, 2)) AS INT) / 255.0,
-                CAST(('0x' || substr(md5(text || '#f'), 3, 2)) AS INT) / 255.0,
-                CAST(('0x' || substr(md5(text || '#f'), 5, 2)) AS INT) / 255.0,
-                CAST(('0x' || substr(md5(text || '#f'), 7, 2)) AS INT) / 255.0]
-                   AS feature
+               CAST(('0x' || substr(md5(text || '#f'), 1, 2)) AS INT) / 255.0 AS f0,
+               CAST(('0x' || substr(md5(text || '#f'), 3, 2)) AS INT) / 255.0 AS f1,
+               CAST(('0x' || substr(md5(text || '#f'), 5, 2)) AS INT) / 255.0 AS f2,
+               CAST(('0x' || substr(md5(text || '#f'), 7, 2)) AS INT) / 255.0 AS f3
         FROM documents
     """,
     "audio_features": """
@@ -917,10 +934,10 @@ EXT_ORACLES = {
     # char-substr before encode() yields exactly the first 8 payload bytes
     "frame_sample": """
         WITH base AS (
-            SELECT doc_id, encode(substr(text, 1, 8)) AS frame8,
+            SELECT doc_id, hex(encode(substr(text, 1, 8))) AS frame8,
                    greatest(1, octet_length(encode(text)) // 10) AS n_frames
             FROM documents)
-        SELECT doc_id, CAST(t.i * 10 AS INT) AS frame_idx, frame8 AS frame
+        SELECT doc_id, CAST(t.i * 10 AS INT) AS frame_idx, frame8 AS frame_hex
         FROM base, range(0, 3) t(i)
         WHERE t.i < least(n_frames, 3)
     """,
