@@ -4,8 +4,11 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed to completion (count() forces the full plan; for
-top-k queries the limit collapses the result anyway). Each query gets one
+Each query is executed to completion through a no-op DSv2 sink
+(``df.write.format("noop")``): unlike ``count()``, the sink consumes every
+output column, so ColumnPruning cannot delete the computed projections of
+map-only queries — the timing measures the transform, not just the scan.
+Each query gets one
 unmeasured warmup execution first (JVM JIT + whole-stage-codegen compile +
 parquet footer reads are one-time costs a long-lived cluster never pays
 per query), then the measured run. Spark's CacheManager matches persisted
@@ -79,18 +82,21 @@ def main() -> None:
     spark = get_session(app_name="smr-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    def force(df) -> None:
+        """Materialize every output column (pruning-proof forcing)."""
+        df.write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         try:
-            QUERIES[name](spark, sf_dir).count()  # unmeasured warmup
+            force(QUERIES[name](spark, sf_dir))  # unmeasured warmup
         except Exception:
             pass  # the measured run below records the failure
         spark.catalog.clearCache()
         start = time.perf_counter()
         try:
-            df = QUERIES[name](spark, sf_dir)
-            df.count()
+            force(QUERIES[name](spark, sf_dir))
             timings[name] = round(time.perf_counter() - start, 4)
         except Exception as exc:  # one bad query must not void the record
             errors[name] = str(exc).split("\n")[0][:200]

@@ -197,11 +197,14 @@ def q_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q15 shape: supplier(s) with the maximum revenue over Q1+Q2
     1997. The max is a 1-row aggregate that joins back as a broadcast
-    cross join — one lazy DAG, no driver round-trip; the revenue-per-
-    supplier aggregate is computed once and reused for both the max and
-    the final equality filter (Spark re-executes the subtree, but it is
-    one shuffle of ≤|suppliers| rows). Equality compares exact decimals,
-    never doubles.
+    cross join — one lazy DAG, no driver round-trip. The revenue-per-
+    supplier aggregate feeds BOTH the scalar max and the equality filter;
+    Catalyst re-executes a shared subtree across an aggregation boundary,
+    so without a persist the fact table is scanned and re-aggregated
+    twice — the ≤|suppliers|-row intermediate is persisted
+    (MEMORY_AND_DISK, same shape as the q20/q21 queries below) to keep
+    the 100 TB scan single-pass. Equality compares exact decimals, never
+    doubles.
     """
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01"))
@@ -210,7 +213,7 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = F.broadcast(load_table(spark, sf_dir, "supplier"))
     per_supp = li.groupBy("l_suppkey").agg(
         F.sum(_revenue()).alias("total_revenue_d")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     max_rev = per_supp.agg(F.max("total_revenue_d").alias("max_rev"))
     return (
         per_supp.crossJoin(F.broadcast(max_rev))

@@ -179,6 +179,14 @@ def test_top_supplier_scalar_max_stays_lazy(spark):
     assert "BroadcastNestedLoopJoin" in plan or plan.count("BroadcastExchange") >= 2
 
 
+def test_top_supplier_single_fact_pass(spark):
+    """q15 shape: per-supplier revenue is persisted — the scalar max and
+    the equality filter both read the cached intermediate, so lineitem is
+    scanned and aggregated once."""
+    plan = _plan(spark, "top_supplier")
+    assert plan.count("InMemoryTableScan") >= 2
+
+
 def test_supplier_variety_distinct_via_expand(spark):
     """q16 shape: part filters below the broadcast; the distinct count
     plans with map-side dedup (partial aggregate under the shuffle)."""
