@@ -27,6 +27,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from simple_map_reduce_spark.cache import release_tracked
 from simple_map_reduce_spark.queries import QUERIES
 from simple_map_reduce_spark.session import get_session
 
@@ -93,6 +94,7 @@ def main() -> None:
             force(QUERIES[name](spark, sf_dir))  # unmeasured warmup
         except Exception:
             pass  # the measured run below records the failure
+        release_tracked()
         spark.catalog.clearCache()
         start = time.perf_counter()
         try:
@@ -100,6 +102,7 @@ def main() -> None:
             timings[name] = round(time.perf_counter() - start, 4)
         except Exception as exc:  # one bad query must not void the record
             errors[name] = str(exc).split("\n")[0][:200]
+        release_tracked()  # drop operator-internal caches between queries
 
     total = round(sum(timings.values()), 4)
     record = {

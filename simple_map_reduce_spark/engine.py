@@ -65,6 +65,14 @@ class MapleJuice:
         return self.catalog.ls()
 
     # -- generic map/reduce (§3.2) ---------------------------------------
+
+    #: Hard cap on the key list :meth:`maple` returns. The reference's
+    #: stdout-keys contract collects every distinct key to one place —
+    #: fine for its demo vocabularies, an unbounded driver OOM at 100 TB
+    #: (a web-corpus wordcount has billions of keys). Callers with larger
+    #: key spaces use :meth:`maple_keys`, which stays distributed.
+    MAX_COLLECTED_KEYS = 1_000_000
+
     def maple(
         self,
         executable: Callable | str,
@@ -72,19 +80,44 @@ class MapleJuice:
         out_prefix: str,
         input_prefix: str,
         args: tuple = (),
+        max_keys: int = MAX_COLLECTED_KEYS,
     ) -> list[str]:
         """Map phase over every table matching ``input_prefix``; the keyed
         result is stored as table ``out_prefix`` and the distinct key set
         is returned (the reference's stdout-keys contract,
-        ``Sdemo1map.py:33-34``)."""
+        ``Sdemo1map.py:33-34``).
+
+        Raises ``ValueError`` if the distinct key count exceeds
+        ``max_keys`` — collecting an unbounded vocabulary to the driver
+        is the one part of the reference contract that cannot scale;
+        :meth:`maple_keys` is the DataFrame-returning escape hatch."""
         src = self.catalog.read_prefix(input_prefix)
         if callable(executable):
             kv = maple_fn(executable, src, num_tasks=num_tasks, args=args)
         else:
             kv = maple_pipe(executable, src, num_tasks=num_tasks)
         self.catalog.put(kv, out_prefix)
-        keys = self.catalog.get(out_prefix).select("key").distinct().collect()
+        keys = (
+            self.catalog.get(out_prefix)
+            .select("key")
+            .distinct()
+            .limit(max_keys + 1)
+            .collect()
+        )
+        if len(keys) > max_keys:
+            raise ValueError(
+                f"maple produced more than {max_keys} distinct keys; the "
+                f"collected key-list contract does not scale to this key "
+                f"space — use maple_keys({out_prefix!r}) for a distributed "
+                f"DataFrame of keys, or raise max_keys explicitly"
+            )
         return sorted(r["key"] for r in keys)
+
+    def maple_keys(self, out_prefix: str) -> DataFrame:
+        """Distributed form of the stdout-keys contract: the distinct key
+        set of a completed maple round as a DataFrame (no driver
+        materialization — safe at any key cardinality)."""
+        return self.catalog.get(out_prefix).select("key").distinct()
 
     def juice(
         self,

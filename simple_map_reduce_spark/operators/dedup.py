@@ -27,9 +27,10 @@ candidates that the verify step would reject at far higher cost).
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..cache import tracked_persist
 
 from ..functions.hashes import md5_hex
 from ..functions.text import tokenize
@@ -161,9 +162,7 @@ def minhash_dup_pairs(
     production shape for LSH dedup at scale; MEMORY_AND_DISK spills
     rather than OOMs when the shingle set exceeds executor memory.
     """
-    sh = shingles(df, id_col, text_col, shingle_n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sh = tracked_persist(shingles(df, id_col, text_col, shingle_n))
     aggs = [
         F.min(md5_hex(F.col("shingle"), seed=i)).alias(f"mh_{i}")
         for i in range(num_hashes)
@@ -175,7 +174,7 @@ def minhash_dup_pairs(
         buckets = buckets.join(
             sizes.filter(F.col("bsz") <= max_bucket), ["band_idx", "band_hash"]
         ).drop("bsz")
-    buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
+    buckets = tracked_persist(buckets)
     left = buckets.select(F.col("id").alias("id_a"), "band_idx", "band_hash")
     right = buckets.select(F.col("id").alias("id_b"), "band_idx", "band_hash")
     cand = (
@@ -275,7 +274,7 @@ def simhash_dup_pairs(
     # the signature feeds both sides of the band self-join — persist so
     # the tokenize+vote pipeline runs once, not twice (standard
     # materialize-signatures shape; MEMORY_AND_DISK spills, never OOMs)
-    sig = simhash(df, id_col, text_col, bits).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = tracked_persist(simhash(df, id_col, text_col, bits))
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
     pieces = [
@@ -319,14 +318,20 @@ def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    n: int = 1,
+    n: int = 3,
     threshold: float = 0.5,
-    max_bucket: int = 10_000,
+    max_bucket: int = 1_000,
 ) -> DataFrame:
     """All pairs with n-gram-set Jaccard ≥ threshold, via an
     inverted-index join (pairs must share ≥1 shingle). ``max_bucket``
     caps the posting-list length per shingle (hot-shingle skew guard)
     — a shingle present in that many docs carries no dedup signal.
+
+    Defaults are the scale-safe choice: trigram shingles (``n=3``, like
+    ``minhash_signature``) — unigram posting lists are dominated by
+    stopwords, so even a capped hot shingle admits ~max_bucket²/2
+    candidate pairs of near-zero dedup signal. ``n=1`` remains opt-in
+    for short-string/keyword corpora where trigrams are too sparse.
 
     The (filtered) shingle set feeds three branches — per-doc sizes and
     both sides of the inverted-index self-join — so it is persisted once
@@ -335,7 +340,7 @@ def ngram_jaccard_pairs(
     if max_bucket:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("df_cnt"))
         sh = sh.join(freq.filter(F.col("df_cnt") <= max_bucket), "shingle").drop("df_cnt")
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sh = tracked_persist(sh)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")

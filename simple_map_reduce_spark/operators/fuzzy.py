@@ -74,9 +74,11 @@ def fuzzy_self_join(
 ) -> DataFrame:
     """All pairs (id_a < id_b) with ``levenshtein(s_a, s_b) <= max_dist``.
 
-    Output: (id_a, id_b, s_a, s_b, dist). Complete (FastSS blocking has
-    no false negatives); ``max_bucket`` caps degenerate variant buckets
-    (e.g. near-empty strings) exactly like the LSH hot-bucket guard.
+    Output: (id_a, id_b, s_a, s_b, dist). FastSS blocking itself has no
+    false negatives; ``max_bucket`` caps degenerate variant buckets
+    (e.g. near-empty strings) exactly like the LSH hot-bucket guard —
+    pairs whose only shared variant sits in a dropped bucket are lost,
+    so set ``max_bucket=0`` for the strict completeness guarantee.
     """
     var = _variants(df, id_col, str_col, max_dist)
     if max_bucket:
@@ -106,7 +108,14 @@ def fuzzy_join(
 ) -> DataFrame:
     """Two-table edit-distance join: every (left, right) pair with
     ``levenshtein <= max_dist``. Output: (left_id, right_id, left_s,
-    right_s, dist)."""
+    right_s, dist).
+
+    ``max_bucket`` caps the variant bucket on BOTH sides (a degenerate
+    hot variant — e.g. near-empty strings — can occur in either table).
+    Like the LSH hot-bucket guard, the cap trades completeness for skew
+    safety: pairs whose only shared variant sits in a dropped bucket are
+    lost. Set ``max_bucket=0`` to disable the cap and keep the FastSS
+    completeness guarantee."""
     lv = _variants(left, left_id, left_str, max_dist).withColumnRenamed(
         "id", "left_id"
     ).withColumnRenamed("s", "left_s")
@@ -114,8 +123,10 @@ def fuzzy_join(
         "id", "right_id"
     ).withColumnRenamed("s", "right_s")
     if max_bucket:
-        sizes = rv.groupBy("variant").agg(F.count("*").alias("bsz"))
-        rv = rv.join(sizes.filter(F.col("bsz") <= max_bucket), "variant").drop("bsz")
+        lsizes = lv.groupBy("variant").agg(F.count("*").alias("bsz"))
+        lv = lv.join(lsizes.filter(F.col("bsz") <= max_bucket), "variant").drop("bsz")
+        rsizes = rv.groupBy("variant").agg(F.count("*").alias("bsz"))
+        rv = rv.join(rsizes.filter(F.col("bsz") <= max_bucket), "variant").drop("bsz")
     return (
         lv.join(rv, "variant")
         .select("left_id", "right_id", "left_s", "right_s")

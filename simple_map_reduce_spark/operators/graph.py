@@ -52,6 +52,7 @@ def connected_components(
         F.col(id_col).alias("vid"), F.col(id_col).alias("comp")
     ).localCheckpoint(eager=True)
 
+    changed = 0
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["d"] == labels["vid"])
@@ -77,4 +78,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed > 0:
+        # partially-propagated labels are WRONG labels — never return
+        # them silently (the operator is exposed as general-purpose;
+        # dedup graphs converge in a handful of rounds, arbitrary graphs
+        # may not)
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter="
+            f"{max_iter} rounds ({changed} labels still changing); "
+            f"raise max_iter (rounds needed = graph diameter)"
+        )
     return labels.select(F.col("vid").alias(id_col), F.col("comp").alias("component"))

@@ -34,6 +34,8 @@ AQE sizes the reduce side.
 
 from __future__ import annotations
 
+import os
+import shlex
 from collections.abc import Callable, Iterable, Iterator
 
 import pandas as pd
@@ -105,36 +107,110 @@ def juice(
     return keyed.groupBy("key").applyInPandas(fold, schema=KV_SCHEMA)
 
 
+def _find_script(command: str) -> str | None:
+    """First token of ``command`` that names an existing local file — the
+    executor script to ship (the reference leader pushes the executable
+    to every worker before the phase starts, ``leader.rs:298-308``)."""
+    try:
+        tokens = shlex.split(command)
+    except ValueError:
+        return None
+    for tok in tokens:
+        if os.path.isfile(tok):
+            return tok
+    return None
+
+
+def _pipe_partition(
+    lines: Iterator[str], command: str, script: str | None
+) -> Iterator[str]:
+    """Executor-side pipe: stream a partition's lines through an external
+    command. When ``script`` was shipped via ``sc.addFile``, its driver
+    path in ``command`` is rewritten to the worker-local copy
+    (``SparkFiles.get``) — the script need not pre-exist on workers.
+    Streaming stdin/stdout via a feeder thread: no partition-sized buffer
+    on either side (the ``rdd.pipe`` shape, kept for the shipped path)."""
+    import subprocess
+    import threading
+
+    cmd = command
+    if script is not None:
+        from pyspark import SparkFiles
+
+        cmd = command.replace(script, SparkFiles.get(os.path.basename(script)))
+    proc = subprocess.Popen(
+        cmd, shell=True, stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True
+    )
+
+    def feed() -> None:
+        try:
+            for line in lines:
+                proc.stdin.write(line + "\n")
+        finally:
+            proc.stdin.close()
+
+    t = threading.Thread(target=feed, daemon=True)
+    t.start()
+    for out_line in proc.stdout:
+        yield out_line.rstrip("\n")
+    t.join()
+    rc = proc.wait()
+    if rc != 0:
+        raise RuntimeError(f"pipe command failed with exit code {rc}: {cmd}")
+
+
+def _piped_rdd(str_rdd, command: str, ship: bool):
+    """Common pipe execution: ship the script (if one is named and
+    shipping is on) and stream each partition through the command."""
+    script = _find_script(command) if ship else None
+    if script is not None:
+        str_rdd.context.addFile(script)
+    return str_rdd.mapPartitions(
+        lambda it, c=command, s=script: _pipe_partition(it, c, s)
+    )
+
+
 def maple_pipe(
     command: str,
     df: DataFrame,
     num_tasks: int | None = None,
     input_col: str | None = None,
+    ship: bool = True,
 ) -> DataFrame:
     """Script-compatibility map phase: pipe each partition's lines through
     an external command (Hadoop-streaming contract of the ``Hdemo1*``
     executors: lines on stdin → ``key\\tvalue`` lines on stdout,
-    ``executors/Hdemo1map.py:12-18``)."""
+    ``executors/Hdemo1map.py:12-18``).
+
+    ``ship=True`` (default) distributes the command's script file to every
+    worker via ``sc.addFile`` and resolves it worker-side — the U3
+    executable-distribution contract (``leader.rs:298-308``). On a real
+    cluster the script therefore only needs to exist on the driver."""
     col = input_col or df.columns[0]
     src = df.select(F.col(col).cast("string").alias("value"))
     if num_tasks:
         src = src.repartition(num_tasks)
-    piped = src.rdd.map(lambda r: r["value"]).pipe(command)
-    kv = piped.map(_split_tab)
-    return kv.toDF(KV_SCHEMA)
+    piped = _piped_rdd(src.rdd.map(lambda r: r["value"]), command, ship)
+    return piped.map(_split_tab).toDF(KV_SCHEMA)
 
 
-def juice_pipe(command: str, keyed: DataFrame, num_tasks: int | None = None) -> DataFrame:
+def juice_pipe(
+    command: str,
+    keyed: DataFrame,
+    num_tasks: int | None = None,
+    ship: bool = True,
+) -> DataFrame:
     """Script-compatibility reduce phase: key-sorted ``key\\tvalue`` lines on
     stdin (the sorted-shuffle idiom ``Hdemo1reduce.py:13-24`` assumes),
-    partitioned so a key never spans two processes."""
+    partitioned so a key never spans two processes. Scripts ship to
+    workers exactly like :func:`maple_pipe`."""
     n = num_tasks or keyed.rdd.getNumPartitions()
     sorted_kv = (
         keyed.repartition(n, "key")
         .sortWithinPartitions("key")
         .rdd.map(lambda r: f"{r['key']}\t{r['value']}")
     )
-    return sorted_kv.pipe(command).map(_split_tab).toDF(KV_SCHEMA)
+    return _piped_rdd(sorted_kv, command, ship).map(_split_tab).toDF(KV_SCHEMA)
 
 
 def _split_tab(line: str) -> tuple[str, str]:

@@ -42,11 +42,13 @@ def stratified_sample(
     ``default_rate`` (0.0 = drop unlisted strata — the safe default for
     corpus mixing, where an unknown source should not leak in).
     """
+    # round, don't truncate: int(0.29 * 10000) is 2899 under binary float
+    # representation error — the threshold must match the intended rate
     threshold: Column | None = None
     for value, rate in rates.items():
         cond = F.col(stratum_col) == F.lit(value)
-        t = F.lit(int(rate * denom))
+        t = F.lit(int(round(rate * denom)))
         threshold = F.when(cond, t) if threshold is None else threshold.when(cond, t)
-    fallback = F.lit(int(default_rate * denom))
+    fallback = F.lit(int(round(default_rate * denom)))
     threshold = fallback if threshold is None else threshold.otherwise(fallback)
     return df.filter(hash_bucket(F.col(key_col), denom) < threshold)

@@ -19,9 +19,12 @@ an id tiebreak before any top-k cut, so ranking is reproducible across
 engines (floating-point last-ulp noise cannot reorder results).
 
 At 100 TB: queries are broadcast (they're the small side by construction);
-the corpus is never shuffled for brute force — it's one scan + local
-top-k + a tiny global merge (``row_number`` over per-query groups of
-bounded size after local pruning by AQE).
+the corpus is never shuffled for brute force. The ``row_number`` ≤ k
+filter plans as a TWO-STAGE top-k: Catalyst inserts ``WindowGroupLimit
+… Partial`` below the exchange, pruning every map partition to its local
+top-k per query before any shuffle, so the exchange moves ≤ k rows per
+(query, partition) and the final per-query sort handles ≤ k·P rows —
+never the full scored corpus (plan-pinned in tests/test_plans.py).
 """
 
 from __future__ import annotations

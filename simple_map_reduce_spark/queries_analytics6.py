@@ -24,8 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
+from .cache import tracked_persist
 from .sources.readers import load_table
 
 _D12 = "decimal(12,2)"
@@ -211,9 +211,9 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-07-01"))
     )
     supp = F.broadcast(load_table(spark, sf_dir, "supplier"))
-    per_supp = li.groupBy("l_suppkey").agg(
-        F.sum(_revenue()).alias("total_revenue_d")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    per_supp = tracked_persist(
+        li.groupBy("l_suppkey").agg(F.sum(_revenue()).alias("total_revenue_d"))
+    )
     max_rev = per_supp.agg(F.max("total_revenue_d").alias("max_rev"))
     return (
         per_supp.crossJoin(F.broadcast(max_rev))
@@ -273,9 +273,11 @@ def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1998-01-01"))
     )
     supp = load_table(spark, sf_dir, "supplier")
-    pair = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.sum(F.col("l_quantity").cast(_D12)).alias("pair_qty")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    pair = tracked_persist(
+        li.groupBy("l_partkey", "l_suppkey").agg(
+            F.sum(F.col("l_quantity").cast(_D12)).alias("pair_qty")
+        )
+    )
     per_part = pair.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.sum("pair_qty").alias("part_qty")
     )
@@ -316,8 +318,8 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(late.cast("int")).alias("supp_late"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    pair = tracked_persist(pair)
     per_order = pair.groupBy(F.col("l_orderkey").alias("ok")).agg(
         F.count("*").alias("n_supps"),
         F.sum("supp_late").alias("n_late_supps"),

@@ -92,3 +92,18 @@ def test_maple_prefix_unions_all_tables(mj, spark):
     wc_map, _ = _wc_fns()
     keys = mj.maple(wc_map, num_tasks=2, out_prefix="mid", input_prefix="ds_")
     assert keys == ["a", "b", "c"]
+
+
+def test_maple_key_collect_cap(mj, tmp_path):
+    """The stdout-keys contract is bounded: exceeding max_keys raises
+    instead of silently collecting an unbounded vocabulary; maple_keys is
+    the distributed escape hatch."""
+    src = tmp_path / "corpus2.txt"
+    src.write_text("apple banana cherry\nbanana cherry date\n")
+    mj.put(str(src), "corpus2")
+    wc_map, _ = _wc_fns()
+    with pytest.raises(ValueError, match="maple_keys"):
+        mj.maple(wc_map, num_tasks=2, out_prefix="capped", input_prefix="corpus2", max_keys=2)
+    # the keyed table was still stored; the DataFrame form is unbounded
+    keys = {r["key"] for r in mj.maple_keys("capped").collect()}
+    assert keys == {"apple", "banana", "cherry", "date"}

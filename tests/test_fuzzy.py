@@ -83,3 +83,21 @@ def test_dist_zero_pairs_counted(spark):
     df = spark.createDataFrame([(1, "same"), (2, "same")], ["id", "s"])
     rows = fuzzy_self_join(df, "id", "s", max_dist=1).collect()
     assert [(r.id_a, r.id_b, r.dist) for r in rows] == [(1, 2, 0)]
+
+
+def test_two_table_join_caps_both_sides(spark):
+    """The hot-variant guard must apply to the LEFT stream too: a
+    degenerate left side (many near-empty strings sharing one variant)
+    is dropped by the cap, and max_bucket=0 restores completeness."""
+    left_rows = [(i, "a") for i in range(30)] + [(100, "bolt")]
+    right_rows = [(0, "b"), (1, "bolts")]
+    left = spark.createDataFrame(left_rows, ["lid", "s"])
+    right = spark.createDataFrame(right_rows, ["rid", "s"])
+    capped = fuzzy_join(left, right, "lid", "s", "rid", "s", max_dist=1, max_bucket=5)
+    # the 30 'a' rows all collapse to variants {'a',''}, bucket size 30+ > 5
+    got = {(r["left_id"], r["right_id"]) for r in capped.collect()}
+    assert (0, 0) not in got          # 'a'~'b' pair lost to the left cap
+    assert (100, 1) in got            # bolt~bolts survives
+    full = fuzzy_join(left, right, "lid", "s", "rid", "s", max_dist=1, max_bucket=0)
+    got_full = {(r["left_id"], r["right_id"]) for r in full.collect()}
+    assert all((i, 0) in got_full for i in range(30))  # completeness restored

@@ -29,3 +29,14 @@ def test_cc_cycle_with_cross_edge(spark):
     )
     got = {r.id: r.component for r in connected_components(verts, edges).collect()}
     assert got == {1: 1, 5: 1, 6: 1, 7: 1}
+
+
+def test_cc_nonconvergence_raises(spark):
+    """Partially-propagated labels must never be returned silently: a
+    6-vertex chain cannot converge in one round."""
+    import pytest
+
+    verts = spark.createDataFrame([(i,) for i in range(6)], ["id"])
+    edges = spark.createDataFrame([(i, i + 1) for i in range(5)], ["src", "dst"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(verts, edges, max_iter=1)

@@ -107,3 +107,33 @@ def test_pipe_mode_runs_external_scripts(spark, tmp_path):
     out = juice_pipe(f"python3 {reducer}", kv, num_tasks=2)
     got = {r["key"]: int(r["value"]) for r in out.collect()}
     assert got == {"x": 1, "y": 3, "z": 1}
+
+
+def test_pipe_mode_ships_script_to_workers(spark, tmp_path):
+    """U3 executable distribution: the script is pushed via sc.addFile and
+    resolved worker-side with SparkFiles.get — the process must run the
+    WORKER-LOCAL copy, not the driver path (reference leader.rs:298-308)."""
+    script = tmp_path / "whereami_map.py"
+    script.write_text(
+        "import sys, os\n"
+        "for line in sys.stdin:\n"
+        "    pass\n"
+        "print(f'ran_from\\t{os.path.abspath(__file__)}')\n"
+    )
+    docs = spark.createDataFrame([("a",), ("b",)], ["text"])
+    out = maple_pipe(f"python3 {script}", docs, num_tasks=1, input_col="text").collect()
+    assert len(out) == 1 and out[0]["key"] == "ran_from"
+    ran_from = out[0]["value"]
+    assert os.path.basename(ran_from) == "whereami_map.py"
+    # proves SparkFiles resolution: the executed copy is NOT the driver file
+    assert os.path.realpath(ran_from) != os.path.realpath(str(script))
+
+
+def test_pipe_mode_nonzero_exit_raises(spark, tmp_path):
+    script = tmp_path / "boom_map.py"
+    script.write_text("import sys\nsys.exit(3)\n")
+    docs = spark.createDataFrame([("a",)], ["text"])
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    with pytest.raises(Exception):
+        maple_pipe(f"python3 {script}", docs, num_tasks=1, input_col="text").collect()

@@ -132,3 +132,18 @@ def test_stratified_sample_rates_and_determinism(spark):
     assert ids_a == ids_b                   # pure function of the key
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_stratified_sample_threshold_rounds_not_truncates(spark):
+    """0.29 * denom is 28.999… in binary floating point; the threshold
+    must round to 29, not truncate to 28 (ADVICE r1)."""
+    from simple_map_reduce_spark.operators.sampling import hash_bucket, stratified_sample
+    from pyspark.sql import functions as F
+
+    df = spark.range(2000).select(
+        F.col("id").alias("k"), F.lit("en").alias("lang")
+    )
+    got = stratified_sample(df, "k", "lang", {"en": 0.29}, denom=100)
+    expected = df.filter(hash_bucket(F.col("k"), 100) < 29)
+    assert got.count() == expected.count() > 0
+    assert int(0.29 * 100) == 28  # the bug this guards against

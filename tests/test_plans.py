@@ -128,6 +128,21 @@ def test_cosine_topk_corpus_never_shuffles(spark):
     assert "Exchange hashpartitioning(neighbor_id" not in plan.split("Window")[0]
 
 
+def test_cosine_topk_two_stage_window_limit(spark):
+    """The rank ≤ k filter must plan as a two-stage top-k: a PARTIAL
+    WindowGroupLimit below the query_id exchange prunes each map
+    partition to its local top-k, so no task ever sorts a query's full
+    scored corpus (shuffle carries ≤ k rows per query per partition)."""
+    plan = _plan(spark, "similarity_topk")
+    partial = [l for l in plan.splitlines() if "WindowGroupLimit" in l and "Partial" in l]
+    final = [l for l in plan.splitlines() if "WindowGroupLimit" in l and "Final" in l]
+    assert partial, "partial (pre-shuffle) WindowGroupLimit missing"
+    assert final, "final WindowGroupLimit missing"
+    # the partial stage sits BELOW the query_id exchange
+    ex = plan.index("Exchange hashpartitioning(query_id")
+    assert plan.index(partial[0].strip()) > ex, "partial stage must be below the exchange"
+
+
 def test_forecast_revenue_fully_pushed_scan(spark):
     """q6 shape: every predicate reaches the parquet scan (row-group
     pruning at scale) and there is no join — the only exchange is the
