@@ -370,10 +370,14 @@ def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_nation_segment_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: distinct market segments per nation as a SORTED
     list — collect_set is order-nondeterministic across partitions, so the
-    sort is what makes the result an engine-independent value."""
+    sort is what makes the result an engine-independent value. Joined to a
+    comma string: the harness canonicalizer hashes scalar cells only (an
+    array cell is unhashable — this exact class of red row shipped twice)."""
     cust = load_table(spark, sf_dir, "customer")
     return cust.groupBy("c_nationkey").agg(
-        F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+        F.array_join(F.sort_array(F.collect_set("c_mktsegment")), ",").alias(
+            "segments"
+        ),
         F.count("*").alias("n_customers"),
     )
 
@@ -628,7 +632,7 @@ ANALYTICS3_ORACLES = {
     """,
     "nation_segment_list": """
         SELECT c_nationkey,
-               list_sort(list(DISTINCT c_mktsegment)) AS segments,
+               array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
                count(*) AS n_customers
         FROM customer GROUP BY c_nationkey
     """,

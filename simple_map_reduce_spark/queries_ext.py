@@ -199,16 +199,9 @@ def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    from pyspark.sql import functions as F
+    from .streaming.events import run_available_now, windowed_rollup
 
-    from .streaming.events import EVENTS_DDL, run_available_now, windowed_rollup
-
-    raw = (
-        spark.readStream.schema(EVENTS_DDL)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = _events_stream(spark, sf_dir)
     sink = f"stream_rollup_{uuid.uuid4().hex[:8]}"
     return run_available_now(
         windowed_rollup(ev), sink, tempfile.mkdtemp(), output_mode="complete"
@@ -308,14 +301,12 @@ def q_value_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events_stream(spark: SparkSession, sf_dir: str):
-    from .streaming.events import EVENTS_DDL
+    """Event stream over a testdata sf dir — delegates to THE shared
+    stream-source helper (streaming.events.read_events_stream), which
+    probes the delivered ts dtype instead of assuming nanos."""
+    from .streaming.events import read_events_stream
 
-    raw = (
-        spark.readStream.schema(EVENTS_DDL)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return read_events_stream(spark, sf_dir, glob="events.parquet")
 
 
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

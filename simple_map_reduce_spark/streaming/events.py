@@ -43,11 +43,37 @@ SESSION_SCHEMA = (
 )
 
 
-def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
-    """File-source stream of events parquet (ts arrives as nanos — same
-    normalisation as sources.load_table)."""
-    raw = spark.readStream.schema(EVENTS_DDL).parquet(source_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+def read_events_stream(
+    spark: SparkSession, source_dir: str, glob: str | None = None
+) -> DataFrame:
+    """File-source stream of events parquet with ``ts`` normalised to a
+    timestamp — THE single stream-source helper (every streaming query
+    goes through here; three divergent copies of this normalisation once
+    shipped a wrong-timestamp bug).
+
+    Environments differ in how parquet TIMESTAMP(NANOS) is delivered:
+    some readers hand it over as a nanosecond ``bigint`` (via
+    ``spark.sql.legacy.parquet.nanosAsLong``), newer ones as a native
+    ``timestamp_ntz``. File streams require a declared schema, so we
+    probe with a batch read of the same path and branch on the dtype it
+    actually delivers — mirroring the batch reader
+    (``sources/readers.py``), never assuming either encoding.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probe = spark.read
+    reader = spark.readStream
+    if glob is not None:
+        probe = probe.option("pathGlobFilter", glob)
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.schema(probe.parquet(source_dir).schema).parquet(source_dir)
+    delivered = dict(raw.dtypes).get("ts")
+    if delivered == "bigint":  # nanos-as-long delivery
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif delivered == "timestamp_ntz":
+        # watermarks demand TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE);
+        # the session tz is pinned to UTC so this cast is value-preserving
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def windowed_rollup(
