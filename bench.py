@@ -63,7 +63,9 @@ BENCH_QUERIES = [
     "qty_outliers",
     "customer_order_seq",
     "simhash_dup_pairs",
-    "embedding_neardup",
+    # the LSH tier, NOT the exact quadratic oracle tier: a benchmark
+    # headline must be a query you'd actually run at 100 TB
+    "embedding_neardup_lsh",
     "tfidf_terms",
     "fuzzy_part_names",
     "audio_features",
@@ -87,6 +89,11 @@ def main() -> None:
         """Materialize every output column (pruning-proof forcing)."""
         df.write.format("noop").mode("overwrite").save()
 
+    # min over N measured reps (after the warmup): a transient CPU spike
+    # from a co-tenant process inflates one rep, not all of them
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    load_start = os.getloadavg()
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
@@ -96,13 +103,21 @@ def main() -> None:
             pass  # the measured run below records the failure
         release_tracked()
         spark.catalog.clearCache()
-        start = time.perf_counter()
-        try:
-            force(QUERIES[name](spark, sf_dir))
-            timings[name] = round(time.perf_counter() - start, 4)
-        except Exception as exc:  # one bad query must not void the record
-            errors[name] = str(exc).split("\n")[0][:200]
-        release_tracked()  # drop operator-internal caches between queries
+        best = None
+        for _ in range(reps):
+            start = time.perf_counter()
+            try:
+                force(QUERIES[name](spark, sf_dir))
+                took = time.perf_counter() - start
+                best = took if best is None else min(best, took)
+            except Exception as exc:  # one bad query must not void the record
+                errors[name] = str(exc).split("\n")[0][:200]
+                break
+            release_tracked()  # drop operator-internal caches between reps
+            spark.catalog.clearCache()
+        if best is not None:
+            timings[name] = round(best, 4)
+        release_tracked()
 
     total = round(sum(timings.values()), 4)
     record = {
@@ -111,6 +126,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # 1/5/15-min system load at start and end: a contaminated record
+        # (bench run while the machine was busy) is self-evident
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "reps": reps,
     }
     if errors:
         record["errors"] = errors

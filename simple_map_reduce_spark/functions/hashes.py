@@ -11,6 +11,13 @@ lowercase-hex output:
 - ``md5_long60(col)``         — first 15 hex chars parsed as a 60-bit
   non-negative BIGINT (DuckDB twin: ``('0x' || substr(md5(x),1,15))::BIGINT``).
   60 bits keeps the value positive in a signed 64-bit int on both engines.
+- ``minhash_mix(h, i)``       — the i-th universal-hash mix of one 60-bit
+  content hash: ``(a_i*hi + b_i*lo + c_i) mod (2^61-1)`` over the split
+  halves of ``h``. ONE md5 per row feeds all k MinHash permutations
+  (k seeded md5s would be ~k× the hash work on the dominant stage of LSH
+  dedup); the split-multiply keeps every intermediate < 2^63, so the
+  arithmetic is exact signed-64 in Spark AND DuckDB (which raises on
+  int64 overflow rather than wrapping).
 
 These are content hashes for *algorithms* (MinHash, SimHash, LSH,
 fingerprinting), not cryptography.
@@ -22,6 +29,40 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 HASH60_BITS = 60
+
+# (a*hi + b*lo + c) mod p universal-hash family for MinHash permutations.
+# p = 2^61-1 (Mersenne prime); a,b,c are fixed PUBLIC 30-bit odd constants
+# from one LCG step — arbitrary but reproducible parameters, inlined as
+# literals into the DuckDB oracle. With hi,lo < 2^30 and a,b < 2^30 every
+# product stays < 2^60 and the 3-term sum < 2^62: exact in signed 64-bit.
+MINHASH_PRIME = (1 << 61) - 1
+_MH_SPLIT = 1 << 30
+
+
+def minhash_params(i: int) -> tuple[int, int, int]:
+    """Fixed public (a_i, b_i, c_i) for the i-th MinHash permutation."""
+
+    def const(salt: int) -> int:
+        return ((1103515245 * (3 * i + salt) + 12345) & (_MH_SPLIT - 1)) | 1
+
+    return const(1), const(2), const(3)
+
+
+def minhash_mix(h: Column, i: int) -> Column:
+    """The i-th MinHash permutation value of a 60-bit content hash."""
+    a, b, c = minhash_params(i)
+    hi = F.shiftright(h, 30)
+    lo = h.bitwiseAND(F.lit(_MH_SPLIT - 1))
+    return (F.lit(a) * hi + F.lit(b) * lo + F.lit(c)) % F.lit(MINHASH_PRIME)
+
+
+def duckdb_minhash_mix(h_expr: str, i: int) -> str:
+    """DuckDB SQL twin of :func:`minhash_mix` (h_expr must be 0..2^60)."""
+    a, b, c = minhash_params(i)
+    return (
+        f"({a} * ({h_expr} // {_MH_SPLIT}) + {b} * ({h_expr} % {_MH_SPLIT})"
+        f" + {c}) % {MINHASH_PRIME}"
+    )
 
 
 def md5_hex(col: Column | str, seed: int | None = None) -> Column:

@@ -5,12 +5,15 @@ No reference counterpart (SURVEY.md §2.11); designed for 100 TB:
 - **exact_dedup** — hash-groupBy on content: one shuffle keyed by the
   content column; min-id representative selection is a plain aggregate
   (no window over raw rows).
-- **MinHash + LSH** — shingle → k seeded-md5 minima → band buckets →
-  bucket self-join → jaccard verify. The candidate join is on
-  (band_idx, band_hash), so pair generation is proportional to bucket
-  collisions, never |docs|² — the textbook scale path. Hashes are
-  lexicographic minima of seeded md5 hex strings, reproducible in any
-  SQL engine (see functions/hashes.py).
+- **MinHash + LSH** — shingle → ONE 60-bit md5 → k universal-hash mixes
+  → per-doc minima → band buckets → bucket self-join → jaccard verify.
+  The candidate join is on (band_idx, band_hash), so pair generation is
+  proportional to bucket collisions, never |docs|² — the textbook scale
+  path. One md5 per (doc, shingle) feeds ALL k permutations via
+  ``(a_i*hi + b_i*lo + c_i) mod (2^61-1)`` mixes (functions/hashes.py)
+  — k seeded md5s would be k× the hash work on the dominant stage —
+  and every constant is public, so the scheme reproduces exactly in the
+  DuckDB oracle.
 - **SimHash** — 60-bit signature from per-token hash bit votes; near-dup
   pairs via the pigeonhole band trick (hamming ≤ d over b bands with
   d < b ⇒ at least one band identical), so pair search is again a
@@ -32,7 +35,7 @@ from pyspark.sql import functions as F
 
 from ..cache import tracked_persist
 
-from ..functions.hashes import md5_hex
+from ..functions.hashes import md5_long60, minhash_mix
 from ..functions.text import tokenize
 
 DEFAULT_NUM_HASHES = 12
@@ -109,16 +112,24 @@ def minhash_signature(
     num_hashes: int = DEFAULT_NUM_HASHES,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, mh_0..mh_{k-1}): k MinHash values = lexicographic minima of
-    seeded md5 hex over the document's shingle set. One explode + one
-    groupBy(id) with k min-aggregates — a single shuffle, map-side
-    combined, regardless of k."""
-    sh = shingles(df, id_col, text_col, shingle_n)
-    aggs = [
-        F.min(md5_hex(F.col("shingle"), seed=i)).alias(f"mh_{i}")
+    """(id, mh_0..mh_{k-1}): k MinHash values = minima of k universal-hash
+    mixes of ONE 60-bit md5 per shingle. One explode + one groupBy(id)
+    with k min-aggregates — a single shuffle, map-side combined, and a
+    single md5 evaluation per (doc, shingle) regardless of k."""
+    sh = _hashed_shingles(shingles(df, id_col, text_col, shingle_n))
+    return sh.groupBy("id").agg(*_minhash_aggs(num_hashes))
+
+
+def _hashed_shingles(sh: DataFrame) -> DataFrame:
+    """Project the one-per-shingle 60-bit content hash (id, shingle, h)."""
+    return sh.withColumn("h", md5_long60(F.col("shingle")))
+
+
+def _minhash_aggs(num_hashes: int) -> list:
+    return [
+        F.min(minhash_mix(F.col("h"), i)).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
-    return sh.groupBy("id").agg(*aggs)
 
 
 def lsh_band_buckets(
@@ -162,12 +173,8 @@ def minhash_dup_pairs(
     production shape for LSH dedup at scale; MEMORY_AND_DISK spills
     rather than OOMs when the shingle set exceeds executor memory.
     """
-    sh = tracked_persist(shingles(df, id_col, text_col, shingle_n))
-    aggs = [
-        F.min(md5_hex(F.col("shingle"), seed=i)).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
-    sig = sh.groupBy("id").agg(*aggs)
+    sh = tracked_persist(_hashed_shingles(shingles(df, id_col, text_col, shingle_n)))
+    sig = sh.groupBy("id").agg(*_minhash_aggs(num_hashes))
     buckets = lsh_band_buckets(sig, num_hashes, bands)
     if max_bucket:
         sizes = buckets.groupBy("band_idx", "band_hash").agg(F.count("*").alias("bsz"))
@@ -206,6 +213,60 @@ def _verify_jaccard(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFra
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# decontamination (train ↔ benchmark n-gram overlap)
+# ---------------------------------------------------------------------------
+
+
+def decontaminate_report(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_shared: int = 3,
+    max_bucket: int = 1_000,
+) -> DataFrame:
+    """Benchmark-decontamination report: for every benchmark document,
+    how many training documents share ≥ ``min_shared`` n-gram shingles
+    with it (and the worst offender's shared count) — the standard
+    eval-set-leakage check an LLM training pipeline runs before training
+    (real deployments use n = 8..13; the parameter is the knob).
+
+    Scale shape: the training side is the 100 TB corpus; the benchmark
+    side is a handful of eval suites (KBs–MBs of text), so its shingle
+    set is **broadcast** — the train shingles are scanned once, joined
+    map-side, and never shuffled. Hot train shingles past ``max_bucket``
+    docs are stopword phrases with no leakage signal and are dropped
+    (the same posting-list cap as ``ngram_jaccard_pairs``). Output is one
+    row per benchmark doc (zero-hit docs included — a report with silent
+    gaps would read as "clean" where it was "unchecked").
+    """
+    ts = shingles(train, id_col, text_col, n)
+    if max_bucket:
+        freq = ts.groupBy("shingle").agg(F.count("*").alias("df_cnt"))
+        ts = ts.join(freq.filter(F.col("df_cnt") <= max_bucket), "shingle").drop(
+            "df_cnt"
+        )
+    bs = shingles(bench, id_col, text_col, n).withColumnRenamed("id", "bench_id")
+    pair_shared = (
+        ts.join(F.broadcast(bs), "shingle")
+        .groupBy(F.col("bench_id"), F.col("id").alias("train_id"))
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    per_bench = pair_shared.groupBy("bench_id").agg(
+        F.count("*").alias("n_contaminated"),
+        F.max("shared").alias("max_shared"),
+    )
+    all_bench = bench.select(F.col(id_col).alias("bench_id")).distinct()
+    return all_bench.join(per_bench, "bench_id", "left").select(
+        "bench_id",
+        F.coalesce(F.col("n_contaminated"), F.lit(0)).alias("n_contaminated"),
+        F.coalesce(F.col("max_shared"), F.lit(0)).alias("max_shared"),
     )
 
 

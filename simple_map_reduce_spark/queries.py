@@ -237,64 +237,82 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 # Driver-verification rotation: the correctness harness checks exactly the
-# FIRST 50 registry entries in order (verified round 1), so the front of
-# the dict rotates each round until every query has a driver-green row.
-# Round 2 window: the 48 queries that got no driver row in round 1, plus
-# the two repaired multimodal queries (image_features, frame_sample) whose
-# round-1 rows were canonicalizer errors. Deferred to the next rotation
-# (still covered by the local parity suite): orders_by_month, big_orders,
-# multi_distinct, left_join_order_counts, qty_outliers.
-_ROTATION_FRONT = [
-    "segment_intersect",
-    "asof_last_order",
-    "deterministic_sample",
-    "sessionize_batch",
-    "nation_full_outer",
-    "promo_revenue",
-    "flag_priority_matrix",
-    "sales_cube",
-    "customer_order_seq",
-    "purchase_click_burst",
-    "qty_quartiles",
-    "events_pivot",
-    "part_name_features",
-    "segment_except",
-    "priority_union",
-    "bigram_docfreq",
+# FIRST 50 registry entries in order, so the front of the dict rotates
+# each round until every query has a driver-green row FROM THE ROUND ITS
+# CURRENT BEHAVIOR SHIPPED IN.
+#
+# WINDOW-COMPOSITION RULE (enforced by tests/test_registry_lint.py):
+# whenever an operator/query's semantics change, add its registry keys to
+# _CHANGED_THIS_ROUND below — the lint asserts they sit inside the window,
+# so a behavior change can never ship on a stale green row again (round
+# 2's trigram-default change left jaccard_pairs unverified for a round).
+#
+# Round 3 window = the 5 never-checked queries + everything changed this
+# round (streaming ts normalization ×5, MinHash universal-hash scheme ×3,
+# nation_segment_list scalarization) + r2 changes that missed the r2
+# window (jaccard_pairs, maple_*, similarity_topk) + the oldest r1 rows
+# refreshed.
+_CHANGED_THIS_ROUND = [
+    # r3: shared stream-source helper (dtype-probing ts normalization)
+    "streaming_rollup",
+    "streaming_dedup",
+    "streaming_sessions",
+    "streaming_enriched",
+    "streaming_click_attribution",
+    # r3: MinHash = one md5 → k universal-hash mixes (was k seeded md5s)
+    "minhash_buckets",
+    "minhash_dup_pairs",
+    "dedup_groups",
+    # r3: array column scalarized to a comma-joined string
     "nation_segment_list",
-    "salted_type_rollup",
-    "token_positions",
-    "late_ship_priority",
-    "returned_revenue_top",
-    "cheapest_item_per_order",
-    "disjunctive_revenue",
-    "rich_inactive_customers",
-    "segment_priority_grid",
-    "cohort_retention",
-    "fuzzy_part_names",
-    "tfidf_terms",
-    "mom_revenue_growth",
-    "moving_avg_3m",
-    "customer_spend_ntile",
-    "pricey_parts_dense",
-    "qty_median_by_flag",
-    "monthly_gapfill",
-    "salted_join_segments",
-    "priority_trailing_week",
-    "part_metrics_unpivot",
-    "status_priority_sets",
-    "forecast_revenue",
-    "nation_trade_volume",
-    "market_share",
-    "profit_by_nation_year",
-    "order_count_histogram",
-    "top_supplier",
-    "supplier_variety",
-    "dominant_suppliers",
-    "waiting_suppliers",
-    "stratified_sample",
-    "image_features",
-    "frame_sample",
+    # r3: NEW queries (a new query's behavior ships this round too)
+    "decontaminate",
+    "streaming_dedup_watermark",
+]
+_ROTATION_FRONT = [
+    # never driver-checked (deferred from the r2 window)
+    "left_join_order_counts",
+    "qty_outliers",
+    "orders_by_month",
+    "big_orders",
+    "multi_distinct",
+    *_CHANGED_THIS_ROUND,
+    # r2 behavior changes whose last driver row predates them
+    "jaccard_pairs",  # trigram shingle default (r2)
+    "maple_wordcount",  # bounded key collect + pipe-mode shipping (r2)
+    "maple_filter_pct",  # same maple/juice surface (r2)
+    "similarity_topk",  # two-stage WindowGroupLimit funnel (r2)
+    # refresh of the oldest (r1) driver rows, oracle-backed first
+    "regex_filter",
+    "column_filter",
+    "equi_join",
+    "wordcount",
+    "wordcount_total",
+    "distinct_tokens",
+    "filter_group_pct",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
+    "topk_customers",
+    "window_running",
+    "events_windowed",
+    "dedup_exact",
+    "simhash_sigs",
+    "simhash_dup_pairs",
+    "embedding_neardup",
+    "text_stats",
+    "token_counts",
+    "lang_id",
+    "doc_fingerprint",
+    "corpus_prep",
+    "events_json",
+    "sales_rollup",
+    "stats_summary",
+    "multimodal_meta",
+    "audio_features",
+    "orders_sorted_limit",
+    "parts_ordered",
+    "embedding_neardup_lsh",  # now the similarity bench headline
 ]
 assert len(_ROTATION_FRONT) == 50
 assert set(_ROTATION_FRONT) <= set(QUERIES)

@@ -24,6 +24,7 @@ from .operators.dedup import (
     DEFAULT_BANDS,
     DEFAULT_NUM_HASHES,
     SIMHASH_BITS,
+    decontaminate_report,
     exact_dedup,
     lsh_band_buckets,
     minhash_dup_pairs,
@@ -43,6 +44,10 @@ JACCARD_THRESHOLD = 0.1
 MINHASH_THRESHOLD = 0.3
 SIM_QUERY_IDS = [0, 1, 2, 3, 4]
 SIM_K = 5
+# decontamination: every 20th doc plays the benchmark set; ≥3 shared
+# trigrams flags a train doc as contaminated (real runs: 8..13-grams)
+DECON_MOD = 20
+DECON_MIN_SHARED = 3
 
 
 # ---------------------------------------------------------------------------
@@ -364,6 +369,44 @@ def q_streaming_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(counts, sink, tempfile.mkdtemp(), output_mode="complete")
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators.dedup.decontaminate_report):
+    every 20th document plays the eval set; the report counts, per
+    benchmark doc, the training docs sharing ≥3 trigram shingles — the
+    eval-leakage check run before training. Broadcast benchmark shingles,
+    single scan of the train side."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % DECON_MOD == 0)
+    train = docs.filter(F.col("doc_id") % DECON_MOD != 0)
+    return decontaminate_report(
+        train, bench, "doc_id", "text", n=JACCARD_N, min_shared=DECON_MIN_SHARED
+    )
+
+
+def q_streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup through ``dropDuplicatesWithinWatermark`` — the
+    PRODUCTION form: dedup state is bounded by the watermark horizon and
+    evicted, instead of growing with history like plain dropDuplicates
+    state (q_streaming_dedup, kept as the exact/oracle form). The 90-day
+    delay exceeds the testdata's time span, so the bounded dedup is exact
+    here and shares streaming_dedup's batch oracle."""
+    import tempfile
+    import uuid
+
+    from .streaming.events import run_available_now
+
+    ev = _events_stream(spark, sf_dir)
+    doubled = ev.union(_events_stream(spark, sf_dir))
+    counts = (
+        doubled.withWatermark("ts", "90 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+    sink = f"stream_dedup_wm_{uuid.uuid4().hex[:8]}"
+    return run_available_now(counts, sink, tempfile.mkdtemp(), output_mode="complete")
+
+
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END corpus-preparation pipeline (pipelines.prepare_corpus):
     quality score + language ID (fused into one scan pass by Catalyst) →
@@ -509,10 +552,16 @@ sh AS (
 
 
 def _minhash_sig_sql(num_hashes: int = DEFAULT_NUM_HASHES) -> str:
+    from .functions.hashes import duckdb_md5_long60, duckdb_minhash_mix
+
+    h = duckdb_md5_long60("shingle")
     mins = ",\n           ".join(
-        f"min(md5(concat('{i}|', shingle))) AS mh_{i}" for i in range(num_hashes)
+        f"min({duckdb_minhash_mix('h', i)}) AS mh_{i}" for i in range(num_hashes)
     )
-    return f"sig AS (SELECT id, {mins} FROM sh GROUP BY id)"
+    return (
+        f"hsh AS (SELECT id, {h} AS h FROM sh),\n"
+        f"        sig AS (SELECT id, {mins} FROM hsh GROUP BY id)"
+    )
 
 
 def _band_sql(num_hashes: int = DEFAULT_NUM_HASHES, bands: int = DEFAULT_BANDS) -> str:
@@ -552,6 +601,30 @@ def minhash_pairs_oracle() -> str:
                i.inter_cnt * 1.0 / (a.sz + b.sz - i.inter_cnt) AS jaccard
         FROM inter i JOIN sz a ON i.id_a = a.id JOIN sz b ON i.id_b = b.id
         WHERE i.inter_cnt * 1.0 / (a.sz + b.sz - i.inter_cnt) >= {MINHASH_THRESHOLD}
+    """
+
+
+def decontaminate_oracle() -> str:
+    """Same trigram shingles, posting-list cap, and ≥min_shared rule as
+    decontaminate_report — recomposed relationally."""
+    return f"""
+        WITH {_SHINGLE_CTE},
+        bs AS (SELECT id AS bench_id, shingle FROM sh WHERE id % {DECON_MOD} = 0),
+        ts AS (SELECT id, shingle FROM sh WHERE id % {DECON_MOD} != 0),
+        freq AS (SELECT shingle, count(*) AS df_cnt FROM ts GROUP BY shingle),
+        tsf AS (SELECT ts.id, ts.shingle FROM ts JOIN freq USING (shingle)
+                WHERE df_cnt <= 1000),
+        pair AS (SELECT bs.bench_id, tsf.id AS train_id, count(*) AS shared
+                 FROM tsf JOIN bs USING (shingle)
+                 GROUP BY 1, 2 HAVING count(*) >= {DECON_MIN_SHARED}),
+        per AS (SELECT bench_id, count(*) AS n_contaminated,
+                       max(shared) AS max_shared
+                FROM pair GROUP BY bench_id)
+        SELECT d.doc_id AS bench_id,
+               coalesce(per.n_contaminated, 0) AS n_contaminated,
+               coalesce(per.max_shared, 0) AS max_shared
+        FROM documents d LEFT JOIN per ON per.bench_id = d.doc_id
+        WHERE d.doc_id % {DECON_MOD} = 0
     """
 
 
@@ -785,6 +858,8 @@ EXT_QUERIES = {
     "streaming_click_attribution": q_streaming_click_attribution,
     "maple_filter_pct": q_maple_filter_pct,
     "corpus_prep": q_corpus_prep,
+    "decontaminate": q_decontaminate,
+    "streaming_dedup_watermark": q_streaming_dedup_watermark,
 }
 
 EXT_ORACLES = {
@@ -849,6 +924,11 @@ EXT_ORACLES = {
     "streaming_dedup": """
         SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type
     """,
+    # watermark-bounded dedup is exact while the delay covers the data span
+    "streaming_dedup_watermark": """
+        SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type
+    """,
+    "decontaminate": decontaminate_oracle(),
     # closed sessions only: batch sessionization minus each user's last
     # (still-open) session; gap comparison at full microsecond precision,
     # matching the stateful fold's timedelta arithmetic

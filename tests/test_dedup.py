@@ -12,6 +12,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from simple_map_reduce_spark.operators.dedup import (
+    decontaminate_report,
     drop_exact_dups,
     exact_dedup,
     minhash_dup_pairs,
@@ -76,6 +77,23 @@ def test_jaccard_pairs_threshold(spark):
     assert (1, 4) in got and got[(1, 4)] == 1.0  # identical docs
     assert (1, 2) in got and 0.5 <= got[(1, 2)] < 1.0
     assert all(3 not in (a, b) for a, b in got)
+
+
+def test_decontaminate_flags_leaked_doc_and_reports_clean(spark):
+    # bench doc 100 is verbatim-leaked as train doc 1; bench doc 200 is
+    # unrelated → flagged with max overlap / reported clean with zeros
+    train = spark.createDataFrame([(1, BASE), (3, FAR)], ["doc_id", "text"])
+    bench = spark.createDataFrame(
+        [(100, BASE), (200, "nothing in common with any training text here")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["bench_id"]: (r["n_contaminated"], r["max_shared"])
+        for r in decontaminate_report(train, bench, "doc_id", "text").collect()
+    }
+    n_shingles = shingles(bench.filter("doc_id = 100"), "doc_id", "text").count()
+    assert out[100] == (1, n_shingles)  # the full shingle set overlaps
+    assert out[200] == (0, 0)  # clean docs still get a row
 
 
 def test_hot_shingle_guard_drops_buckets(spark):

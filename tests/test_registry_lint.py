@@ -55,3 +55,20 @@ def test_registered_query_emits_scalars_only(spark, name):
 def test_streaming_query_emits_scalars_only(spark, name):
     sdf = entrymod.queries()[name](spark, SF_SMOKE)
     _assert_scalar_schema(name, sdf.schema)
+
+
+def test_changed_queries_are_inside_verification_window():
+    """The driver hash-checks only the FIRST 50 registry entries per
+    round. Any query whose semantics changed this round MUST be in that
+    window — otherwise the change ships on a stale green row (this
+    happened to jaccard_pairs in round 2). The discipline: a behavior
+    change adds its keys to queries._CHANGED_THIS_ROUND; this test pins
+    them into the window."""
+    from simple_map_reduce_spark.queries import _CHANGED_THIS_ROUND
+
+    window = list(entrymod.queries().keys())[:50]
+    missing = [k for k in _CHANGED_THIS_ROUND if k not in window]
+    assert not missing, (
+        f"queries changed this round but outside the 50-slot driver "
+        f"verification window: {missing}"
+    )
