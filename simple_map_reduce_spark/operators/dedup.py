@@ -71,8 +71,8 @@ def drop_exact_dups(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle).
+def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Pre-distinct (id, shingle) stream: one row per n-gram occurrence.
 
     Documents shorter than ``n`` tokens contribute their whole token
     stream as a single shingle so they still participate in dedup.
@@ -97,7 +97,29 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
             ),
         ),
     ).otherwise(F.array(F.array_join(toks, " ")))
-    return toked.select("id", F.explode(grams).alias("shingle")).distinct()
+    return toked.select("id", F.explode(grams).alias("shingle"))
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    return _exploded_shingles(df, id_col, text_col, n).distinct()
+
+
+def hashed_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct 60-bit shingle hashes per document: (id, h) — the join /
+    aggregate currency of the dedup tier. Hashing BEFORE the distinct
+    means every downstream shuffle (the distinct itself, the inverted-
+    index self-join, the Jaccard verify) moves an 8-byte int instead of
+    a multi-word string — ~3-4× narrower rows on the widest stages. An
+    md5 collision merging two distinct shingles is ~|shingles|²/2^61
+    (vanishing); the oracle applies the identical hash, so the
+    cross-engine comparison stays exact either way.
+    """
+    return (
+        _exploded_shingles(df, id_col, text_col, n)
+        .select("id", md5_long60(F.col("shingle")).alias("h"))
+        .distinct()
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -116,13 +138,8 @@ def minhash_signature(
     mixes of ONE 60-bit md5 per shingle. One explode + one groupBy(id)
     with k min-aggregates — a single shuffle, map-side combined, and a
     single md5 evaluation per (doc, shingle) regardless of k."""
-    sh = _hashed_shingles(shingles(df, id_col, text_col, shingle_n))
+    sh = hashed_shingles(df, id_col, text_col, shingle_n)
     return sh.groupBy("id").agg(*_minhash_aggs(num_hashes))
-
-
-def _hashed_shingles(sh: DataFrame) -> DataFrame:
-    """Project the one-per-shingle 60-bit content hash (id, shingle, h)."""
-    return sh.withColumn("h", md5_long60(F.col("shingle")))
 
 
 def _minhash_aggs(num_hashes: int) -> list:
@@ -173,7 +190,7 @@ def minhash_dup_pairs(
     production shape for LSH dedup at scale; MEMORY_AND_DISK spills
     rather than OOMs when the shingle set exceeds executor memory.
     """
-    sh = tracked_persist(_hashed_shingles(shingles(df, id_col, text_col, shingle_n)))
+    sh = tracked_persist(hashed_shingles(df, id_col, text_col, shingle_n))
     sig = sh.groupBy("id").agg(*_minhash_aggs(num_hashes))
     buckets = lsh_band_buckets(sig, num_hashes, bands)
     if max_bucket:
@@ -194,13 +211,14 @@ def minhash_dup_pairs(
 
 
 def _verify_jaccard(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
-    """Exact Jaccard for candidate pairs from integer set sizes."""
+    """Exact Jaccard for candidate pairs from integer set sizes; ``sh``
+    is the hashed (id, h) shingle-set — the verify join moves ints."""
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    a = sh.select(F.col("id").alias("id_a"), "h")
+    b = sh.select(F.col("id").alias("id_b"), "h")
     inter = (
         cand.join(a, "id_a")
-        .join(b, ["id_b", "shingle"])
+        .join(b, ["id_b", "h"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter_cnt"))
     )
@@ -396,17 +414,19 @@ def ngram_jaccard_pairs(
 
     The (filtered) shingle set feeds three branches — per-doc sizes and
     both sides of the inverted-index self-join — so it is persisted once
-    (MEMORY_AND_DISK) instead of re-tokenizing the corpus per branch."""
-    sh = shingles(df, id_col, text_col, n)
+    (MEMORY_AND_DISK) instead of re-tokenizing the corpus per branch.
+    All of it runs on the hashed (id, h) form: the posting-list join and
+    the distinct shuffle 8-byte ints, not shingle strings."""
+    sh = hashed_shingles(df, id_col, text_col, n)
     if max_bucket:
-        freq = sh.groupBy("shingle").agg(F.count("*").alias("df_cnt"))
-        sh = sh.join(freq.filter(F.col("df_cnt") <= max_bucket), "shingle").drop("df_cnt")
+        freq = sh.groupBy("h").agg(F.count("*").alias("df_cnt"))
+        sh = sh.join(freq.filter(F.col("df_cnt") <= max_bucket), "h").drop("df_cnt")
     sh = tracked_persist(sh)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    a = sh.select(F.col("id").alias("id_a"), "h")
+    b = sh.select(F.col("id").alias("id_b"), "h")
     inter = (
-        a.join(b, "shingle")
+        a.join(b, "h")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter_cnt"))

@@ -551,15 +551,21 @@ sh AS (
 """
 
 
-def _minhash_sig_sql(num_hashes: int = DEFAULT_NUM_HASHES) -> str:
-    from .functions.hashes import duckdb_md5_long60, duckdb_minhash_mix
+def _hashed_shingle_cte() -> str:
+    """DuckDB twin of operators.dedup.hashed_shingles (distinct (id, h))."""
+    from .functions.hashes import duckdb_md5_long60
 
-    h = duckdb_md5_long60("shingle")
+    return f"hsh AS (SELECT DISTINCT id, {duckdb_md5_long60('shingle')} AS h FROM sh)"
+
+
+def _minhash_sig_sql(num_hashes: int = DEFAULT_NUM_HASHES) -> str:
+    from .functions.hashes import duckdb_minhash_mix
+
     mins = ",\n           ".join(
         f"min({duckdb_minhash_mix('h', i)}) AS mh_{i}" for i in range(num_hashes)
     )
     return (
-        f"hsh AS (SELECT id, {h} AS h FROM sh),\n"
+        f"{_hashed_shingle_cte()},\n"
         f"        sig AS (SELECT id, {mins} FROM hsh GROUP BY id)"
     )
 
@@ -590,12 +596,12 @@ def minhash_pairs_oracle() -> str:
             FROM buckets a JOIN buckets b
               ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
              AND a.id < b.id),
-        sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+        sz AS (SELECT id, count(*) AS sz FROM hsh GROUP BY id),
         inter AS (
             SELECT c.id_a, c.id_b, count(*) AS inter_cnt
             FROM cand c
-            JOIN sh x ON x.id = c.id_a
-            JOIN sh y ON y.id = c.id_b AND y.shingle = x.shingle
+            JOIN hsh x ON x.id = c.id_a
+            JOIN hsh y ON y.id = c.id_b AND y.h = x.h
             GROUP BY c.id_a, c.id_b)
         SELECT i.id_a, i.id_b,
                i.inter_cnt * 1.0 / (a.sz + b.sz - i.inter_cnt) AS jaccard
@@ -638,12 +644,12 @@ def dedup_groups_oracle() -> str:
             FROM buckets a JOIN buckets b
               ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
              AND a.id < b.id),
-        sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+        sz AS (SELECT id, count(*) AS sz FROM hsh GROUP BY id),
         inter AS (
             SELECT c.id_a, c.id_b, count(*) AS inter_cnt
             FROM cand c
-            JOIN sh x ON x.id = c.id_a
-            JOIN sh y ON y.id = c.id_b AND y.shingle = x.shingle
+            JOIN hsh x ON x.id = c.id_a
+            JOIN hsh y ON y.id = c.id_b AND y.h = x.h
             GROUP BY c.id_a, c.id_b),
         pairs AS (
             SELECT i.id_a, i.id_b
@@ -701,11 +707,11 @@ def simhash_pairs_oracle(max_hamming: int = 3) -> str:
 
 def jaccard_pairs_oracle() -> str:
     return f"""
-        WITH {_SHINGLE_CTE},
-        sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+        WITH {_SHINGLE_CTE}, {_hashed_shingle_cte()},
+        sz AS (SELECT id, count(*) AS sz FROM hsh GROUP BY id),
         inter AS (
             SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter_cnt
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+            FROM hsh a JOIN hsh b ON a.h = b.h AND a.id < b.id
             GROUP BY 1, 2)
         SELECT i.id_a, i.id_b,
                i.inter_cnt * 1.0 / (a.sz + b.sz - i.inter_cnt) AS jaccard
