@@ -226,3 +226,23 @@ def test_waiting_suppliers_shared_pair_and_topk(spark):
     assert plan.count("InMemoryTableScan") >= 2
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_decontaminate_bench_shingles_broadcast(spark):
+    """The benchmark shingle set must broadcast: the train-side posting
+    list joins it map-side and never shuffles for the join (the train
+    corpus is the 100 TB side; eval suites are KBs). The only exchanges
+    allowed are aggregation shuffles, not a join repartition of the
+    train shingles."""
+    plan = _plan(spark, "decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_signature_partial_aggregation(spark):
+    """The k min-aggregates must map-side combine (partial HashAggregate
+    below the id shuffle) — the property that keeps the signature stage
+    one shuffle of |docs| rows, not |shingles| rows."""
+    plan = _plan(spark, "minhash_buckets")
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning(id" in plan
