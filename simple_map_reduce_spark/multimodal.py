@@ -37,6 +37,8 @@ AUDIO_FEATURES_SCHEMA = "doc_id bigint, sample_rate int, n_samples bigint, rms d
 
 FRAME_SAMPLE_SCHEMA = "doc_id bigint, frame_idx int, frame binary"
 
+RESIZE_SCHEMA = "doc_id bigint, out_w int, out_h int, resized binary"
+
 
 def attach_binary(df: DataFrame, id_col: str, payload_col: str, media_type: str) -> DataFrame:
     """Build a media table from any byte-bearing column: binary content +
@@ -119,6 +121,41 @@ def decode_audio_features(media: DataFrame, strict: bool = False) -> DataFrame:
             )
 
     return media.select("doc_id", "content").mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+def resize_images(media: DataFrame, target: int = 64, strict: bool = False) -> DataFrame:
+    """Aspect-fit image resize to a ``target``×``target`` box.
+
+    STUB decoder, REAL semantics: output dimensions use exact integer
+    aspect-fit math (long side → ``target``, short side scaled with
+    integer floor division — no float drift, so the DuckDB oracle
+    recomputes identical values), and the "resized" payload is the
+    deterministic md5 fake standing in for the re-encoded image bytes.
+    A real implementation replaces only the two marked lines with
+    PIL.Image.open(...).resize(...); the schema, Arrow batching, and
+    dimension contract stay as tested here.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "image resizing requires PIL/opencv (unavailable here)"
+                )
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                payload = bytes(content)
+                w, h, _ = _fake_dims(payload)  # real impl: decode for dims
+                if w >= h:
+                    ow, oh = target, max(1, h * target // w)
+                else:
+                    ow, oh = max(1, w * target // h), target
+                # real impl: re-encoded image bytes
+                resized = hashlib.md5(payload + b"#r" + str(target).encode()).digest()
+                rows.append((doc_id, ow, oh, resized))
+            yield pd.DataFrame(rows, columns=["doc_id", "out_w", "out_h", "resized"])
+
+    return media.select("doc_id", "content").mapInPandas(run, RESIZE_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every_n: int = 10, strict: bool = False) -> DataFrame:

@@ -268,6 +268,7 @@ _CHANGED_THIS_ROUND = [
     # r3: NEW queries (a new query's behavior ships this round too)
     "decontaminate",
     "streaming_dedup_watermark",
+    "image_resize",
 ]
 _ROTATION_FRONT = [
     # never driver-checked (deferred from the r2 window)
@@ -310,7 +311,6 @@ _ROTATION_FRONT = [
     "stats_summary",
     "multimodal_meta",
     "audio_features",
-    "orders_sorted_limit",
     "parts_ordered",
     "embedding_neardup_lsh",  # now the similarity bench headline
 ]

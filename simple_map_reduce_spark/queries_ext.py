@@ -266,6 +266,20 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize path through ``mapInPandas``: aspect-fit to a
+    64×64 box with exact integer math (oracle-recomputable), fake
+    re-encoded payload projected to hex for the canonicalizer."""
+    from .multimodal import resize_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_binary(docs, "doc_id", "text", "image/fake")
+    out = resize_images(media, target=64)
+    return out.select(
+        "doc_id", "out_w", "out_h", F.hex(F.col("resized")).alias("resized_hex")
+    )
+
+
 def q_vocab_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate per-language vocabulary size via HyperLogLog++
     (``approx_count_distinct``) — the 100 TB path for distinct counts
@@ -866,6 +880,7 @@ EXT_QUERIES = {
     "corpus_prep": q_corpus_prep,
     "decontaminate": q_decontaminate,
     "streaming_dedup_watermark": q_streaming_dedup_watermark,
+    "image_resize": q_image_resize,
 }
 
 EXT_ORACLES = {
@@ -935,6 +950,21 @@ EXT_ORACLES = {
         SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type
     """,
     "decontaminate": decontaminate_oracle(),
+    # same integer aspect-fit math and md5 fake as multimodal.resize_images
+    "image_resize": """
+        WITH d AS (
+            SELECT doc_id, text,
+                   16 + CAST(('0x' || substr(md5(text), 1, 2)) AS INT) % 64 AS w,
+                   16 + CAST(('0x' || substr(md5(text), 3, 2)) AS INT) % 64 AS h
+            FROM documents)
+        SELECT doc_id,
+               CAST(CASE WHEN w >= h THEN 64
+                         ELSE greatest(1, (w * 64) // h) END AS INT) AS out_w,
+               CAST(CASE WHEN w >= h THEN greatest(1, (h * 64) // w)
+                         ELSE 64 END AS INT) AS out_h,
+               upper(md5(concat(text, '#r64'))) AS resized_hex
+        FROM d
+    """,
     # closed sessions only: batch sessionization minus each user's last
     # (still-open) session; gap comparison at full microsecond precision,
     # matching the stateful fold's timedelta arithmetic
