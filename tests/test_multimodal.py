@@ -14,9 +14,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from simple_map_reduce_spark.multimodal import (
+    _fake_dims,
     attach_binary,
     decode_audio_features,
     decode_image_features,
+    resize_images,
     sample_frames,
 )
 
@@ -73,6 +75,25 @@ def test_audio_stub_schema(spark):
     out = decode_audio_features(_media(spark))
     assert out.columns == ["doc_id", "sample_rate", "n_samples", "rms"]
     assert out.count() == 2
+
+
+def test_resize_aspect_fit_invariants(spark):
+    """Aspect-fit contract: long side pinned to target, short side
+    floor-scaled, orientation preserved, never zero."""
+    media = _media(spark)
+    out = {r["doc_id"]: (r["out_w"], r["out_h"]) for r in resize_images(media, target=64).collect()}
+    dims = {
+        r["doc_id"]: _fake_dims(bytes(r["content"]))[:2]
+        for r in media.select("doc_id", "content").collect()
+    }
+    for doc_id, (w, h) in dims.items():
+        ow, oh = out[doc_id]
+        assert max(ow, oh) == 64 and min(ow, oh) >= 1
+        assert (w >= h) == (ow >= oh)  # orientation preserved
+        if w >= h:
+            assert oh == h * 64 // w
+        else:
+            assert ow == w * 64 // h
 
 
 def test_frame_sampling_is_udtf_shaped(spark):
