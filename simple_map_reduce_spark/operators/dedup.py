@@ -263,7 +263,10 @@ def decontaminate_report(
     row per benchmark doc (zero-hit docs included — a report with silent
     gaps would read as "clean" where it was "unchecked").
     """
-    ts = shingles(train, id_col, text_col, n)
+    # persist the train shingle set: it feeds BOTH the frequency cap and
+    # the overlap join — without it the (100 TB) train corpus is scanned
+    # and tokenized twice (observed in the physical plan)
+    ts = tracked_persist(shingles(train, id_col, text_col, n))
     if max_bucket:
         freq = ts.groupBy("shingle").agg(F.count("*").alias("df_cnt"))
         ts = ts.join(freq.filter(F.col("df_cnt") <= max_bucket), "shingle").drop(

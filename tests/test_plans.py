@@ -237,6 +237,9 @@ def test_decontaminate_bench_shingles_broadcast(spark):
     plan = _plan(spark, "decontaminate")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # the train shingle set is persisted: the frequency cap and the
+    # overlap join both read the cache — the train corpus is scanned once
+    assert plan.count("InMemoryTableScan") >= 2
 
 
 def test_minhash_signature_partial_aggregation(spark):
