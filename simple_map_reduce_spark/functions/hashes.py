@@ -57,10 +57,15 @@ def minhash_mix(h: Column, i: int) -> Column:
 
 
 def duckdb_minhash_mix(h_expr: str, i: int) -> str:
-    """DuckDB SQL twin of :func:`minhash_mix` (h_expr must be 0..2^60)."""
+    """DuckDB SQL twin of :func:`minhash_mix` (h_expr must be 0..2^60).
+
+    The multiplier literals are cast to BIGINT explicitly: if ``h_expr``
+    ever types as INT32 (e.g. a small literal), DuckDB would otherwise
+    evaluate the products in INT32 and raise an overflow error."""
     a, b, c = minhash_params(i)
     return (
-        f"({a} * ({h_expr} // {_MH_SPLIT}) + {b} * ({h_expr} % {_MH_SPLIT})"
+        f"(CAST({a} AS BIGINT) * ({h_expr} // {_MH_SPLIT})"
+        f" + CAST({b} AS BIGINT) * ({h_expr} % {_MH_SPLIT})"
         f" + {c}) % {MINHASH_PRIME}"
     )
 

@@ -73,3 +73,27 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="module")
 def spark_global(spark):
     return spark
+
+
+@given(st.integers(min_value=0, max_value=(1 << 60) - 1), st.integers(0, 15))
+@settings(max_examples=50, deadline=None)
+def test_minhash_mix_overflow_safe_and_duckdb_exact(h, i):
+    """The universal-hash mix must (a) keep every intermediate < 2^63 so
+    DuckDB's overflow-checking int64 arithmetic never raises, (b) land in
+    [0, P), and (c) evaluate to the identical value through the generated
+    DuckDB SQL — the property the oracle twins rely on."""
+    import duckdb
+
+    from simple_map_reduce_spark.functions.hashes import (
+        MINHASH_PRIME,
+        duckdb_minhash_mix,
+        minhash_params,
+    )
+
+    a, b, c = minhash_params(i)
+    hi, lo = h >> 30, h & ((1 << 30) - 1)
+    assert a * hi + b * lo + c < (1 << 63)
+    expected = (a * hi + b * lo + c) % MINHASH_PRIME
+    assert 0 <= expected < MINHASH_PRIME
+    got = duckdb.sql(f"SELECT {duckdb_minhash_mix(str(h), i)}").fetchone()[0]
+    assert got == expected
