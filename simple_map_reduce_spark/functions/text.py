@@ -170,3 +170,28 @@ def fingerprint(col: Column | str) -> Column:
     (lowercase, punctuation/whitespace collapsed) — two documents with the
     same token sequence share a fingerprint regardless of formatting."""
     return F.md5(F.array_join(tokenize(col), " "))
+
+
+# PII patterns kept to syntax Java regex (Spark) and RE2 (DuckDB) treat
+# identically: character classes + bounded repetition, no lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\d{3}[-.]\d{3}[-.]\d{4}"
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Scrub email addresses and phone numbers (emails first — a phone
+    pattern can never overlap an email match, so the order is stable).
+    Pure Catalyst regexp_replace: JVM-side, zero UDF, scan-local."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(
+        F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+
+
+def pii_counts(col: Column | str) -> tuple[Column, Column]:
+    """(n_emails, n_phones) found in the column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), F.lit(0))).cast("bigint"),
+        F.size(F.regexp_extract_all(c, F.lit(PHONE_RE), F.lit(0))).cast("bigint"),
+    )

@@ -269,6 +269,8 @@ _CHANGED_THIS_ROUND = [
     "decontaminate",
     "streaming_dedup_watermark",
     "image_resize",
+    "redact_pii",
+    "chunk_assignment",
 ]
 _ROTATION_FRONT = [
     # never driver-checked (deferred from the r2 window)
@@ -306,12 +308,10 @@ _ROTATION_FRONT = [
     "lang_id",
     "doc_fingerprint",
     "corpus_prep",
-    "events_json",
     "sales_rollup",
     "stats_summary",
     "multimodal_meta",
     "audio_features",
-    "parts_ordered",
     "embedding_neardup_lsh",  # now the similarity bench headline
 ]
 assert len(_ROTATION_FRONT) == 50

@@ -280,6 +280,57 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass (functions.text.redact_pii): per doc, the count
+    of redacted emails/phones and the md5 of the scrubbed text — pure
+    Catalyst regexp_replace, scan-local, zero UDF. The oracle re-runs the
+    identical patterns in DuckDB, so the replacement semantics (not just
+    the counts) are hash-checked."""
+    from .functions.text import pii_counts, redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_emails, n_phones = pii_counts("text")
+    return docs.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        F.md5(redact_pii("text")).alias("clean_md5"),
+    )
+
+
+def q_chunk_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-chunk packing — the standard pretraining layout:
+    per language, documents are laid head-to-tail in doc_id order and cut
+    into fixed 512-token context windows; each doc gets the window index
+    where it starts and its offset inside it. One shuffle (the per-lang
+    window); at 100 TB the partition key becomes (lang, shard) so each
+    packing stream stays a single sorted partition."""
+    from .operators.aggregates import TOKEN_RE
+
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    n_tok = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), F.lit(0))
+    ).cast("bigint")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
+    return (
+        docs.select("doc_id", "lang", n_tok.alias("n_tokens"))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.floor(start / 512).alias("chunk_id"),
+            (start % 512).alias("chunk_offset"),
+        )
+    )
+
+
 def q_vocab_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate per-language vocabulary size via HyperLogLog++
     (``approx_count_distinct``) — the 100 TB path for distinct counts
@@ -881,6 +932,8 @@ EXT_QUERIES = {
     "decontaminate": q_decontaminate,
     "streaming_dedup_watermark": q_streaming_dedup_watermark,
     "image_resize": q_image_resize,
+    "redact_pii": q_redact_pii,
+    "chunk_assignment": q_chunk_assignment,
 }
 
 EXT_ORACLES = {
@@ -950,6 +1003,39 @@ EXT_ORACLES = {
         SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type
     """,
     "decontaminate": decontaminate_oracle(),
+    # identical regex patterns + replacement order re-run in DuckDB (RE2)
+    "redact_pii": r"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(text,
+                   '\d{3}[-.]\d{3}[-.]\d{4}')) AS BIGINT) AS n_phones,
+               md5(regexp_replace(
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                     '\d{3}[-.]\d{3}[-.]\d{4}', '<PHONE>', 'g')) AS clean_md5
+        FROM documents
+    """,
+    "chunk_assignment": r"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   CAST(len(regexp_extract_all(lower(text), '\w+')) AS BIGINT)
+                       AS n_tokens
+            FROM documents),
+        s AS (
+            SELECT doc_id, lang, n_tokens,
+                   coalesce(sum(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS start
+            FROM t)
+        SELECT doc_id, lang, n_tokens,
+               CAST(start // 512 AS BIGINT) AS chunk_id,
+               CAST(start % 512 AS BIGINT) AS chunk_offset
+        FROM s
+    """,
     # same integer aspect-fit math and md5 fake as multimodal.resize_images
     "image_resize": """
         WITH d AS (

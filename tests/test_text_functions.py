@@ -49,3 +49,50 @@ def test_fingerprint_normalizes_formatting(spark):
     fps = {r["doc_id"]: r["fp"] for r in df.select("doc_id", fingerprint("text").alias("fp")).collect()}
     assert fps[1] == fps[2]  # same token stream → same fingerprint
     assert fps[1] != fps[3]
+
+
+def test_redact_pii_scrubs_emails_and_phones(spark):
+    from simple_map_reduce_spark.functions.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+spam@example.co.uk or call 555-123-4567"),
+            (2, "no pii in this document at all"),
+            (3, "two mails: a@b.io c_d%x@sub.domain.org and 123.456.7890"),
+        ],
+        ["doc_id", "text"],
+    )
+    n_e, n_p = pii_counts("text")
+    out = {
+        r["doc_id"]: (r["e"], r["p"], r["clean"])
+        for r in df.select(
+            "doc_id", n_e.alias("e"), n_p.alias("p"), redact_pii("text").alias("clean")
+        ).collect()
+    }
+    assert out[1][:2] == (1, 1)
+    assert out[1][2] == "mail me at <EMAIL> or call <PHONE>"
+    assert out[2] == (0, 0, "no pii in this document at all")
+    assert out[3][:2] == (2, 1)
+    assert "<EMAIL>" in out[3][2] and "<PHONE>" in out[3][2]
+    assert "@" not in out[3][2]
+
+
+def test_chunk_assignment_packing_invariants(spark):
+    """Concatenate-and-chunk: offsets advance by token count within a
+    language stream, wrap modulo the window, and chunk ids never
+    decrease in doc order."""
+    from simple_map_reduce_spark.queries import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    rows = sorted(
+        QUERIES["chunk_assignment"](spark, SF_SMOKE).collect(),
+        key=lambda r: (r["lang"], r["doc_id"]),
+    )
+    from itertools import groupby
+
+    for _, grp in groupby(rows, key=lambda r: r["lang"]):
+        start = 0
+        for r in grp:
+            assert r["chunk_id"] == start // 512
+            assert r["chunk_offset"] == start % 512
+            start += r["n_tokens"]
