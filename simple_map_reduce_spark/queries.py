@@ -259,10 +259,12 @@ _CHANGED_THIS_ROUND = [
     "streaming_sessions",
     "streaming_enriched",
     "streaming_click_attribution",
-    # r3: MinHash = one md5 → k universal-hash mixes (was k seeded md5s)
+    # r3: MinHash = one md5 → k universal-hash mixes (was k seeded md5s);
+    # dedup joins keyed on 60-bit shingle hashes instead of strings
     "minhash_buckets",
     "minhash_dup_pairs",
     "dedup_groups",
+    "jaccard_pairs",
     # r3: array column scalarized to a comma-joined string
     "nation_segment_list",
     # r3: NEW queries (a new query's behavior ships this round too)
@@ -281,7 +283,6 @@ _ROTATION_FRONT = [
     "multi_distinct",
     *_CHANGED_THIS_ROUND,
     # r2 behavior changes whose last driver row predates them
-    "jaccard_pairs",  # trigram shingle default (r2)
     "maple_wordcount",  # bounded key collect + pipe-mode shipping (r2)
     "maple_filter_pct",  # same maple/juice surface (r2)
     "similarity_topk",  # two-stage WindowGroupLimit funnel (r2)
