@@ -234,6 +234,72 @@ def _verify_jaccard(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFra
     )
 
 
+def incremental_neardup_pairs(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs between a NEW batch and the EXISTING corpus — the
+    incremental-ingest form of MinHash-LSH dedup: today's crawl is checked
+    against the accumulated corpus without ever re-pairing the corpus
+    with itself, so per-ingest cost scales with |new| × collision rate,
+    not |corpus|². Same signature scheme, band layout, and Jaccard verify
+    as ``minhash_dup_pairs``; the candidate join is new-buckets ⋈
+    corpus-buckets (asymmetric), with the hot-bucket cap applied to the
+    corpus side (the side that accumulates skew over time). In production
+    the corpus signatures/buckets are precomputed once at ingest and
+    persisted in the catalog; here both sides are derived so the oracle
+    can recompute the whole pipeline.
+
+    Output: (id_new, id_corpus, jaccard ≥ threshold).
+    """
+    shn = tracked_persist(hashed_shingles(new_df, id_col, text_col, shingle_n))
+    shc = tracked_persist(hashed_shingles(corpus_df, id_col, text_col, shingle_n))
+    sig_n = shn.groupBy("id").agg(*_minhash_aggs(num_hashes))
+    sig_c = shc.groupBy("id").agg(*_minhash_aggs(num_hashes))
+    bn = lsh_band_buckets(sig_n, num_hashes, bands)
+    bc = lsh_band_buckets(sig_c, num_hashes, bands)
+    if max_bucket:
+        sizes = bc.groupBy("band_idx", "band_hash").agg(F.count("*").alias("bsz"))
+        bc = bc.join(
+            sizes.filter(F.col("bsz") <= max_bucket), ["band_idx", "band_hash"]
+        ).drop("bsz")
+    cand = (
+        bn.select(F.col("id").alias("id_new"), "band_idx", "band_hash")
+        .join(
+            bc.select(F.col("id").alias("id_corpus"), "band_idx", "band_hash"),
+            ["band_idx", "band_hash"],
+        )
+        .select("id_new", "id_corpus")
+        .distinct()
+    )
+    sz_n = shn.groupBy("id").agg(F.count("*").alias("sz_new"))
+    sz_c = shc.groupBy("id").agg(F.count("*").alias("sz_corpus"))
+    inter = (
+        cand.join(shn.select(F.col("id").alias("id_new"), "h"), "id_new")
+        .join(shc.select(F.col("id").alias("id_corpus"), "h"), ["id_corpus", "h"])
+        .groupBy("id_new", "id_corpus")
+        .agg(F.count("*").alias("inter_cnt"))
+    )
+    return (
+        inter.join(sz_n.withColumnRenamed("id", "id_new"), "id_new")
+        .join(sz_c.withColumnRenamed("id", "id_corpus"), "id_corpus")
+        .withColumn(
+            "jaccard",
+            F.col("inter_cnt")
+            / (F.col("sz_new") + F.col("sz_corpus") - F.col("inter_cnt")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_new", "id_corpus", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # decontamination (train ↔ benchmark n-gram overlap)
 # ---------------------------------------------------------------------------

@@ -273,6 +273,7 @@ _CHANGED_THIS_ROUND = [
     "image_resize",
     "redact_pii",
     "chunk_assignment",
+    "incremental_neardup",
 ]
 _ROTATION_FRONT = [
     # never driver-checked (deferred from the r2 window)
@@ -310,7 +311,6 @@ _ROTATION_FRONT = [
     "doc_fingerprint",
     "corpus_prep",
     "sales_rollup",
-    "stats_summary",
     "multimodal_meta",
     "audio_features",
     "embedding_neardup_lsh",  # now the similarity bench headline

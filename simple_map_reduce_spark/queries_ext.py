@@ -48,6 +48,8 @@ SIM_K = 5
 # trigrams flags a train doc as contaminated (real runs: 8..13-grams)
 DECON_MOD = 20
 DECON_MIN_SHARED = 3
+# incremental ingest: every 10th doc plays "today's batch", the rest the corpus
+INCR_MOD = 10
 
 
 # ---------------------------------------------------------------------------
@@ -277,6 +279,21 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = resize_images(media, target=64)
     return out.select(
         "doc_id", "out_w", "out_h", F.hex(F.col("resized")).alias("resized_hex")
+    )
+
+
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup (operators.dedup.incremental_neardup_pairs):
+    every 10th document plays the newly-arrived batch, matched against
+    the rest as the standing corpus — per-ingest cost ∝ |new|, the corpus
+    is never self-joined."""
+    from .operators.dedup import incremental_neardup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % INCR_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % INCR_MOD != 0)
+    return incremental_neardup_pairs(
+        new, corpus, "doc_id", "text", threshold=MINHASH_THRESHOLD
     )
 
 
@@ -623,27 +640,39 @@ def _hashed_shingle_cte() -> str:
     return f"hsh AS (SELECT DISTINCT id, {duckdb_md5_long60('shingle')} AS h FROM sh)"
 
 
-def _minhash_sig_sql(num_hashes: int = DEFAULT_NUM_HASHES) -> str:
+def _sig_select_sql(src: str, num_hashes: int = DEFAULT_NUM_HASHES) -> str:
     from .functions.hashes import duckdb_minhash_mix
 
     mins = ",\n           ".join(
         f"min({duckdb_minhash_mix('h', i)}) AS mh_{i}" for i in range(num_hashes)
     )
+    return f"SELECT id, {mins} FROM {src} GROUP BY id"
+
+
+def _minhash_sig_sql(num_hashes: int = DEFAULT_NUM_HASHES) -> str:
     return (
         f"{_hashed_shingle_cte()},\n"
-        f"        sig AS (SELECT id, {mins} FROM hsh GROUP BY id)"
+        f"        sig AS ({_sig_select_sql('hsh', num_hashes)})"
     )
 
 
-def _band_sql(num_hashes: int = DEFAULT_NUM_HASHES, bands: int = DEFAULT_BANDS) -> str:
+def _band_select_sql(
+    src: str = "sig",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> str:
     rows = num_hashes // bands
     pieces = []
     for b in range(bands):
         cols = ", ".join(f"mh_{b * rows + r}" for r in range(rows))
         pieces.append(
-            f"SELECT id, {b} AS band_idx, md5(concat_ws('|', {cols})) AS band_hash FROM sig"
+            f"SELECT id, {b} AS band_idx, md5(concat_ws('|', {cols})) AS band_hash FROM {src}"
         )
-    return "buckets AS (" + " UNION ALL ".join(pieces) + ")"
+    return " UNION ALL ".join(pieces)
+
+
+def _band_sql(num_hashes: int = DEFAULT_NUM_HASHES, bands: int = DEFAULT_BANDS) -> str:
+    return "buckets AS (" + _band_select_sql("sig", num_hashes, bands) + ")"
 
 
 def minhash_buckets_oracle() -> str:
@@ -672,6 +701,43 @@ def minhash_pairs_oracle() -> str:
                i.inter_cnt * 1.0 / (a.sz + b.sz - i.inter_cnt) AS jaccard
         FROM inter i JOIN sz a ON i.id_a = a.id JOIN sz b ON i.id_b = b.id
         WHERE i.inter_cnt * 1.0 / (a.sz + b.sz - i.inter_cnt) >= {MINHASH_THRESHOLD}
+    """
+
+
+def incremental_neardup_oracle() -> str:
+    """Asymmetric LSH: new-batch buckets ⋈ corpus buckets, corpus-side
+    hot-bucket cap, Jaccard verify over the two hashed shingle sets."""
+    return f"""
+        WITH {_SHINGLE_CTE}, {_hashed_shingle_cte()},
+        hn AS (SELECT * FROM hsh WHERE id % {INCR_MOD} = 0),
+        hc AS (SELECT * FROM hsh WHERE id % {INCR_MOD} != 0),
+        sig_n AS ({_sig_select_sql('hn')}),
+        sig_c AS ({_sig_select_sql('hc')}),
+        bn AS ({_band_select_sql('sig_n')}),
+        bc_raw AS ({_band_select_sql('sig_c')}),
+        bsz AS (SELECT band_idx, band_hash, count(*) AS n
+                FROM bc_raw GROUP BY 1, 2),
+        bc AS (SELECT r.* FROM bc_raw r JOIN bsz USING (band_idx, band_hash)
+               WHERE bsz.n <= 1000),
+        cand AS (
+            SELECT DISTINCT n.id AS id_new, c.id AS id_corpus
+            FROM bn n JOIN bc c
+              ON n.band_idx = c.band_idx AND n.band_hash = c.band_hash),
+        szn AS (SELECT id, count(*) AS sz_new FROM hn GROUP BY id),
+        szc AS (SELECT id, count(*) AS sz_corpus FROM hc GROUP BY id),
+        inter AS (
+            SELECT cd.id_new, cd.id_corpus, count(*) AS inter_cnt
+            FROM cand cd
+            JOIN hn x ON x.id = cd.id_new
+            JOIN hc y ON y.id = cd.id_corpus AND y.h = x.h
+            GROUP BY 1, 2)
+        SELECT i.id_new, i.id_corpus,
+               i.inter_cnt * 1.0 / (a.sz_new + b.sz_corpus - i.inter_cnt)
+                   AS jaccard
+        FROM inter i JOIN szn a ON i.id_new = a.id
+                     JOIN szc b ON i.id_corpus = b.id
+        WHERE i.inter_cnt * 1.0 / (a.sz_new + b.sz_corpus - i.inter_cnt)
+              >= {MINHASH_THRESHOLD}
     """
 
 
@@ -934,6 +1000,7 @@ EXT_QUERIES = {
     "image_resize": q_image_resize,
     "redact_pii": q_redact_pii,
     "chunk_assignment": q_chunk_assignment,
+    "incremental_neardup": q_incremental_neardup,
 }
 
 EXT_ORACLES = {
@@ -1003,6 +1070,7 @@ EXT_ORACLES = {
         SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type
     """,
     "decontaminate": decontaminate_oracle(),
+    "incremental_neardup": incremental_neardup_oracle(),
     # identical regex patterns + replacement order re-run in DuckDB (RE2)
     "redact_pii": r"""
         SELECT doc_id,

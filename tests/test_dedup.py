@@ -79,6 +79,24 @@ def test_jaccard_pairs_threshold(spark):
     assert all(3 not in (a, b) for a, b in got)
 
 
+def test_incremental_neardup_pairs_only_cross_side(spark):
+    """The new batch pairs against the corpus; corpus-internal duplicates
+    (1,4 identical) must NOT appear — that's the property that keeps
+    per-ingest cost proportional to the batch, not the corpus."""
+    from simple_map_reduce_spark.operators.dedup import incremental_neardup_pairs
+
+    corpus = _docs(spark)  # 1=BASE, 2=NEAR, 3=FAR, 4=BASE (internal dup)
+    new = spark.createDataFrame([(100, BASE), (101, "fresh unseen text")],
+                                ["doc_id", "text"])
+    pairs = incremental_neardup_pairs(
+        new, corpus, "doc_id", "text", threshold=0.5
+    ).collect()
+    got = {(r["id_new"], r["id_corpus"]) for r in pairs}
+    assert (100, 1) in got and (100, 4) in got  # batch doc matches both copies
+    assert all(n in (100, 101) for n, _ in got)  # left side is always the batch
+    assert (1, 4) not in got and (4, 1) not in got  # corpus never self-paired
+
+
 def test_decontaminate_flags_leaked_doc_and_reports_clean(spark):
     # bench doc 100 is verbatim-leaked as train doc 1; bench doc 200 is
     # unrelated → flagged with max overlap / reported clean with zeros
