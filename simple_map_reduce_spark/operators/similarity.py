@@ -16,7 +16,13 @@ Two tiers, the standard large-scale pattern:
 Determinism: dot products fold left-to-right over the array via
 ``aggregate`` in double precision; scores are rounded to 6 decimals with
 an id tiebreak before any top-k cut, so ranking is reproducible across
-engines (floating-point last-ulp noise cannot reorder results).
+engines (floating-point last-ulp noise cannot reorder results). This
+applies to EVERY ranking in the module — including the IVF centroid
+assignment and probe selection — so the whole approximate tier is a
+deterministic function of the input and can be twinned in oracle SQL
+(:func:`duckdb_rhp_bucket` emits the byte-identical DuckDB form of the
+hyperplane buckets; centroids are the first ``n_centroids`` ids, not
+k-means RNG).
 
 At 100 TB: queries are broadcast (they're the small side by construction);
 the corpus is never shuffled for brute force. The ``row_number`` ≤ k
@@ -206,6 +212,32 @@ def rhp_signature(
     return prepped.select("id", F.expr(" + ".join(terms)).alias("bucket"))
 
 
+def duckdb_rhp_bucket(vec_expr: str, planes: int = 12, dims: int = 64) -> str:
+    """DuckDB SQL twin of :func:`rhp_signature`'s bucket expression, for
+    oracle construction (same pattern as ``functions.hashes.duckdb_*``).
+
+    Bit-exactness argument: Spark folds ``aggregate(zip_with(v, plane,
+    (x, y) -> x*y), 0.0, acc+w)`` left-to-right; every coefficient is
+    ±1.0, and IEEE multiplication by ±1.0 is exact, so the fold equals
+    ``((0.0 + s0·v[0]) + s1·v[1]) + …``. The emitted SQL is the same
+    left-associated chain over the same double values, so the projection
+    — and therefore the sign test and the bucket — is bit-identical in
+    both engines (``-0.0 >= 0`` is true in both, so a signed zero cannot
+    diverge either).
+    """
+    terms = []
+    for p in range(planes):
+        proj = " + ".join(
+            f"({c:.1f} * {vec_expr}[{d + 1}])"
+            for d, c in enumerate(_plane_coeffs(p, dims))
+        )
+        terms.append(
+            f"(CASE WHEN (0.0 + {proj}) >= 0 THEN CAST({2 ** p} AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
 def ivf_assign(
     emb: DataFrame,
     n_centroids: int = 16,
@@ -219,6 +251,9 @@ def ivf_assign(
 
     Returns (centroids, assignment) where assignment = (id, centroid_id)
     by max cosine. Assignment is one broadcast pass over the corpus.
+    Similarities are rounded to 6 decimals (centroid_id tiebreak) before
+    ranking, so the assignment is bit-stable across engines — the oracle
+    SQL reproduces it exactly.
     """
     w = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
     centroids = _prep(
@@ -229,7 +264,8 @@ def ivf_assign(
         _prep(emb, id_col, vec_col, "id", "vec", "vn")
         .crossJoin(F.broadcast(centroids))
         .withColumn(
-            "sim", dot(F.col("vec"), F.col("cvec")) / (F.col("vn") * F.col("cn"))
+            "sim",
+            F.round(dot(F.col("vec"), F.col("cvec")) / (F.col("vn") * F.col("cn")), 6),
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -260,7 +296,8 @@ def cosine_topk_ivf(
     probes = (
         queries.crossJoin(F.broadcast(centroids))
         .withColumn(
-            "csim", dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn"))
+            "csim",
+            F.round(dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn")), 6),
         )
         .withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= nprobe)

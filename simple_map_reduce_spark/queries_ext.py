@@ -44,6 +44,15 @@ JACCARD_THRESHOLD = 0.1
 MINHASH_THRESHOLD = 0.3
 SIM_QUERY_IDS = [0, 1, 2, 3, 4]
 SIM_K = 5
+# ANN tier parameters — shared by the Spark queries AND their oracle
+# builders so the two sides always run the same algorithm instance
+# (passing non-defaults to one side only is the parity bug class flagged
+# in round 3's advice).
+EMB_NEARDUP_THRESHOLD = 0.35
+SIM_LSH_PLANES = 12
+SIM_LSH_HAMMING = 2
+SIM_IVF_CENTROIDS = 16
+SIM_IVF_NPROBE = 4
 # decontamination: every 20th doc plays the benchmark set; ≥3 shared
 # trigrams flags a train doc as contaminated (real runs: 8..13-grams)
 DECON_MOD = 20
@@ -115,35 +124,55 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (exact tier; the LSH tier is the
     scale path, tested separately)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_neardup_pairs(emb, threshold=0.35)
+    return cosine_neardup_pairs(emb, threshold=EMB_NEARDUP_THRESHOLD)
 
 
 def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN top-k — the scale path for similarity search.
-    Registered WITHOUT an oracle (rows-only check): the result is
-    deterministic but approximate by design; its quality gate is the
-    recall test against the exact tier (tests/test_similarity.py)."""
+    Approximate in *recall*, deterministic in *computation* (id-ordered
+    centroids, 6-decimal-rounded sims, id tiebreaks), so it carries a
+    full DuckDB oracle (``similarity_topk_ivf_oracle``) on top of the
+    recall gate against the exact tier (tests/test_similarity.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_topk_ivf(emb, SIM_QUERY_IDS, k=SIM_K)
+    return cosine_topk_ivf(
+        emb,
+        SIM_QUERY_IDS,
+        k=SIM_K,
+        n_centroids=SIM_IVF_CENTROIDS,
+        nprobe=SIM_IVF_NPROBE,
+    )
 
 
 def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RHP-LSH ANN tier (the other scale path besides IVF): candidates
     from signature hamming balls, exact rescoring on candidates only.
-    Registered WITHOUT an oracle (rows-only): approximate by design; its
-    quality gate is the recall test against the exact tier."""
+    The md5-derived hyperplanes make the whole pipeline deterministic, so
+    it carries a full DuckDB oracle (``similarity_topk_lsh_oracle``) on
+    top of the recall gate against the exact tier."""
     from .operators.similarity import cosine_topk_lsh
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_topk_lsh(emb, SIM_QUERY_IDS, k=SIM_K)
+    return cosine_topk_lsh(
+        emb,
+        SIM_QUERY_IDS,
+        k=SIM_K,
+        planes=SIM_LSH_PLANES,
+        max_band_hamming=SIM_LSH_HAMMING,
+    )
 
 
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup through RHP-LSH candidate buckets (the scale
-    path twin of ``embedding_neardup``). Rows-only check; recall-gated in
-    tests against the exact pair set."""
+    path twin of ``embedding_neardup``). Deterministic buckets + rounded
+    scores ⇒ fully oracle-checked (``embedding_neardup_lsh_oracle``);
+    recall against the exact pair set is gated separately in tests."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_neardup_pairs(emb, threshold=0.35, use_lsh=True)
+    return cosine_neardup_pairs(
+        emb,
+        threshold=EMB_NEARDUP_THRESHOLD,
+        use_lsh=True,
+        planes=SIM_LSH_PLANES,
+    )
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -874,6 +903,118 @@ def similarity_topk_oracle() -> str:
     """
 
 
+def _cos_sql(av: str, bv: str) -> str:
+    """Rounded-cosine SQL snippet shared by every similarity oracle —
+    the DuckDB form of ``operators.similarity.cosine`` + round(…, 6)."""
+    return (
+        f"round(list_sum(list_transform(list_zip({av}, {bv}), p -> p[1] * p[2]))"
+        f" / (sqrt(list_sum(list_transform({av}, x -> x * x)))"
+        f" * sqrt(list_sum(list_transform({bv}, x -> x * x)))), 6)"
+    )
+
+
+def _rhp_sig_cte() -> str:
+    """``v`` (double vectors) + ``sig`` (RHP bucket) CTE bodies, the
+    DuckDB twin of ``operators.similarity.rhp_signature`` with the same
+    md5-derived hyperplanes inlined as ±1 literals."""
+    from .operators.similarity import duckdb_rhp_bucket
+
+    bucket = duckdb_rhp_bucket("vec", planes=SIM_LSH_PLANES)
+    return f"""
+        v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        sig AS (SELECT vec_id AS id, {bucket} AS bucket FROM v)"""
+
+
+def embedding_neardup_lsh_oracle() -> str:
+    """DuckDB twin of the full RHP-LSH near-dup pipeline: equal-bucket
+    candidate pairs, exact rounded cosine, threshold filter."""
+    return f"""
+        WITH {_rhp_sig_cte()},
+        cand AS (
+            SELECT a.id AS id_a, b.id AS id_b
+            FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.id < b.id),
+        scored AS (
+            SELECT id_a, id_b, {_cos_sql('va.vec', 'vb.vec')} AS score
+            FROM cand
+            JOIN v va ON cand.id_a = va.vec_id
+            JOIN v vb ON cand.id_b = vb.vec_id)
+        SELECT id_a, id_b, score FROM scored
+        WHERE score >= {EMB_NEARDUP_THRESHOLD}
+    """
+
+
+def similarity_topk_lsh_oracle() -> str:
+    """DuckDB twin of ``cosine_topk_lsh``: hamming-ball candidates over
+    the RHP buckets, rounded-cosine rescoring, per-query top-k."""
+    ids = ", ".join(str(i) for i in SIM_QUERY_IDS)
+    return f"""
+        WITH {_rhp_sig_cte()},
+        qsig AS (SELECT id AS query_id, bucket AS qbucket
+                 FROM sig WHERE id IN ({ids})),
+        cand AS (
+            SELECT query_id, s.id AS neighbor_id
+            FROM sig s, qsig
+            WHERE s.id != query_id
+              AND bit_count(xor(s.bucket, qbucket)) <= {SIM_LSH_HAMMING}),
+        scored AS (
+            SELECT query_id, neighbor_id, {_cos_sql('q.vec', 'c.vec')} AS score
+            FROM cand
+            JOIN v q ON cand.query_id = q.vec_id
+            JOIN v c ON cand.neighbor_id = c.vec_id),
+        ranked AS (
+            SELECT query_id, neighbor_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, neighbor_id) AS rank
+            FROM scored)
+        SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= {SIM_K}
+    """
+
+
+def similarity_topk_ivf_oracle() -> str:
+    """DuckDB twin of ``cosine_topk_ivf``: id-ordered deterministic
+    centroids, rounded-sim assignment (centroid_id tiebreak), nprobe
+    probe list per query, candidate union, rounded rescoring, top-k."""
+    ids = ", ".join(str(i) for i in SIM_QUERY_IDS)
+    return f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        cent AS (SELECT vec_id AS centroid_id, vec AS cvec
+                 FROM v ORDER BY vec_id LIMIT {SIM_IVF_CENTROIDS}),
+        asg AS (
+            SELECT id, centroid_id FROM (
+                SELECT v.vec_id AS id, centroid_id,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY {_cos_sql('v.vec', 'cvec')} DESC, centroid_id)
+                           AS rn
+                FROM v, cent)
+            WHERE rn = 1),
+        probes AS (
+            SELECT query_id, centroid_id FROM (
+                SELECT q.vec_id AS query_id, centroid_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {_cos_sql('q.vec', 'cvec')} DESC, centroid_id)
+                           AS rn
+                FROM v q, cent WHERE q.vec_id IN ({ids}))
+            WHERE rn <= {SIM_IVF_NPROBE}),
+        cand AS (
+            SELECT DISTINCT query_id, a.id AS neighbor_id
+            FROM probes p JOIN asg a ON p.centroid_id = a.centroid_id
+            WHERE a.id != p.query_id),
+        scored AS (
+            SELECT query_id, neighbor_id, {_cos_sql('q.vec', 'c.vec')} AS score
+            FROM cand
+            JOIN v q ON cand.query_id = q.vec_id
+            JOIN v c ON cand.neighbor_id = c.vec_id),
+        ranked AS (
+            SELECT query_id, neighbor_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, neighbor_id) AS rank
+            FROM scored)
+        SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= {SIM_K}
+    """
+
+
 def _marker_list(lang: str) -> str:
     return "[" + ", ".join(f"'{m}'" for m in LANG_MARKERS[lang]) + "]"
 
@@ -1015,18 +1156,21 @@ EXT_ORACLES = {
     "simhash_dup_pairs": simhash_pairs_oracle(),
     "jaccard_pairs": jaccard_pairs_oracle(),
     "similarity_topk": similarity_topk_oracle(),
-    # similarity_topk_ivf: deliberately no oracle — approximate tier,
-    # gated by the recall test against the exact tier instead
-    "embedding_neardup": """
+    # the ANN tier is approximate in RECALL but deterministic in
+    # COMPUTATION (md5 hyperplanes, id-ordered centroids, rounded sims),
+    # so each scale-path query carries a full generated-SQL oracle — only
+    # the two sketch queries (HLL/GK, engine-internal algorithms) remain
+    # rows-only
+    "similarity_topk_ivf": similarity_topk_ivf_oracle(),
+    "similarity_topk_lsh": similarity_topk_lsh_oracle(),
+    "embedding_neardup_lsh": embedding_neardup_lsh_oracle(),
+    "embedding_neardup": f"""
         WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
         pairs AS (
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(
-                     list_sum(list_transform(list_zip(a.vec, b.vec), p -> p[1] * p[2]))
-                     / (sqrt(list_sum(list_transform(a.vec, x -> x * x)))
-                        * sqrt(list_sum(list_transform(b.vec, x -> x * x)))), 6) AS score
+                   {_cos_sql('a.vec', 'b.vec')} AS score
             FROM v a JOIN v b ON a.vec_id < b.vec_id)
-        SELECT id_a, id_b, score FROM pairs WHERE score >= 0.35
+        SELECT id_a, id_b, score FROM pairs WHERE score >= {EMB_NEARDUP_THRESHOLD}
     """,
     "token_counts": rf"""
         SELECT doc_id,
