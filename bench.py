@@ -112,6 +112,10 @@ def main() -> None:
                 best = took if best is None else min(best, took)
             except Exception as exc:  # one bad query must not void the record
                 errors[name] = str(exc).split("\n")[0][:200]
+                # a query lands in exactly ONE of timings/errors: a rep-1
+                # success followed by a rep-2 failure is an error record,
+                # not a timing
+                best = None
                 break
             release_tracked()  # drop operator-internal caches between reps
             spark.catalog.clearCache()

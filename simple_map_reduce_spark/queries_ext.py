@@ -59,6 +59,10 @@ DECON_MOD = 20
 DECON_MIN_SHARED = 3
 # incremental ingest: every 10th doc plays "today's batch", the rest the corpus
 INCR_MOD = 10
+# hot-bucket / posting-list skew cap, shared by the Spark queries AND the
+# oracle SQL (an oracle hardcoding what the query takes as a parameter is
+# the silent-divergence class flagged in round 3's advice)
+SKEW_CAP = 1000
 
 
 # ---------------------------------------------------------------------------
@@ -79,7 +83,9 @@ def q_minhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_dup_pairs(docs, "doc_id", "text", threshold=MINHASH_THRESHOLD)
+    return minhash_dup_pairs(
+        docs, "doc_id", "text", threshold=MINHASH_THRESHOLD, max_bucket=SKEW_CAP
+    )
 
 
 def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -91,7 +97,9 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_dup_pairs(docs, "doc_id", "text", threshold=MINHASH_THRESHOLD)
+    pairs = minhash_dup_pairs(
+        docs, "doc_id", "text", threshold=MINHASH_THRESHOLD, max_bucket=SKEW_CAP
+    )
     verts = docs.select(F.col("doc_id").alias("id"))
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     cc = connected_components(verts, edges)
@@ -111,7 +119,8 @@ def q_simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=JACCARD_N, threshold=JACCARD_THRESHOLD
+        docs, "doc_id", "text", n=JACCARD_N, threshold=JACCARD_THRESHOLD,
+        max_bucket=SKEW_CAP,
     )
 
 
@@ -322,7 +331,8 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.filter(F.col("doc_id") % INCR_MOD == 0)
     corpus = docs.filter(F.col("doc_id") % INCR_MOD != 0)
     return incremental_neardup_pairs(
-        new, corpus, "doc_id", "text", threshold=MINHASH_THRESHOLD
+        new, corpus, "doc_id", "text", threshold=MINHASH_THRESHOLD,
+        max_bucket=SKEW_CAP,
     )
 
 
@@ -365,14 +375,19 @@ def q_chunk_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
+    # chunk_id via integer DIV, not floor(start / 512): `/` on bigints is
+    # double division, exact only below 2^53 — a 100 TB language stream's
+    # cumulative token count can exceed that, and the oracle's `//` is
+    # integer all the way.
     return (
         docs.select("doc_id", "lang", n_tok.alias("n_tokens"))
+        .withColumn("start", start)
         .select(
             "doc_id",
             "lang",
             "n_tokens",
-            F.floor(start / 512).alias("chunk_id"),
-            (start % 512).alias("chunk_offset"),
+            F.expr("start DIV 512").alias("chunk_id"),
+            (F.col("start") % 512).alias("chunk_offset"),
         )
     )
 
@@ -490,7 +505,13 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % DECON_MOD == 0)
     train = docs.filter(F.col("doc_id") % DECON_MOD != 0)
     return decontaminate_report(
-        train, bench, "doc_id", "text", n=JACCARD_N, min_shared=DECON_MIN_SHARED
+        train,
+        bench,
+        "doc_id",
+        "text",
+        n=JACCARD_N,
+        min_shared=DECON_MIN_SHARED,
+        max_bucket=SKEW_CAP,
     )
 
 
@@ -712,11 +733,19 @@ def minhash_buckets_oracle() -> str:
 
 
 def minhash_pairs_oracle() -> str:
+    """Twin of ``minhash_dup_pairs`` incl. the hot-bucket cap: buckets
+    over ``SKEW_CAP`` members are dropped from candidate generation (the
+    Jaccard verify still runs on the uncapped shingle sets, exactly like
+    the Spark operator)."""
     return f"""
         WITH {_SHINGLE_CTE}, {_minhash_sig_sql()}, {_band_sql()},
+        bksz AS (SELECT band_idx, band_hash, count(*) AS n
+                 FROM buckets GROUP BY 1, 2),
+        bk AS (SELECT b.* FROM buckets b JOIN bksz USING (band_idx, band_hash)
+               WHERE bksz.n <= {SKEW_CAP}),
         cand AS (
             SELECT DISTINCT a.id AS id_a, b.id AS id_b
-            FROM buckets a JOIN buckets b
+            FROM bk a JOIN bk b
               ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
              AND a.id < b.id),
         sz AS (SELECT id, count(*) AS sz FROM hsh GROUP BY id),
@@ -747,7 +776,7 @@ def incremental_neardup_oracle() -> str:
         bsz AS (SELECT band_idx, band_hash, count(*) AS n
                 FROM bc_raw GROUP BY 1, 2),
         bc AS (SELECT r.* FROM bc_raw r JOIN bsz USING (band_idx, band_hash)
-               WHERE bsz.n <= 1000),
+               WHERE bsz.n <= {SKEW_CAP}),
         cand AS (
             SELECT DISTINCT n.id AS id_new, c.id AS id_corpus
             FROM bn n JOIN bc c
@@ -779,7 +808,7 @@ def decontaminate_oracle() -> str:
         ts AS (SELECT id, shingle FROM sh WHERE id % {DECON_MOD} != 0),
         freq AS (SELECT shingle, count(*) AS df_cnt FROM ts GROUP BY shingle),
         tsf AS (SELECT ts.id, ts.shingle FROM ts JOIN freq USING (shingle)
-                WHERE df_cnt <= 1000),
+                WHERE df_cnt <= {SKEW_CAP}),
         pair AS (SELECT bs.bench_id, tsf.id AS train_id, count(*) AS shared
                  FROM tsf JOIN bs USING (shingle)
                  GROUP BY 1, 2 HAVING count(*) >= {DECON_MIN_SHARED}),
@@ -799,9 +828,13 @@ def dedup_groups_oracle() -> str:
     component label = min reachable doc_id (self included)."""
     return f"""
         WITH RECURSIVE {_SHINGLE_CTE}, {_minhash_sig_sql()}, {_band_sql()},
+        bksz AS (SELECT band_idx, band_hash, count(*) AS n
+                 FROM buckets GROUP BY 1, 2),
+        bk AS (SELECT b.* FROM buckets b JOIN bksz USING (band_idx, band_hash)
+               WHERE bksz.n <= {SKEW_CAP}),
         cand AS (
             SELECT DISTINCT a.id AS id_a, b.id AS id_b
-            FROM buckets a JOIN buckets b
+            FROM bk a JOIN bk b
               ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
              AND a.id < b.id),
         sz AS (SELECT id, count(*) AS sz FROM hsh GROUP BY id),
@@ -866,12 +899,19 @@ def simhash_pairs_oracle(max_hamming: int = 3) -> str:
 
 
 def jaccard_pairs_oracle() -> str:
+    """Twin of ``ngram_jaccard_pairs`` incl. the posting-list cap: hot
+    shingles past ``SKEW_CAP`` docs are dropped from the shingle sets
+    BEFORE sizes and intersections (matching the Spark operator, where
+    the cap filters the set itself, not just candidate generation)."""
     return f"""
         WITH {_SHINGLE_CTE}, {_hashed_shingle_cte()},
-        sz AS (SELECT id, count(*) AS sz FROM hsh GROUP BY id),
+        hfreq AS (SELECT h, count(*) AS df_cnt FROM hsh GROUP BY h),
+        hf AS (SELECT hsh.* FROM hsh JOIN hfreq USING (h)
+               WHERE df_cnt <= {SKEW_CAP}),
+        sz AS (SELECT id, count(*) AS sz FROM hf GROUP BY id),
         inter AS (
             SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter_cnt
-            FROM hsh a JOIN hsh b ON a.h = b.h AND a.id < b.id
+            FROM hf a JOIN hf b ON a.h = b.h AND a.id < b.id
             GROUP BY 1, 2)
         SELECT i.id_a, i.id_b,
                i.inter_cnt * 1.0 / (a.sz + b.sz - i.inter_cnt) AS jaccard

@@ -59,7 +59,16 @@ def read_events_stream(
     actually delivers — mirroring the batch reader
     (``sources/readers.py``), never assuming either encoding.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The probe needs nanosAsLong on; scope the flip so calling this
+    # helper never silently changes how *batch* parquet reads elsewhere
+    # in a caller's session deliver TIMESTAMP(NANOS). The one case where
+    # the conf must STAY on is bigint delivery below: there the file
+    # source re-reads parquet under this conf at every micro-batch, so
+    # restoring it would break the stream itself — get_session() already
+    # sets it at construction, making this a no-op in that case.
+    _CONF = "spark.sql.legacy.parquet.nanosAsLong"
+    prior = spark.conf.get(_CONF, None)
+    spark.conf.set(_CONF, "true")
     probe = spark.read
     reader = spark.readStream
     if glob is not None:
@@ -67,6 +76,11 @@ def read_events_stream(
         reader = reader.option("pathGlobFilter", glob)
     raw = reader.schema(probe.parquet(source_dir).schema).parquet(source_dir)
     delivered = dict(raw.dtypes).get("ts")
+    if delivered != "bigint":
+        if prior is None:
+            spark.conf.unset(_CONF)
+        else:
+            spark.conf.set(_CONF, prior)
     if delivered == "bigint":  # nanos-as-long delivery
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif delivered == "timestamp_ntz":
