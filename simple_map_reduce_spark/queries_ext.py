@@ -354,42 +354,37 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, n_tokens) — the packing input frame."""
+    from .operators.aggregates import TOKEN_RE
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), F.lit(0))
+    ).cast("bigint")
+    return docs.select("doc_id", "lang", n_tok.alias("n_tokens"))
+
+
 def q_chunk_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concatenate-and-chunk packing — the standard pretraining layout:
     per language, documents are laid head-to-tail in doc_id order and cut
     into fixed 512-token context windows; each doc gets the window index
-    where it starts and its offset inside it. One shuffle (the per-lang
-    window); at 100 TB the partition key becomes (lang, shard) so each
-    packing stream stays a single sorted partition."""
-    from .operators.aggregates import TOKEN_RE
+    where it starts and its offset inside it (operators.packing, single-
+    window oracle tier; ``chunk_assignment_sharded`` is the scale tier)."""
+    from .operators.packing import chunk_assignment
 
-    docs = load_table(spark, sf_dir, "documents")
-    from pyspark.sql import Window
+    return chunk_assignment(_sized_docs(spark, sf_dir))
 
-    n_tok = F.size(
-        F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), F.lit(0))
-    ).cast("bigint")
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
-    # chunk_id via integer DIV, not floor(start / 512): `/` on bigints is
-    # double division, exact only below 2^53 — a 100 TB language stream's
-    # cumulative token count can exceed that, and the oracle's `//` is
-    # integer all the way.
-    return (
-        docs.select("doc_id", "lang", n_tok.alias("n_tokens"))
-        .withColumn("start", start)
-        .select(
-            "doc_id",
-            "lang",
-            "n_tokens",
-            F.expr("start DIV 512").alias("chunk_id"),
-            (F.col("start") % 512).alias("chunk_offset"),
-        )
-    )
+
+def q_chunk_assignment_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of ``chunk_assignment``: range-sharded two-level
+    prefix sum (bounded per-(lang, shard) sorts + broadcast cumulative
+    shard offsets) with BIT-IDENTICAL output — so the single-window SQL
+    remains its oracle twin. span=100 ⇒ ≥5 shards at sf0.01, exercising
+    real cross-shard offsets at test scale."""
+    from .operators.packing import chunk_assignment_sharded
+
+    return chunk_assignment_sharded(_sized_docs(spark, sf_dir), span=100)
 
 
 def q_vocab_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1055,6 +1050,28 @@ def similarity_topk_ivf_oracle() -> str:
     """
 
 
+# the single-window packing SQL — oracle twin for BOTH packing tiers
+# (the sharded form is output-identical by construction)
+_CHUNK_ORACLE = r"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   CAST(len(regexp_extract_all(lower(text), '\w+')) AS BIGINT)
+                       AS n_tokens
+            FROM documents),
+        s AS (
+            SELECT doc_id, lang, n_tokens,
+                   coalesce(sum(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS start
+            FROM t)
+        SELECT doc_id, lang, n_tokens,
+               CAST(start // 512 AS BIGINT) AS chunk_id,
+               CAST(start % 512 AS BIGINT) AS chunk_offset
+        FROM s
+    """
+
+
 def _marker_list(lang: str) -> str:
     return "[" + ", ".join(f"'{m}'" for m in LANG_MARKERS[lang]) + "]"
 
@@ -1181,6 +1198,7 @@ EXT_QUERIES = {
     "image_resize": q_image_resize,
     "redact_pii": q_redact_pii,
     "chunk_assignment": q_chunk_assignment,
+    "chunk_assignment_sharded": q_chunk_assignment_sharded,
     "incremental_neardup": q_incremental_neardup,
 }
 
@@ -1270,24 +1288,11 @@ EXT_ORACLES = {
                      '\d{3}[-.]\d{3}[-.]\d{4}', '<PHONE>', 'g')) AS clean_md5
         FROM documents
     """,
-    "chunk_assignment": r"""
-        WITH t AS (
-            SELECT doc_id, lang,
-                   CAST(len(regexp_extract_all(lower(text), '\w+')) AS BIGINT)
-                       AS n_tokens
-            FROM documents),
-        s AS (
-            SELECT doc_id, lang, n_tokens,
-                   coalesce(sum(n_tokens) OVER (
-                       PARTITION BY lang ORDER BY doc_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                       AS start
-            FROM t)
-        SELECT doc_id, lang, n_tokens,
-               CAST(start // 512 AS BIGINT) AS chunk_id,
-               CAST(start % 512 AS BIGINT) AS chunk_offset
-        FROM s
-    """,
+    "chunk_assignment": _CHUNK_ORACLE,
+    # the sharded scale tier produces bit-identical output by
+    # construction (range shards preserve per-lang id order), so the
+    # single-window SQL IS its oracle
+    "chunk_assignment_sharded": _CHUNK_ORACLE,
     # same integer aspect-fit math and md5 fake as multimodal.resize_images
     "image_resize": """
         WITH d AS (

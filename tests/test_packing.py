@@ -1,0 +1,55 @@
+"""Sequence-packing operator tests: the sharded two-level prefix sum must
+be output-identical to the single-window form (that identity is what lets
+the unsharded SQL serve as the sharded query's oracle)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from simple_map_reduce_spark.operators.packing import (
+    chunk_assignment,
+    chunk_assignment_sharded,
+)
+
+ROWS = [
+    # (doc_id, lang, n_tokens) — gappy ids, uneven shards, multi-group
+    (0, "en", 100), (1, "en", 300), (2, "en", 200), (5, "en", 513),
+    (7, "en", 1), (11, "en", 511), (12, "en", 0), (30, "en", 999),
+    (3, "fr", 512), (4, "fr", 512), (6, "fr", 1), (8, "fr", 700),
+    (9, "de", 5),
+]
+
+
+def _collect(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_sharded_equals_single_window(spark):
+    sized = spark.createDataFrame(ROWS, "doc_id bigint, lang string, n_tokens bigint")
+    simple = _collect(chunk_assignment(sized, chunk_tokens=512))
+    for span in (1, 3, 7, 1000):  # 1 = one id per shard; 1000 = one shard
+        sharded = _collect(
+            chunk_assignment_sharded(sized, chunk_tokens=512, span=span)
+        )
+        assert sharded == simple, f"span={span} diverged"
+
+
+def test_prefix_sum_is_exclusive_and_exact(spark):
+    sized = spark.createDataFrame(ROWS, "doc_id bigint, lang string, n_tokens bigint")
+    out = {
+        (r.doc_id): (r.chunk_id, r.chunk_offset)
+        for r in chunk_assignment_sharded(sized, chunk_tokens=512, span=3).collect()
+        if r.lang == "en"
+    }
+    # en cumulative starts: 0,100,400,600,1113,1114,1625,1625
+    assert out[0] == (0, 0)
+    assert out[1] == (0, 100)
+    assert out[2] == (0, 400)
+    assert out[5] == (1, 88)      # start 600
+    assert out[7] == (2, 89)      # start 1113
+    assert out[11] == (2, 90)     # start 1114
+    assert out[12] == (3, 89)     # start 1625 (zero-token doc keeps start)
+    assert out[30] == (3, 89)     # start 1625

@@ -249,3 +249,21 @@ def test_minhash_signature_partial_aggregation(spark):
     plan = _plan(spark, "minhash_buckets")
     assert plan.count("HashAggregate") >= 2
     assert "Exchange hashpartitioning(id" in plan
+
+
+def test_chunk_sharded_sorts_are_shard_bounded(spark):
+    """The scale-tier packing plan must never sort a whole language in
+    one task: the document-frame window partitions by (lang, _shard) —
+    bounded by span — and the shard offsets come back via broadcast, so
+    no corpus-sized partition exists anywhere in the plan."""
+    plan = _plan(spark, "chunk_assignment_sharded")
+    # the big window's exchange carries BOTH keys
+    i = plan.index("hashpartitioning(lang")
+    assert "_shard" in plan[i : i + 120], plan[i : i + 120]
+    # the doc-frame sort is (lang, _shard, doc_id), not (lang, doc_id)
+    doc_sorts = [
+        l for l in plan.splitlines() if "Sort [lang" in l and "doc_id" in l
+    ]
+    assert doc_sorts and all("_shard" in l for l in doc_sorts), doc_sorts
+    # shard offsets join back broadcast — never a shuffle of the doc frame
+    assert "BroadcastHashJoin" in plan
