@@ -7,22 +7,29 @@ pairs. The reference has no iterative surface at all (every job is one
 map + one reduce, SURVEY.md §3); this is the [EXT] slot for iterative
 algorithms generally.
 
-Algorithm: min-label propagation. Every vertex starts labelled with its
-own id; each round every vertex takes the min of its own label and its
-neighbours' labels; converged when no label changes. Rounds needed =
-graph diameter — small for dedup clusters (near-cliques). For
-billion-edge general graphs the alternating large-star/small-star
-variant (Kiveris et al., "Connected Components in MapReduce and Beyond")
-halves the round count; the loop body below is the slot where that
-rewrite goes.
+Two algorithms, selectable; both return (id, component = min reachable
+vertex id):
 
-Scale shape per round: one shuffle join (labels ⋈ edges, partitioned on
-vertex id) + one groupBy(min) — both partial-aggregatable. The label
-frame is ``localCheckpoint``-ed each round: truncating lineage is what
-keeps plan size O(1) instead of O(rounds) (on a cluster, swap for
-``checkpoint`` to HDFS so executor loss doesn't replay the whole loop).
-The convergence probe is a scalar count per round, never a collect of
-vertex data.
+- ``two_star`` (default) — the alternating **large-star / small-star**
+  method of Kiveris et al., "Connected Components in MapReduce and
+  Beyond" (SoCC'14): each round rewires every edge toward the locally
+  known minimum, halving component *depth* per round, so rounds grow
+  O(log) in component size — the published MapReduce CC algorithm for
+  arbitrary graphs at scale.
+- ``label_prop`` — min-label propagation: every vertex takes the min of
+  its neighbours' labels per round. Rounds = graph **diameter**: fine
+  for dedup near-cliques, pathological for chains (see
+  tests/test_graph.py, which pins the >2× round gap on a chain).
+
+Scale shape per round (both): one shuffle join/groupBy pair on vertex
+ids, fully partial-aggregatable. Every per-round frame is
+``localCheckpoint``-ed — truncating lineage keeps plan size O(1) instead
+of O(rounds) (on a cluster, swap for ``checkpoint`` to HDFS so executor
+loss doesn't replay the whole loop). Convergence probes are scalar
+aggregates per round, never a collect of vertex data; the two-star
+stability probe is a (count, hash-sum) pair, re-verified with an exact
+symmetric-difference count before the loop is allowed to exit, so a
+hash collision can delay exit by one probe but never yield wrong labels.
 """
 
 from __future__ import annotations
@@ -31,20 +38,96 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def connected_components(
-    vertices: DataFrame,
-    edges: DataFrame,
-    id_col: str = "id",
-    src_col: str = "src",
-    dst_col: str = "dst",
-    max_iter: int = 50,
-) -> DataFrame:
-    """(id, component) for every vertex; component = min vertex id
-    reachable (isolated vertices get their own id). Edges are treated as
-    undirected."""
+def _canon_edges(e: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Undirected canonical form: (min, max), self-loops dropped, distinct."""
+    return (
+        e.select(
+            F.least(F.col(a), F.col(b)).alias("a"),
+            F.greatest(F.col(a), F.col(b)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For every vertex v: connect each strictly-larger neighbour to
+    min(N(v) ∪ {v}). (Kiveris et al., Algorithm 1.)"""
+    sym = e.select(F.col("a").alias("v"), F.col("b").alias("u")).union(
+        e.select(F.col("b").alias("v"), F.col("a").alias("u"))
+    )
+    m = (
+        sym.groupBy("v")
+        .agg(F.min("u").alias("mn"))
+        .select("v", F.least(F.col("mn"), F.col("v")).alias("m"))
+    )
+    out = (
+        sym.join(m, "v")
+        .filter(F.col("u") > F.col("v"))
+        .select(F.col("u").alias("a"), F.col("m").alias("b"))
+    )
+    return _canon_edges(out)
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """For every vertex v: connect each smaller-or-equal neighbour (and v
+    itself) to min(N⁻(v)). Operates on the canonical (a < b) form, so b
+    plays v and a its smaller neighbour. (Kiveris et al., Algorithm 2.)"""
+    m = e.groupBy("b").agg(F.min("a").alias("m"))
+    nbrs = e.join(m, "b").select(F.col("a"), F.col("m"))
+    selfs = m.select(F.col("b").alias("a"), F.col("m"))
+    return _canon_edges(nbrs.union(selfs), a="a", b="m")
+
+
+def _edge_probe(e: DataFrame) -> tuple[int, int]:
+    """(count, 64-bit hash sum) — the cheap per-round stability probe."""
+    row = e.agg(
+        F.count("*").alias("n"),
+        F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"] or 0)
+
+
+def _two_star_edges(edges: DataFrame, max_iter: int) -> tuple[DataFrame, int]:
+    """Run alternating large/small star to the fixed point; returns the
+    converged star edges (center = component min) and the round count."""
+    e = _canon_edges(
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    ).localCheckpoint(eager=True)
+    probe = _edge_probe(e)
+    if probe[0] == 0:
+        return e, 0
+    for rounds in range(1, max_iter + 1):
+        new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        new_probe = _edge_probe(new_e)
+        if new_probe == probe:
+            # exact re-check: the probe is a hash — paranoia is cheap here
+            # because this path runs once, at convergence
+            diff = (
+                new_e.union(e)
+                .groupBy("a", "b")
+                .agg(F.count("*").alias("c"))
+                .filter(F.col("c") == 1)
+                .count()
+            )
+            if diff == 0:
+                return new_e, rounds
+        e, probe = new_e, new_probe
+    raise RuntimeError(
+        f"two-star connected components did not converge within "
+        f"max_iter={max_iter} rounds (expected O(log n) — check for an "
+        f"id type mismatch between src/dst columns)"
+    )
+
+
+def _label_prop_labels(
+    vertices: DataFrame, edges: DataFrame, id_col: str, max_iter: int
+) -> tuple[DataFrame, int]:
+    """Min-label propagation; returns ((vid, comp), rounds). Rounds
+    needed = graph diameter."""
     sym = (
-        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
-        .union(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
+        edges.select(F.col("src").alias("s"), F.col("dst").alias("d"))
+        .union(edges.select(F.col("dst").alias("s"), F.col("src").alias("d")))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -53,7 +136,7 @@ def connected_components(
     ).localCheckpoint(eager=True)
 
     changed = 0
-    for _ in range(max_iter):
+    for rounds in range(1, max_iter + 1):
         nbr_min = (
             sym.join(labels, sym["d"] == labels["vid"])
             .groupBy("s")
@@ -77,15 +160,46 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            break
-    if changed > 0:
-        # partially-propagated labels are WRONG labels — never return
-        # them silently (the operator is exposed as general-purpose;
-        # dedup graphs converge in a handful of rounds, arbitrary graphs
-        # may not)
-        raise RuntimeError(
-            f"connected_components did not converge within max_iter="
-            f"{max_iter} rounds ({changed} labels still changing); "
-            f"raise max_iter (rounds needed = graph diameter)"
+            return labels, rounds
+    # partially-propagated labels are WRONG labels — never return them
+    # silently (dedup graphs converge in a handful of rounds; arbitrary
+    # graphs may not — use the two_star algorithm for those)
+    raise RuntimeError(
+        f"label propagation did not converge within max_iter={max_iter} "
+        f"rounds ({changed} labels still changing); rounds needed = graph "
+        f"diameter — use algorithm='two_star' (O(log n) rounds) instead"
+    )
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 50,
+    algorithm: str = "two_star",
+) -> DataFrame:
+    """(id, component) for every vertex; component = min vertex id
+    reachable (isolated vertices get their own id). Edges are treated as
+    undirected. ``algorithm``: ``two_star`` (default, O(log n) rounds on
+    arbitrary graphs) or ``label_prop`` (diameter rounds — only for
+    known-shallow graphs)."""
+    edges = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if algorithm == "label_prop":
+        labels, _ = _label_prop_labels(vertices, edges, id_col, max_iter)
+        return labels.select(
+            F.col("vid").alias(id_col), F.col("comp").alias("component")
         )
-    return labels.select(F.col("vid").alias(id_col), F.col("comp").alias("component"))
+    if algorithm != "two_star":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    star, _ = _two_star_edges(edges, max_iter)
+    # converged state is a union of stars centered at each component's
+    # min id: (a=center, b=member). Isolated vertices label themselves.
+    membership = star.groupBy("b").agg(F.min("a").alias("comp"))
+    return vertices.select(F.col(id_col).alias("vid")).join(
+        membership, F.col("vid") == F.col("b"), "left"
+    ).select(
+        F.col("vid").alias(id_col),
+        F.coalesce(F.col("comp"), F.col("vid")).alias("component"),
+    )

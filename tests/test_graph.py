@@ -40,3 +40,43 @@ def test_cc_nonconvergence_raises(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(5)], ["src", "dst"])
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(verts, edges, max_iter=1)
+
+
+def test_both_algorithms_agree(spark):
+    # two components with internal cycles + a chain tail
+    verts = spark.createDataFrame([(i,) for i in range(12)], "id bigint")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (6, 7), (7, 8), (8, 6), (9, 10)],
+        "src bigint, dst bigint",
+    )
+    a = sorted(
+        tuple(r)
+        for r in connected_components(verts, edges, algorithm="two_star").collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in connected_components(verts, edges, algorithm="label_prop").collect()
+    )
+    assert a == b
+
+
+def test_two_star_beats_label_prop_on_chain(spark):
+    """The reason two_star is the default: on a depth-n graph label
+    propagation needs diameter rounds while the alternating star method
+    needs O(log n) — pin the >2x gap on a 16-vertex chain."""
+    from simple_map_reduce_spark.operators.graph import (
+        _label_prop_labels,
+        _two_star_edges,
+    )
+
+    n = 16
+    verts = spark.createDataFrame([(i,) for i in range(n)], "id bigint")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src bigint, dst bigint"
+    )
+    star, ts_rounds = _two_star_edges(edges, max_iter=50)
+    labels, lp_rounds = _label_prop_labels(verts, edges, "id", max_iter=50)
+    # same answer: every vertex reaches component 0
+    assert {r.a for r in star.collect()} == {0}
+    assert {r.comp for r in labels.collect()} == {0}
+    assert lp_rounds > 2 * ts_rounds, (lp_rounds, ts_rounds)
