@@ -65,6 +65,13 @@ class Catalog:
             raise ValueError(f"unsupported format: {fmt}")
         df.write.mode("overwrite").parquet(path)
 
+    def append(self, df: DataFrame, name: str) -> None:
+        """Append rows to an existing named table (atomic per Spark's
+        output committer — new part files land or they don't). The
+        incremental-ingest surface (e.g. ``NearDupIndex``) grows its
+        state tables through this instead of rewriting them."""
+        df.write.mode("append").parquet(self._path(name))
+
     # -- get (S2): named table → DataFrame / local export -----------------
     def get(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self._path(name))

@@ -161,3 +161,13 @@ class MapleJuice:
             default_out = f"{q.left}_{q.right}_join"
         self.catalog.put(result, out_name or default_out)
         return self.catalog.get(out_name or default_out)
+
+    # -- incremental near-dup ingest [EXT] --------------------------------
+    def neardup_index(self, name: str, **params) -> "NearDupIndex":
+        """Catalog-backed MinHash-LSH corpus index for incremental ingest
+        (operators.dedup.NearDupIndex): ``build(corpus)`` once, then
+        ``ingest(batch)`` per arrival — the corpus is kept as hashed
+        shingle/bucket parquet tables and never re-tokenized."""
+        from .operators.dedup import NearDupIndex
+
+        return NearDupIndex(self.catalog, name, **params)

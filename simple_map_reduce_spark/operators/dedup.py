@@ -261,10 +261,30 @@ def incremental_neardup_pairs(
     """
     shn = tracked_persist(hashed_shingles(new_df, id_col, text_col, shingle_n))
     shc = tracked_persist(hashed_shingles(corpus_df, id_col, text_col, shingle_n))
-    sig_n = shn.groupBy("id").agg(*_minhash_aggs(num_hashes))
     sig_c = shc.groupBy("id").agg(*_minhash_aggs(num_hashes))
-    bn = lsh_band_buckets(sig_n, num_hashes, bands)
     bc = lsh_band_buckets(sig_c, num_hashes, bands)
+    return _asymmetric_neardup_check(
+        shn, shc, bc, num_hashes, bands, threshold, max_bucket
+    )
+
+
+def _asymmetric_neardup_check(
+    shn: DataFrame,
+    shc: DataFrame,
+    bc: DataFrame,
+    num_hashes: int,
+    bands: int,
+    threshold: float,
+    max_bucket: int,
+) -> DataFrame:
+    """Core of the incremental check: new-batch shingles (``shn``) are
+    banded and joined against the corpus band-buckets (``bc``), then the
+    candidates are Jaccard-verified against the corpus shingle sets
+    (``shc``). The corpus sides are *frames*, not text — callers pass
+    either freshly-derived frames (oracle convenience) or catalog table
+    scans (:class:`NearDupIndex` — the production precompute shape)."""
+    sig_n = shn.groupBy("id").agg(*_minhash_aggs(num_hashes))
+    bn = lsh_band_buckets(sig_n, num_hashes, bands)
     if max_bucket:
         sizes = bc.groupBy("band_idx", "band_hash").agg(F.count("*").alias("bsz"))
         bc = bc.join(
@@ -298,6 +318,117 @@ def incremental_neardup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_new", "id_corpus", "jaccard")
     )
+
+
+class NearDupIndex:
+    """Catalog-persisted MinHash-LSH corpus index — the production form
+    of incremental near-dup ingest.
+
+    ``incremental_neardup_pairs`` re-derives the corpus signatures on
+    every call (an oracle convenience: DuckDB can recompute the whole
+    pipeline). At 100 TB that re-tokenization *is* the job, so the
+    standing corpus state lives in two catalog parquet tables instead:
+
+    - ``{name}__shingles``: (id, h) hashed shingle sets (Jaccard verify)
+    - ``{name}__buckets``:  (id, band_idx, band_hash) LSH band buckets
+      (candidate generation)
+
+    :meth:`ingest` checks a new batch against the tables (per-ingest cost
+    ∝ |batch| × collision rate — the corpus is scanned as 8-byte-int
+    parquet, never re-tokenized; plan-guarded in tests/test_dedup.py) and
+    appends the ACCEPTED documents' shingles/buckets, so the index grows
+    with the corpus. Parquet appends are atomic per Spark's output
+    committer; concurrent ingests need external serialization, same as
+    any metastore-less parquet append."""
+
+    def __init__(
+        self,
+        catalog,
+        name: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        num_hashes: int = DEFAULT_NUM_HASHES,
+        bands: int = DEFAULT_BANDS,
+        shingle_n: int = 3,
+        threshold: float = 0.5,
+        max_bucket: int = 1000,
+    ):
+        self.catalog = catalog
+        self.name = name
+        self.id_col = id_col
+        self.text_col = text_col
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.shingle_n = shingle_n
+        self.threshold = threshold
+        self.max_bucket = max_bucket
+
+    @property
+    def shingles_table(self) -> str:
+        return f"{self.name}__shingles"
+
+    @property
+    def buckets_table(self) -> str:
+        return f"{self.name}__buckets"
+
+    def _derive(self, df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """(shingles, buckets) for a batch — the ONE place text is
+        tokenized. The shingle frame is persisted so the bucket branch
+        doesn't re-tokenize."""
+        sh = tracked_persist(
+            hashed_shingles(df, self.id_col, self.text_col, self.shingle_n)
+        )
+        sig = sh.groupBy("id").agg(*_minhash_aggs(self.num_hashes))
+        return sh, lsh_band_buckets(sig, self.num_hashes, self.bands)
+
+    def build(self, corpus_df: DataFrame) -> None:
+        """Bootstrap (or rebuild) the index from a standing corpus."""
+        sh, bk = self._derive(corpus_df)
+        self.catalog.put(sh, self.shingles_table)
+        self.catalog.put(bk, self.buckets_table)
+
+    def check(self, new_df: DataFrame) -> DataFrame:
+        """Near-dup pairs (id_new, id_corpus, jaccard ≥ threshold) of a
+        new batch against the standing index — pure read, no writes; the
+        corpus sides are catalog table scans."""
+        shn, _ = self._derive(new_df)
+        return _asymmetric_neardup_check(
+            shn,
+            self.catalog.get(self.shingles_table),
+            self.catalog.get(self.buckets_table),
+            self.num_hashes,
+            self.bands,
+            self.threshold,
+            self.max_bucket,
+        )
+
+    def ingest(self, new_df: DataFrame) -> DataFrame:
+        """Check ``new_df`` against the corpus, append the accepted
+        (match-free) documents' shingles/buckets to the index, and return
+        the materialized pair report.
+
+        The report is **eagerly localCheckpoint-ed before any append**:
+        it reads the very tables the appends grow, and a lazy plan
+        re-evaluated after the append would see the batch's own rows in
+        the corpus (every accepted doc suddenly "matches" itself at
+        jaccard 1.0). Severing lineage pins the report to the pre-ingest
+        corpus state. On a cluster, use ``checkpoint`` for the same
+        reason with executor-loss durability."""
+        shn, bn = self._derive(new_df)
+        pairs = _asymmetric_neardup_check(
+            shn,
+            self.catalog.get(self.shingles_table),
+            self.catalog.get(self.buckets_table),
+            self.num_hashes,
+            self.bands,
+            self.threshold,
+            self.max_bucket,
+        ).localCheckpoint(eager=True)
+        dup_ids = pairs.select(F.col("id_new").alias("id")).distinct()
+        accepted = shn.join(dup_ids, "id", "left_anti")
+        self.catalog.append(accepted, self.shingles_table)
+        self.catalog.append(bn.join(dup_ids, "id", "left_anti"), self.buckets_table)
+        return pairs
 
 
 # ---------------------------------------------------------------------------

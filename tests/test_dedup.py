@@ -21,6 +21,8 @@ from simple_map_reduce_spark.operators.dedup import (
     simhash,
     simhash_dup_pairs,
 )
+from simple_map_reduce_spark.sources.readers import load_table
+from tests.conftest import SF_SMOKE
 
 BASE = (
     "the quick brown fox jumps over the lazy dog and then runs far away "
@@ -121,3 +123,87 @@ def test_hot_shingle_guard_drops_buckets(spark):
     )
     out = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.0, max_bucket=2)
     assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# NearDupIndex: catalog-backed incremental ingest
+# ---------------------------------------------------------------------------
+
+
+def _index_fixture(spark, tmp_path):
+    from simple_map_reduce_spark.catalog import Catalog
+    from simple_map_reduce_spark.operators.dedup import NearDupIndex
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    cat = Catalog(spark, str(tmp_path / "warehouse"))
+    idx = NearDupIndex(cat, "corpus", threshold=0.3)
+    idx.build(corpus)
+    return idx, cat, corpus, batch, docs
+
+
+def test_neardup_index_matches_recompute_form(spark, tmp_path):
+    """The catalog-backed check must return exactly the pairs the
+    recompute-everything oracle form returns on the same split."""
+    from simple_map_reduce_spark.operators.dedup import incremental_neardup_pairs
+
+    idx, _, corpus, batch, _ = _index_fixture(spark, tmp_path)
+    got = sorted(
+        (r.id_new, r.id_corpus, round(r.jaccard, 9))
+        for r in idx.check(batch).collect()
+    )
+    want = sorted(
+        (r.id_new, r.id_corpus, round(r.jaccard, 9))
+        for r in incremental_neardup_pairs(
+            batch, corpus, "doc_id", "text", threshold=0.3
+        ).collect()
+    )
+    assert got == want and got
+
+
+def test_neardup_index_ingest_appends_accepted_only(spark, tmp_path):
+    idx, cat, _, batch, _ = _index_fixture(spark, tmp_path)
+    before = cat.get(idx.shingles_table).select("id").distinct().count()
+    pairs = idx.ingest(batch)
+    dup_ids = {r.id_new for r in pairs.select("id_new").distinct().collect()}
+    batch_ids = {r.doc_id for r in batch.select("doc_id").collect()}
+    after_ids = {r.id for r in cat.get(idx.shingles_table).select("id").distinct().collect()}
+    # accepted = batch minus dup matches; dups must NOT join the corpus
+    assert after_ids.issuperset(batch_ids - dup_ids)
+    assert not (after_ids & dup_ids)
+    assert len(after_ids) == before + len(batch_ids - dup_ids)
+    # an accepted doc re-ingested now collides with the corpus copy
+    accepted_id = sorted(batch_ids - dup_ids)[0]
+    redo = idx.check(batch.filter(F.col("doc_id") == accepted_id))
+    assert any(
+        r.id_corpus == accepted_id and r.jaccard == 1.0 for r in redo.collect()
+    )
+
+
+def test_neardup_index_never_retokenizes_corpus(spark, tmp_path):
+    """THE precompute guarantee: a later ingest's plan reads the corpus
+    as hashed-int parquet (catalog tables) — the documents source is
+    scanned once, for the NEW batch only, and no corpus text ever meets
+    the shingle tokenizer again."""
+    idx, cat, _, batch, _ = _index_fixture(spark, tmp_path)
+    plan = (
+        idx.check(batch)._jdf.queryExecution().executedPlan().toString()
+    )
+    # a persisted frame renders its cached child plan once per consumer —
+    # dedupe rendered lines from the "FileScan" token on
+    scans = {
+        l[l.index("FileScan"):] for l in plan.splitlines() if "FileScan" in l
+    }
+    import re
+
+    doc_scans = [l for l in scans if "documents.parquet" in l]
+    assert len(doc_scans) == 1, doc_scans   # the new batch, nothing else
+    # catalog tables identified by their int columns (paths truncate in
+    # the renderer): band buckets + hashed shingle sets both present
+    assert any("band_hash" in l for l in scans), scans
+    assert any(re.search(r"\[id#\d+L?,h#\d+L?\]", l) for l in scans), scans
+    # the corpus side moves (id, h) ints: text appears ONLY in the
+    # new-batch documents scan
+    text_scans = [l for l in scans if "text" in l]
+    assert text_scans == doc_scans, text_scans
