@@ -247,73 +247,73 @@ QUERIES: dict[str, QueryFn] = {
 # so a behavior change can never ship on a stale green row again (round
 # 2's trigram-default change left jaccard_pairs unverified for a round).
 #
-# Round 3 window = the 5 never-checked queries + everything changed this
-# round (streaming ts normalization ×5, MinHash universal-hash scheme ×3,
-# nation_segment_list scalarization) + r2 changes that missed the r2
-# window (jaccard_pairs, maple_*, similarity_topk) + the oldest r1 rows
-# refreshed.
+# Round 4 window = everything whose behavior OR oracle changed this
+# round (ANN tier oracle-twinning + sim rounding, chunk DIV + sharded
+# packing, two-star dedup_groups, skew-cap oracle twinning, incremental
+# check refactor) + the 6 queries whose latest row still dated to r1 +
+# the oldest r2 rows refreshed (33 of 49; the rest rotate in r5).
 _CHANGED_THIS_ROUND = [
-    # r3: shared stream-source helper (dtype-probing ts normalization)
-    "streaming_rollup",
-    "streaming_dedup",
-    "streaming_sessions",
-    "streaming_enriched",
-    "streaming_click_attribution",
-    # r3: MinHash = one md5 → k universal-hash mixes (was k seeded md5s);
-    # dedup joins keyed on 60-bit shingle hashes instead of strings
-    "minhash_buckets",
-    "minhash_dup_pairs",
-    "dedup_groups",
-    "jaccard_pairs",
-    # r3: array column scalarized to a comma-joined string
-    "nation_segment_list",
-    # r3: NEW queries (a new query's behavior ships this round too)
-    "decontaminate",
-    "streaming_dedup_watermark",
-    "image_resize",
-    "redact_pii",
+    # r4: ANN tier gains generated-SQL oracles; IVF assignment/probe sims
+    # now rounded to 6 decimals before ranking (cross-engine determinism)
+    "similarity_topk_ivf",
+    "similarity_topk_lsh",
+    "embedding_neardup_lsh",
+    "embedding_neardup",  # oracle rebuilt on the shared rounded-cos snippet
+    # r4: chunk_id via integer DIV; new sharded scale tier
     "chunk_assignment",
-    "incremental_neardup",
+    "chunk_assignment_sharded",
+    # r4: skew caps twinned into the oracles (bucket cap for candidates,
+    # posting cap for sets) and passed explicitly by the queries
+    "minhash_dup_pairs",
+    "jaccard_pairs",
+    "incremental_neardup",  # + shared _asymmetric_neardup_check core
+    "decontaminate",
+    # r4: connected components now run the two-star algorithm
+    "dedup_groups",
 ]
 _ROTATION_FRONT = [
-    # never driver-checked (deferred from the r2 window)
-    "left_join_order_counts",
-    "qty_outliers",
-    "orders_by_month",
-    "big_orders",
-    "multi_distinct",
     *_CHANGED_THIS_ROUND,
-    # r2 behavior changes whose last driver row predates them
-    "maple_wordcount",  # bounded key collect + pipe-mode shipping (r2)
-    "maple_filter_pct",  # same maple/juice surface (r2)
-    "similarity_topk",  # two-stage WindowGroupLimit funnel (r2)
-    # refresh of the oldest (r1) driver rows, oracle-backed first
-    "regex_filter",
-    "column_filter",
-    "equi_join",
-    "wordcount",
-    "wordcount_total",
-    "distinct_tokens",
-    "filter_group_pct",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_regional_revenue",
-    "topk_customers",
-    "window_running",
-    "events_windowed",
-    "dedup_exact",
-    "simhash_sigs",
-    "simhash_dup_pairs",
-    "embedding_neardup",
-    "text_stats",
-    "token_counts",
-    "lang_id",
-    "doc_fingerprint",
-    "corpus_prep",
-    "sales_rollup",
-    "multimodal_meta",
-    "audio_features",
-    "embedding_neardup_lsh",  # now the similarity bench headline
+    # last driver row dated r1 (unchanged since — freshness refresh)
+    "customers_without_orders",
+    "events_json",
+    "orders_sorted_limit",
+    "part_type_stats",
+    "parts_ordered",
+    "stats_summary",
+    # oldest r2 rows refreshed (alphabetical; remainder rotates in r5)
+    "asof_last_order",
+    "bigram_docfreq",
+    "cheapest_item_per_order",
+    "cohort_retention",
+    "customer_order_seq",
+    "customer_spend_ntile",
+    "deterministic_sample",
+    "disjunctive_revenue",
+    "dominant_suppliers",
+    "events_pivot",
+    "flag_priority_matrix",
+    "forecast_revenue",
+    "frame_sample",
+    "fuzzy_part_names",
+    "image_features",
+    "late_ship_priority",
+    "market_share",
+    "mom_revenue_growth",
+    "monthly_gapfill",
+    "moving_avg_3m",
+    "nation_full_outer",
+    "nation_trade_volume",
+    "order_count_histogram",
+    "part_metrics_unpivot",
+    "part_name_features",
+    "pricey_parts_dense",
+    "priority_trailing_week",
+    "priority_union",
+    "profit_by_nation_year",
+    "promo_revenue",
+    "purchase_click_burst",
+    "qty_median_by_flag",
+    "qty_quartiles",
 ]
 assert len(_ROTATION_FRONT) == 50
 assert set(_ROTATION_FRONT) <= set(QUERIES)

@@ -72,3 +72,47 @@ def test_changed_queries_are_inside_verification_window():
         f"queries changed this round but outside the 50-slot driver "
         f"verification window: {missing}"
     )
+
+
+def test_window_slots_are_all_oracle_backed():
+    """A window slot given to an oracle-less query is a guaranteed `err`
+    row — round 3 burned its one non-green row exactly this way
+    (embedding_neardup_lsh rotated in while registered without an
+    oracle). Approximate-but-deterministic queries get generated-SQL
+    oracles instead (see the ANN tier); only genuinely engine-internal
+    algorithms (the HLL/GK sketches) stay rows-only, OUTSIDE the window."""
+    window = list(entrymod.queries().keys())[:50]
+    oracles = entrymod.oracle_sql()
+    missing = [k for k in window if k not in oracles]
+    assert not missing, (
+        f"oracle-less queries occupy driver verification slots: {missing}"
+    )
+
+
+def test_changed_round_list_tracks_module_edits():
+    """If any engine module changed since the last round-marker commit
+    ('round N: ...'), _CHANGED_THIS_ROUND must be non-empty — an edited
+    operator with an empty changed-list means a behavior change is about
+    to ship on stale green rows. (Heuristic by design: it cannot tell
+    WHICH queries changed, only that claiming 'nothing changed' while
+    code changed is wrong.)"""
+    import subprocess
+
+    from simple_map_reduce_spark.queries import _CHANGED_THIS_ROUND
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base = subprocess.run(
+        ["git", "log", "--grep", "^round [0-9]*:", "--format=%H", "-n", "1"],
+        capture_output=True, text=True, cwd=repo,
+    ).stdout.strip()
+    if not base:
+        pytest.skip("no round-marker commit yet (round 1)")
+    changed = subprocess.run(
+        ["git", "diff", "--name-only", base, "HEAD", "--", "simple_map_reduce_spark"],
+        capture_output=True, text=True, cwd=repo,
+    ).stdout.split()
+    if changed:
+        assert _CHANGED_THIS_ROUND, (
+            f"engine modules changed since the last round marker "
+            f"({changed[:10]}…) but _CHANGED_THIS_ROUND is empty"
+        )
