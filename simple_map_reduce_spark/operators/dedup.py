@@ -87,8 +87,17 @@ def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> Dat
     toked = ensure_parallelism(
         df.select(F.col(id_col).alias("id"), tokenize(text_col).alias("t"))
     )
-    toks = F.col("t")
     grams = F.when(
+        F.size(F.col("t")) >= n, gram_array(F.col("t"), n)
+    ).otherwise(F.array(F.array_join(F.col("t"), " ")))
+    return toked.select("id", F.explode(grams).alias("shingle"))
+
+
+def gram_array(toks, n: int):
+    """Array of space-joined word n-grams of a token-array column (one
+    element per n-gram POSITION — duplicates preserved, which is what
+    repetition metrics need; empty when the doc has < n tokens)."""
+    return F.when(
         F.size(toks) >= n,
         F.transform(
             F.sequence(F.lit(0), F.size(toks) - n),
@@ -96,8 +105,7 @@ def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> Dat
                 " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
             ),
         ),
-    ).otherwise(F.array(F.array_join(toks, " ")))
-    return toked.select("id", F.explode(grams).alias("shingle"))
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:

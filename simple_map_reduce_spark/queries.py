@@ -250,8 +250,9 @@ QUERIES: dict[str, QueryFn] = {
 # Round 4 window = everything whose behavior OR oracle changed this
 # round (ANN tier oracle-twinning + sim rounding, chunk DIV + sharded
 # packing, two-star dedup_groups, skew-cap oracle twinning, incremental
-# check refactor) + the 6 queries whose latest row still dated to r1 +
-# the oldest r2 rows refreshed (33 of 49; the rest rotate in r5).
+# check refactor, 3 new training-pipeline queries) + the 6 queries whose
+# latest row still dated to r1 + the oldest r2 rows refreshed (30 of 49;
+# the rest rotate in r5).
 _CHANGED_THIS_ROUND = [
     # r4: ANN tier gains generated-SQL oracles; IVF assignment/probe sims
     # now rounded to 6 decimals before ranking (cross-engine determinism)
@@ -270,6 +271,11 @@ _CHANGED_THIS_ROUND = [
     "decontaminate",
     # r4: connected components now run the two-star algorithm
     "dedup_groups",
+    # r4: NEW training-pipeline queries (a new query ships its behavior
+    # this round)
+    "repetition_signals",
+    "mixture_weights",
+    "embedding_quantize",
 ]
 _ROTATION_FRONT = [
     *_CHANGED_THIS_ROUND,
@@ -311,9 +317,6 @@ _ROTATION_FRONT = [
     "priority_union",
     "profit_by_nation_year",
     "promo_revenue",
-    "purchase_click_burst",
-    "qty_median_by_flag",
-    "qty_quartiles",
 ]
 assert len(_ROTATION_FRONT) == 50
 assert set(_ROTATION_FRONT) <= set(QUERIES)

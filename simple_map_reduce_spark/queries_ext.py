@@ -387,6 +387,109 @@ def q_chunk_assignment_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_assignment_sharded(_sized_docs(spark, sf_dir), span=100)
 
 
+# target language mixture for q_mixture_weights — a training-run config
+# constant, inlined into the oracle SQL so both sides price the same mix
+TARGET_MIX = {"en": 0.30, "es": 0.20, "fr": 0.20, "de": 0.15, "zh": 0.15}
+
+
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition quality signals: the
+    duplicate-trigram fraction (scan-local — array_distinct over the
+    gram array, zero shuffle) and the top-bigram mass fraction (explode →
+    two partial-aggregated groupBys — the mode of a bag needs a count,
+    but never a sort). Repetitious machine-generated text scores high on
+    both; the standard pre-training filter thresholds them."""
+    from .operators.dedup import gram_array
+    from .functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    g3 = gram_array(toks, 3)
+    base = docs.select(
+        "doc_id",
+        F.size(g3).cast("bigint").alias("n_3grams"),
+        F.when(
+            F.size(g3) > 0,
+            (F.size(g3) - F.size(F.array_distinct(g3))) / F.size(g3),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_3gram_frac"),
+    )
+    g2 = docs.select("doc_id", F.explode(gram_array(toks, 2)).alias("g"))
+    top2 = (
+        g2.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_2grams"),
+            (F.max("cnt") / F.sum("cnt")).alias("top_2gram_frac"),
+        )
+    )
+    return base.join(top2, "doc_id", "left").select(
+        "doc_id",
+        "n_3grams",
+        "dup_3gram_frac",
+        F.coalesce(F.col("n_2grams"), F.lit(0)).cast("bigint").alias("n_2grams"),
+        F.coalesce(F.col("top_2gram_frac"), F.lit(0.0)).alias("top_2gram_frac"),
+    )
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting: per language, the sampling rate that
+    moves the corpus from its natural language distribution to the
+    TARGET_MIX a training run wants (rate = min(1, target·N / n_lang)).
+    One tiny groupBy + a broadcast scalar total — the output is
+    |languages| rows regardless of corpus size; the rates then drive the
+    deterministic sampler (operators.sampling) over the full corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    total = docs.agg(F.count("*").alias("n_total"))
+    target = F.create_map(
+        *[F.lit(x) for kv in TARGET_MIX.items() for x in kv]
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("target_share", F.coalesce(target[F.col("lang")], F.lit(0.0)))
+        .select(
+            "lang",
+            "n_docs",
+            (F.col("n_docs") / F.col("n_total")).alias("natural_share"),
+            "target_share",
+            F.least(
+                F.lit(1.0),
+                F.col("target_share") * F.col("n_total") / F.col("n_docs"),
+            ).alias("sample_rate"),
+        )
+    )
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column — the standard
+    4× storage/bandwidth cut before ANN serving. Per vector: scale =
+    max|x|/127, q_i = floor(x_i/scale + 0.5) (floor-shift, NOT round():
+    IEEE-exact and engine-agnostic, where round()'s half-way rule
+    differs between engines). Scan-local, zero shuffle, no UDF; the
+    int array is emitted as CSV so the driver canonicalizer can hash it.
+    Zero vectors quantize to all-zero with scale 0."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = (
+        F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    ).alias("scale")
+    emb2 = emb.select(F.col("vec_id"), v.alias("v"), scale)
+    q = F.when(
+        F.col("scale") > 0,
+        F.transform(
+            F.col("v"), lambda x: F.floor(x / F.col("scale") + F.lit(0.5))
+        ),
+    ).otherwise(F.transform(F.col("v"), lambda x: F.lit(0).cast("bigint")))
+    return emb2.select(
+        "vec_id",
+        "scale",
+        F.array_join(F.transform(q, lambda x: x.cast("string")), ",").alias("q_csv"),
+    )
+
+
 def q_vocab_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate per-language vocabulary size via HyperLogLog++
     (``approx_count_distinct``) — the 100 TB path for distinct counts
@@ -1050,6 +1153,75 @@ def similarity_topk_ivf_oracle() -> str:
     """
 
 
+def repetition_signals_oracle() -> str:
+    """Same gram positions (1-indexed ranges), same distinct/mode math."""
+    return rf"""
+        WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+        g3 AS (SELECT doc_id,
+                      CASE WHEN len(t) >= 3
+                           THEN list_transform(range(1, len(t) - 1),
+                                i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+                           ELSE [] END AS g
+               FROM tok),
+        base AS (SELECT doc_id, CAST(len(g) AS BIGINT) AS n_3grams,
+                        CASE WHEN len(g) > 0
+                             THEN (len(g) - len(list_distinct(g))) / len(g)
+                             ELSE 0.0 END AS dup_3gram_frac
+                 FROM g3),
+        g2 AS (SELECT doc_id, unnest(
+                      CASE WHEN len(t) >= 2
+                           THEN list_transform(range(1, len(t)),
+                                i -> concat_ws(' ', t[i], t[i+1]))
+                           ELSE [] END) AS g
+               FROM tok),
+        cnt AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+        top2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2grams,
+                        CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+                            AS top_2gram_frac
+                 FROM cnt GROUP BY 1)
+        SELECT b.doc_id, b.n_3grams, b.dup_3gram_frac,
+               coalesce(t2.n_2grams, 0) AS n_2grams,
+               coalesce(t2.top_2gram_frac, 0.0) AS top_2gram_frac
+        FROM base b LEFT JOIN top2 t2 USING (doc_id)
+    """
+
+
+def mixture_weights_oracle() -> str:
+    target = " UNION ALL ".join(
+        f"SELECT '{lang}' AS lang, CAST({share} AS DOUBLE) AS target_share"
+        for lang, share in TARGET_MIX.items()
+    )
+    return f"""
+        WITH target AS ({target}),
+        counts AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        total AS (SELECT count(*) AS n_total FROM documents)
+        SELECT c.lang, c.n_docs,
+               CAST(c.n_docs AS DOUBLE) / t.n_total AS natural_share,
+               coalesce(tg.target_share, 0.0) AS target_share,
+               least(CAST(1.0 AS DOUBLE),
+                     coalesce(tg.target_share, 0.0) * t.n_total / c.n_docs)
+                   AS sample_rate
+        FROM counts c CROSS JOIN total t LEFT JOIN target tg USING (lang)
+    """
+
+
+EMBEDDING_QUANTIZE_ORACLE = """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        s AS (SELECT vec_id, v,
+                     list_max(list_transform(v, x -> abs(x)))
+                         / CAST(127.0 AS DOUBLE) AS scale
+              FROM v)
+        SELECT vec_id, scale,
+               CASE WHEN scale > 0
+                    THEN array_to_string(list_transform(v,
+                         x -> CAST(CAST(floor(x / scale + 0.5) AS BIGINT)
+                                   AS VARCHAR)), ',')
+                    ELSE array_to_string(list_transform(v, x -> '0'), ',')
+               END AS q_csv
+        FROM s
+    """
+
+
 # the single-window packing SQL — oracle twin for BOTH packing tiers
 # (the sharded form is output-identical by construction)
 _CHUNK_ORACLE = r"""
@@ -1200,6 +1372,9 @@ EXT_QUERIES = {
     "chunk_assignment": q_chunk_assignment,
     "chunk_assignment_sharded": q_chunk_assignment_sharded,
     "incremental_neardup": q_incremental_neardup,
+    "repetition_signals": q_repetition_signals,
+    "mixture_weights": q_mixture_weights,
+    "embedding_quantize": q_embedding_quantize,
 }
 
 EXT_ORACLES = {
@@ -1273,6 +1448,9 @@ EXT_ORACLES = {
     """,
     "decontaminate": decontaminate_oracle(),
     "incremental_neardup": incremental_neardup_oracle(),
+    "repetition_signals": repetition_signals_oracle(),
+    "mixture_weights": mixture_weights_oracle(),
+    "embedding_quantize": EMBEDDING_QUANTIZE_ORACLE,
     # identical regex patterns + replacement order re-run in DuckDB (RE2)
     "redact_pii": r"""
         SELECT doc_id,
