@@ -52,3 +52,36 @@ def stratified_sample(
     fallback = F.lit(int(round(default_rate * denom)))
     threshold = fallback if threshold is None else threshold.otherwise(fallback)
     return df.filter(hash_bucket(F.col(key_col), denom) < threshold)
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, float],
+    split_col: str = "split",
+    denom: int = _DENOM,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: every row gets exactly
+    one split label from the same engine-stable hash bucket the samplers
+    use — re-runs, retried tasks, and later incremental batches all land
+    identically, and adding documents never reassigns existing ones (the
+    property that keeps eval sets frozen as the corpus grows).
+
+    ``splits`` maps label → fraction (must sum to 1); labels are
+    assigned by cumulative threshold in the given order. Per-row
+    Catalyst CASE at the scan — zero shuffle, no UDF.
+    """
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    bucket = hash_bucket(F.col(key_col), denom)
+    expr = None
+    acc = 0.0
+    items = list(splits.items())
+    for label, frac in items[:-1]:
+        acc += frac
+        cond = bucket < F.lit(int(round(acc * denom)))
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+    last = F.lit(items[-1][0])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)

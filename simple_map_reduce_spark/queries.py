@@ -276,6 +276,7 @@ _CHANGED_THIS_ROUND = [
     "repetition_signals",
     "mixture_weights",
     "embedding_quantize",
+    "corpus_splits",
 ]
 _ROTATION_FRONT = [
     *_CHANGED_THIS_ROUND,
@@ -316,7 +317,6 @@ _ROTATION_FRONT = [
     "priority_trailing_week",
     "priority_union",
     "profit_by_nation_year",
-    "promo_revenue",
 ]
 assert len(_ROTATION_FRONT) == 50
 assert set(_ROTATION_FRONT) <= set(QUERIES)

@@ -490,6 +490,38 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# train/val/test fractions for q_corpus_splits (cumulative-threshold
+# order matters and is shared with the oracle builder)
+SPLIT_FRACTIONS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def q_corpus_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment per document
+    (operators.sampling.split_assign): one engine-stable md5 bucket per
+    doc_id, cumulative-threshold CASE at the scan — zero shuffle, and
+    growing the corpus never reassigns existing docs (frozen eval sets)."""
+    from .operators.sampling import split_assign
+
+    docs = load_table(spark, sf_dir, "documents")
+    return split_assign(docs, "doc_id", SPLIT_FRACTIONS).select("doc_id", "split")
+
+
+def corpus_splits_oracle() -> str:
+    from .functions.hashes import duckdb_md5_long60
+
+    bucket = f"{duckdb_md5_long60('CAST(doc_id AS VARCHAR)')} % 10000"
+    items = list(SPLIT_FRACTIONS.items())
+    acc, whens = 0.0, []
+    for label, frac in items[:-1]:
+        acc += frac
+        whens.append(f"WHEN {bucket} < {int(round(acc * 10000))} THEN '{label}'")
+    return f"""
+        SELECT doc_id,
+               CASE {' '.join(whens)} ELSE '{items[-1][0]}' END AS split
+        FROM documents
+    """
+
+
 def q_vocab_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate per-language vocabulary size via HyperLogLog++
     (``approx_count_distinct``) — the 100 TB path for distinct counts
@@ -1375,6 +1407,7 @@ EXT_QUERIES = {
     "repetition_signals": q_repetition_signals,
     "mixture_weights": q_mixture_weights,
     "embedding_quantize": q_embedding_quantize,
+    "corpus_splits": q_corpus_splits,
 }
 
 EXT_ORACLES = {
@@ -1451,6 +1484,7 @@ EXT_ORACLES = {
     "repetition_signals": repetition_signals_oracle(),
     "mixture_weights": mixture_weights_oracle(),
     "embedding_quantize": EMBEDDING_QUANTIZE_ORACLE,
+    "corpus_splits": corpus_splits_oracle(),
     # identical regex patterns + replacement order re-run in DuckDB (RE2)
     "redact_pii": r"""
         SELECT doc_id,

@@ -267,3 +267,29 @@ def test_chunk_sharded_sorts_are_shard_bounded(spark):
     assert doc_sorts and all("_shard" in l for l in doc_sorts), doc_sorts
     # shard offsets join back broadcast — never a shuffle of the doc frame
     assert "BroadcastHashJoin" in plan
+
+
+def test_repetition_dup_metric_is_scan_local(spark):
+    """The dup-trigram fraction must come from array_distinct at the
+    scan; the only shuffles in the whole plan are the bigram-mode aggs
+    and the final doc_id join — nothing keyed on a gram string except
+    the (doc_id, g) count."""
+    plan = _plan(spark, "repetition_signals")
+    # partial + final agg on both groupBys (mode is never a sort)
+    assert plan.count("HashAggregate") >= 4
+    assert "Sort [g" not in plan
+
+
+def test_mixture_weights_total_is_broadcast(spark):
+    """The scalar corpus total joins via broadcast — the per-lang counts
+    never reshuffle against it."""
+    plan = _plan(spark, "mixture_weights")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_quantize_and_splits_have_no_shuffle(spark):
+    """Quantization and split assignment are pure per-row scan
+    expressions: no Exchange anywhere."""
+    for name in ("embedding_quantize", "corpus_splits"):
+        plan = _plan(spark, name)
+        assert "Exchange" not in plan, name
