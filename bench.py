@@ -90,6 +90,10 @@ EXTENDED_QUERIES = [
     "chunk_assignment_sharded",
     "chunk_assignment",
     "redact_pii",
+    "repetition_signals",
+    "mixture_weights",
+    "embedding_quantize",
+    "corpus_splits",
 ]
 
 

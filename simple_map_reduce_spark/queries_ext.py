@@ -392,20 +392,57 @@ def q_chunk_assignment_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
 TARGET_MIX = {"en": 0.30, "es": 0.20, "fr": 0.20, "de": 0.15, "zh": 0.15}
 
 
+def _longest_run(sorted_arr) -> "F.Column":
+    """Max multiplicity of any element of a SORTED array — the mode
+    count — as a left-to-right ``aggregate`` fold (scan-local, no
+    explode, no shuffle): track (prev, current run, best run)."""
+
+    def step(acc, x):
+        run = (
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("bigint"))
+        )
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("best"),
+    )
+    return F.aggregate(sorted_arr, init, step)["best"]
+
+
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style intra-document repetition quality signals: the
-    duplicate-trigram fraction (scan-local — array_distinct over the
-    gram array, zero shuffle) and the top-bigram mass fraction (explode →
-    two partial-aggregated groupBys — the mode of a bag needs a count,
-    but never a sort). Repetitious machine-generated text scores high on
-    both; the standard pre-training filter thresholds them."""
+    duplicate-trigram fraction (array_distinct over the gram array) and
+    the top-bigram mass fraction (mode of the bag = longest equal run of
+    the doc-locally sorted gram array, folded with ``aggregate``).
+
+    ENTIRELY scan-local: no explode, no groupBy, no join — zero shuffle
+    at any corpus size (plan-pinned). The earlier explode → two-groupBy
+    form shuffled every bigram STRING of the corpus to compute a per-doc
+    mode; the sorted-run fold does O(n log n) work per doc inside
+    WholeStageCodegen instead. Repetitious machine-generated text scores
+    high on both signals; the standard pre-training filter thresholds
+    them. Tokens and gram arrays are projected ONCE per stage — the
+    naive inline form re-evaluates the tokenizer regex inside every
+    element_at (O(tokens²) regex work, measured 12× slower)."""
     from .operators.dedup import gram_array
     from .functions.text import tokenize
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokenize("text")
-    g3 = gram_array(toks, 3)
-    base = docs.select(
+    grams = docs.select(
+        "doc_id", tokenize("text").alias("t")
+    ).select(
+        "doc_id",
+        gram_array(F.col("t"), 3).alias("g3"),
+        F.array_sort(gram_array(F.col("t"), 2)).alias("g2s"),
+    )
+    g3, g2s = F.col("g3"), F.col("g2s")
+    n2 = F.size(g2s).cast("bigint")
+    return grams.select(
         "doc_id",
         F.size(g3).cast("bigint").alias("n_3grams"),
         F.when(
@@ -414,23 +451,10 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit(0.0))
         .alias("dup_3gram_frac"),
-    )
-    g2 = docs.select("doc_id", F.explode(gram_array(toks, 2)).alias("g"))
-    top2 = (
-        g2.groupBy("doc_id", "g")
-        .agg(F.count("*").alias("cnt"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("cnt").cast("bigint").alias("n_2grams"),
-            (F.max("cnt") / F.sum("cnt")).alias("top_2gram_frac"),
-        )
-    )
-    return base.join(top2, "doc_id", "left").select(
-        "doc_id",
-        "n_3grams",
-        "dup_3gram_frac",
-        F.coalesce(F.col("n_2grams"), F.lit(0)).cast("bigint").alias("n_2grams"),
-        F.coalesce(F.col("top_2gram_frac"), F.lit(0.0)).alias("top_2gram_frac"),
+        n2.alias("n_2grams"),
+        F.when(n2 > 0, _longest_run(g2s) / n2)
+        .otherwise(F.lit(0.0))
+        .alias("top_2gram_frac"),
     )
 
 

@@ -53,3 +53,22 @@ def test_prefix_sum_is_exclusive_and_exact(spark):
     assert out[11] == (2, 90)     # start 1114
     assert out[12] == (3, 89)     # start 1625 (zero-token doc keeps start)
     assert out[30] == (3, 89)     # start 1625
+
+
+def test_split_assign_is_exhaustive_and_validated(spark):
+    import pytest
+
+    from simple_map_reduce_spark.operators.sampling import split_assign
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "k bigint")
+    out = split_assign(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    rows = out.collect()
+    assert len(rows) == 200                       # every row labelled once
+    labels = {r.split for r in rows}
+    assert labels <= {"train", "val", "test"} and "train" in labels
+    # determinism: a re-run assigns identically
+    again = {r.k: r.split for r in split_assign(
+        df, "k", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    assert all(again[r.k] == r.split for r in rows)
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_assign(df, "k", {"train": 0.5, "val": 0.1})

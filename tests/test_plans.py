@@ -269,15 +269,13 @@ def test_chunk_sharded_sorts_are_shard_bounded(spark):
     assert "BroadcastHashJoin" in plan
 
 
-def test_repetition_dup_metric_is_scan_local(spark):
-    """The dup-trigram fraction must come from array_distinct at the
-    scan; the only shuffles in the whole plan are the bigram-mode aggs
-    and the final doc_id join — nothing keyed on a gram string except
-    the (doc_id, g) count."""
+def test_repetition_signals_is_fully_scan_local(spark):
+    """BOTH repetition metrics are per-row array expressions (distinct
+    count + sorted-run fold): the plan must contain no Exchange at all —
+    no bigram string ever shuffles at any corpus size."""
     plan = _plan(spark, "repetition_signals")
-    # partial + final agg on both groupBys (mode is never a sort)
-    assert plan.count("HashAggregate") >= 4
-    assert "Sort [g" not in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
 
 
 def test_mixture_weights_total_is_broadcast(spark):
