@@ -411,9 +411,19 @@ class NearDupIndex:
         )
 
     def ingest(self, new_df: DataFrame) -> DataFrame:
-        """Check ``new_df`` against the corpus, append the accepted
-        (match-free) documents' shingles/buckets to the index, and return
+        """Check ``new_df`` against the corpus AND against itself, append
+        the accepted documents' shingles/buckets to the index, and return
         the materialized pair report.
+
+        Report schema: (id_new, id_corpus, jaccard, matched_in) —
+        ``matched_in='corpus'`` rows match the standing index;
+        ``matched_in='batch'`` rows are INTRA-batch near-duplicates
+        (a crawl batch routinely contains its own duplicates, which a
+        corpus-only check would silently admit wholesale), where
+        ``id_corpus`` is the smaller — surviving — batch id. A document
+        is rejected if it matches the corpus or ANY smaller batch id
+        (transitive-dedup semantics: the min id of a duplicate chain
+        survives, like ``dedup_groups``).
 
         The report is **eagerly localCheckpoint-ed before any append**:
         it reads the very tables the appends grow, and a lazy plan
@@ -421,9 +431,20 @@ class NearDupIndex:
         the corpus (every accepted doc suddenly "matches" itself at
         jaccard 1.0). Severing lineage pins the report to the pre-ingest
         corpus state. On a cluster, use ``checkpoint`` for the same
-        reason with executor-loss durability."""
+        reason with executor-loss durability.
+
+        Crash safety: the two appends are not one atomic unit, so each
+        append anti-joins ids already present in ITS table — a retried
+        partially-failed ingest tops up the missing table instead of
+        duplicating (id, h) rows (which would double that doc's set size
+        in every later jaccard). Buckets are written first: a doc with
+        buckets but no shingles can surface as a candidate yet never
+        yields a pair (its intersection is empty), while the reverse
+        order has no window at all — both states are benign, and the
+        anti-join heals either on retry."""
         shn, bn = self._derive(new_df)
-        pairs = _asymmetric_neardup_check(
+        bn = tracked_persist(bn)  # feeds the self-join (both sides) + append
+        corpus_pairs = _asymmetric_neardup_check(
             shn,
             self.catalog.get(self.shingles_table),
             self.catalog.get(self.buckets_table),
@@ -431,11 +452,49 @@ class NearDupIndex:
             self.bands,
             self.threshold,
             self.max_bucket,
-        ).localCheckpoint(eager=True)
+        )
+        bnc = bn
+        if self.max_bucket:  # same hot-bucket guard as minhash_dup_pairs
+            sizes = bn.groupBy("band_idx", "band_hash").agg(
+                F.count("*").alias("bsz")
+            )
+            bnc = bn.join(
+                sizes.filter(F.col("bsz") <= self.max_bucket),
+                ["band_idx", "band_hash"],
+            ).drop("bsz")
+        within_cand = (
+            bnc.select(F.col("id").alias("id_a"), "band_idx", "band_hash")
+            .join(
+                bnc.select(F.col("id").alias("id_b"), "band_idx", "band_hash"),
+                ["band_idx", "band_hash"],
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        within = _verify_jaccard(within_cand, shn, self.threshold)
+        pairs = (
+            corpus_pairs.withColumn("matched_in", F.lit("corpus"))
+            .union(
+                within.select(
+                    F.col("id_b").alias("id_new"),
+                    F.col("id_a").alias("id_corpus"),
+                    "jaccard",
+                ).withColumn("matched_in", F.lit("batch"))
+            )
+            .localCheckpoint(eager=True)
+        )
         dup_ids = pairs.select(F.col("id_new").alias("id")).distinct()
-        accepted = shn.join(dup_ids, "id", "left_anti")
-        self.catalog.append(accepted, self.shingles_table)
-        self.catalog.append(bn.join(dup_ids, "id", "left_anti"), self.buckets_table)
+        have_bk = self.catalog.get(self.buckets_table).select("id").distinct()
+        have_sh = self.catalog.get(self.shingles_table).select("id").distinct()
+        self.catalog.append(
+            bn.join(dup_ids, "id", "left_anti").join(have_bk, "id", "left_anti"),
+            self.buckets_table,
+        )
+        self.catalog.append(
+            shn.join(dup_ids, "id", "left_anti").join(have_sh, "id", "left_anti"),
+            self.shingles_table,
+        )
         return pairs
 
 

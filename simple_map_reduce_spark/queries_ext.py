@@ -355,14 +355,13 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, lang, n_tokens) — the packing input frame."""
-    from .operators.aggregates import TOKEN_RE
+    """(doc_id, lang, n_tokens) — the packing input frame. Uses the
+    single shared token counter so the packing tier can never diverge
+    from the other token-count consumers (or its oracle's ``\\w+``)."""
+    from .functions.text import token_count
 
     docs = load_table(spark, sf_dir, "documents")
-    n_tok = F.size(
-        F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), F.lit(0))
-    ).cast("bigint")
-    return docs.select("doc_id", "lang", n_tok.alias("n_tokens"))
+    return docs.select("doc_id", "lang", token_count("text").alias("n_tokens"))
 
 
 def q_chunk_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:

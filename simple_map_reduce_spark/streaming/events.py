@@ -69,18 +69,24 @@ def read_events_stream(
     _CONF = "spark.sql.legacy.parquet.nanosAsLong"
     prior = spark.conf.get(_CONF, None)
     spark.conf.set(_CONF, "true")
-    probe = spark.read
-    reader = spark.readStream
-    if glob is not None:
-        probe = probe.option("pathGlobFilter", glob)
-        reader = reader.option("pathGlobFilter", glob)
-    raw = reader.schema(probe.parquet(source_dir).schema).parquet(source_dir)
-    delivered = dict(raw.dtypes).get("ts")
-    if delivered != "bigint":
-        if prior is None:
-            spark.conf.unset(_CONF)
-        else:
-            spark.conf.set(_CONF, prior)
+    restore = True
+    try:
+        probe = spark.read
+        reader = spark.readStream
+        if glob is not None:
+            probe = probe.option("pathGlobFilter", glob)
+            reader = reader.option("pathGlobFilter", glob)
+        raw = reader.schema(probe.parquet(source_dir).schema).parquet(source_dir)
+        delivered = dict(raw.dtypes).get("ts")
+        restore = delivered != "bigint"
+    finally:
+        # restore on every path (incl. a probe AnalysisException) EXCEPT
+        # bigint delivery, where micro-batch reads need the conf live
+        if restore:
+            if prior is None:
+                spark.conf.unset(_CONF)
+            else:
+                spark.conf.set(_CONF, prior)
     if delivered == "bigint":  # nanos-as-long delivery
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif delivered == "timestamp_ntz":

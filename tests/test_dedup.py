@@ -207,3 +207,35 @@ def test_neardup_index_never_retokenizes_corpus(spark, tmp_path):
     # new-batch documents scan
     text_scans = [l for l in scans if "text" in l]
     assert text_scans == doc_scans, text_scans
+
+
+def test_neardup_index_ingest_rejects_intra_batch_dups(spark, tmp_path):
+    """A crawl batch carrying its own duplicates must not have them all
+    admitted: only the min id of an intra-batch duplicate chain joins
+    the index, and the report labels those rows matched_in='batch'."""
+    from simple_map_reduce_spark.catalog import Catalog
+    from simple_map_reduce_spark.operators.dedup import NearDupIndex
+
+    corpus = spark.createDataFrame(
+        [(1, FAR)], "doc_id bigint, text string"
+    )
+    batch = spark.createDataFrame(
+        [(10, BASE), (11, BASE), (12, NEAR)], "doc_id bigint, text string"
+    )
+    cat = Catalog(spark, str(tmp_path / "wh2"))
+    idx = NearDupIndex(cat, "c", threshold=0.3)
+    idx.build(corpus)
+    pairs = idx.ingest(batch).collect()
+    got = {(r.id_new, r.id_corpus, r.matched_in) for r in pairs}
+    # 11 (exact dup of 10) and 12 (near dup) both reject against 10
+    assert (11, 10, "batch") in got
+    assert (12, 10, "batch") in got
+    assert all(r.matched_in == "batch" for r in pairs)  # nothing matches corpus
+    accepted = {r.id for r in cat.get(idx.shingles_table).select("id").distinct().collect()}
+    assert accepted == {1, 10}
+    # idempotency: re-ingesting the same batch appends nothing new
+    idx.ingest(batch)
+    again = {r.id for r in cat.get(idx.shingles_table).select("id").distinct().collect()}
+    assert again == {1, 10}
+    bk = cat.get(idx.buckets_table).groupBy("id", "band_idx").count().filter("count > 1").count()
+    assert bk == 0  # no duplicated bucket rows either
