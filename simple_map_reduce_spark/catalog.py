@@ -115,6 +115,34 @@ class Catalog:
             return True
         return False
 
+    # -- compaction (small-files management) -------------------------------
+    def compact(self, name: str, target_file_bytes: int = 128 * 1024 * 1024) -> int:
+        """Rewrite a table into ~``target_file_bytes``-sized parquet files
+        and return the new file count.
+
+        Append-heavy tables (e.g. ``NearDupIndex``'s state tables, one
+        file set per ingest) accumulate small files; at scale, scan task
+        count and namenode/listing pressure grow with file count, not
+        data size — periodic compaction is the standard fix. Locally the
+        swap is rewrite-then-rename (not crash-atomic); on object
+        storage, production would write through a table format whose
+        metadata commit provides atomicity (Delta/Iceberg).
+        """
+        import math
+
+        path = self._path(name)
+        size = sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+        n = max(1, math.ceil(size / target_file_bytes))
+        tmp = os.path.join(self.root, f".{name}.compact-tmp")
+        self.get(name).repartition(n).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+        return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+
     # -- bucketed tables (co-located joins) --------------------------------
     def put_bucketed(
         self, df: DataFrame, name: str, bucket_col: str, num_buckets: int = 32

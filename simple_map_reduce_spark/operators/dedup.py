@@ -379,6 +379,10 @@ class NearDupIndex:
     def buckets_table(self) -> str:
         return f"{self.name}__buckets"
 
+    @property
+    def reports_table(self) -> str:
+        return f"{self.name}__reports"
+
     def _derive(self, df: DataFrame) -> tuple[DataFrame, DataFrame]:
         """(shingles, buckets) for a batch — the ONE place text is
         tokenized. The shingle frame is persisted so the bucket branch
@@ -496,6 +500,34 @@ class NearDupIndex:
             self.shingles_table,
         )
         return pairs
+
+    def ingest_stream(self, stream_df: DataFrame, checkpoint_dir: str) -> None:
+        """Continuous-ingest form: drain a streaming source through
+        :meth:`ingest` one micro-batch at a time via ``foreachBatch`` —
+        the standard Structured-Streaming pattern for sinks with their
+        own write logic. Each batch's pair report is appended to
+        ``{name}__reports`` (with the epoch id) so the stream's dedup
+        decisions stay auditable; the corpus tables grow exactly as if
+        the batches had been ingested sequentially in batch mode.
+        Uses Trigger.AvailableNow: processes what exists, then stops
+        (drop the trigger for a long-running continuous ingest)."""
+
+        def _ingest_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            report = self.ingest(batch_df).withColumn(
+                "epoch_id", F.lit(epoch_id).cast("bigint")
+            )
+            if self.catalog.exists(self.reports_table):
+                self.catalog.append(report, self.reports_table)
+            else:
+                self.catalog.put(report, self.reports_table)
+
+        q = (
+            stream_df.writeStream.foreachBatch(_ingest_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 # ---------------------------------------------------------------------------

@@ -239,3 +239,71 @@ def test_neardup_index_ingest_rejects_intra_batch_dups(spark, tmp_path):
     assert again == {1, 10}
     bk = cat.get(idx.buckets_table).groupBy("id", "band_idx").count().filter("count > 1").count()
     assert bk == 0  # no duplicated bucket rows either
+
+
+def test_neardup_index_ingest_stream_matches_batch_mode(spark, tmp_path):
+    """foreachBatch streaming ingest must leave the index in the same
+    state sequential batch-mode ingests would — batches are crafted so
+    the accepted set is order-independent (cross-file contents don't
+    match each other)."""
+    import pyspark.sql.functions as SF
+
+    from simple_map_reduce_spark.catalog import Catalog
+    from simple_map_reduce_spark.operators.dedup import NearDupIndex
+
+    # file A: intra-batch dup pair (10 survives); file B: fresh doc 20 +
+    # corpus-dup 21
+    import shutil
+
+    src = tmp_path / "stream-src"
+    src.mkdir()
+    batches = [
+        ("batch_a.parquet", [(10, BASE), (11, BASE)]),
+        ("batch_b.parquet",
+         [(20, "entirely novel content nothing shares these words"), (21, FAR)]),
+    ]
+    for fname, rows in batches:
+        out = tmp_path / f"stage-{fname}"
+        spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+            1
+        ).write.parquet(str(out))
+        part = next(p for p in out.iterdir() if p.name.endswith(".parquet"))
+        shutil.move(str(part), str(src / fname))  # flat FILE, not a dir
+
+    cat = Catalog(spark, str(tmp_path / "wh3"))
+    idx = NearDupIndex(cat, "c", threshold=0.3)
+    idx.build(spark.createDataFrame([(1, FAR)], "doc_id bigint, text string"))
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    idx.ingest_stream(stream, str(tmp_path / "ckpt"))
+
+    accepted = {
+        r.id for r in cat.get(idx.shingles_table).select("id").distinct().collect()
+    }
+    assert accepted == {1, 10, 20}
+    reports = cat.get(idx.reports_table).collect()
+    got = {(r.id_new, r.id_corpus, r.matched_in) for r in reports}
+    assert (11, 10, "batch") in got        # intra-batch dup rejected
+    assert (21, 1, "corpus") in got        # corpus dup rejected
+    assert {r.epoch_id for r in reports} == {0, 1}  # two micro-batches
+
+
+def test_catalog_compact_preserves_data(spark, tmp_path):
+    from simple_map_reduce_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh4"))
+    df = spark.range(10_000).withColumnRenamed("id", "v")
+    cat.put(df.repartition(20), "t")
+    import os as _os
+
+    path = str(tmp_path / "wh4" / "t")
+    before_files = sum(1 for f in _os.listdir(path) if f.endswith(".parquet"))
+    assert before_files == 20
+    after_files = cat.compact("t")
+    assert after_files < before_files
+    got = sorted(r.v for r in cat.get("t").collect())
+    assert got == list(range(10_000))
