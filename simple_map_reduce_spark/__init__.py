@@ -6,6 +6,8 @@ text analysis, multimodal columns) designed for 100 TB scale.
 
 from .session import get_session
 from .catalog import Catalog
+from .engine import MapleJuice
+from .operators.dedup import NearDupIndex
 
-__all__ = ["get_session", "Catalog"]
+__all__ = ["get_session", "Catalog", "MapleJuice", "NearDupIndex"]
 __version__ = "0.1.0"
