@@ -399,6 +399,16 @@ class NearDupIndex:
         self.catalog.put(sh, self.shingles_table)
         self.catalog.put(bk, self.buckets_table)
 
+    def _corpus_buckets(self) -> DataFrame:
+        """The corpus bucket table, persisted for the duration of one
+        check/ingest: the skew-cap sizes aggregate AND the candidate
+        join both consume it, and without the persist each branch scans
+        the full corpus bucket parquet — the one table here that grows
+        with the corpus. (The next step up at extreme scale is storing
+        it via ``Catalog.put_bucketed`` on band_hash so the candidate
+        join is also shuffle-free.)"""
+        return tracked_persist(self.catalog.get(self.buckets_table))
+
     def check(self, new_df: DataFrame) -> DataFrame:
         """Near-dup pairs (id_new, id_corpus, jaccard ≥ threshold) of a
         new batch against the standing index — pure read, no writes; the
@@ -407,7 +417,7 @@ class NearDupIndex:
         return _asymmetric_neardup_check(
             shn,
             self.catalog.get(self.shingles_table),
-            self.catalog.get(self.buckets_table),
+            self._corpus_buckets(),
             self.num_hashes,
             self.bands,
             self.threshold,
@@ -448,10 +458,11 @@ class NearDupIndex:
         anti-join heals either on retry."""
         shn, bn = self._derive(new_df)
         bn = tracked_persist(bn)  # feeds the self-join (both sides) + append
+        bc = self._corpus_buckets()  # one persisted scan feeds cap + join + anti-join
         corpus_pairs = _asymmetric_neardup_check(
             shn,
             self.catalog.get(self.shingles_table),
-            self.catalog.get(self.buckets_table),
+            bc,
             self.num_hashes,
             self.bands,
             self.threshold,
@@ -489,7 +500,7 @@ class NearDupIndex:
             .localCheckpoint(eager=True)
         )
         dup_ids = pairs.select(F.col("id_new").alias("id")).distinct()
-        have_bk = self.catalog.get(self.buckets_table).select("id").distinct()
+        have_bk = bc.select("id").distinct()
         have_sh = self.catalog.get(self.shingles_table).select("id").distinct()
         self.catalog.append(
             bn.join(dup_ids, "id", "left_anti").join(have_bk, "id", "left_anti"),
