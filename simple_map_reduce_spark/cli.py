@@ -53,6 +53,12 @@ def build_parser() -> argparse.ArgumentParser:
     sj.add_argument("in_prefix"), sj.add_argument("out_name")
     sj.add_argument("--delete", action="store_true", help="drop intermediates after the reduce")
 
+    sc = sub.add_parser(
+        "compact", help="rewrite a table into ~target-size parquet files"
+    )
+    sc.add_argument("name")
+    sc.add_argument("--target-mb", type=int, default=128)
+
     sub.add_parser("repl", help="interactive shell (the reference's prompt, main.rs:209-308)")
 
     return p
@@ -90,6 +96,9 @@ def main(argv: list[str] | None = None) -> int:
         exe = ns.exe if not os.path.exists(ns.exe) else f"python3 {ns.exe}"
         df = mj.juice(exe, ns.num_tasks, ns.in_prefix, ns.out_name, ns.delete)
         print(f"-- {df.count()} rows -> {ns.out_name}")
+    elif ns.cmd == "compact":
+        n = mj.catalog.compact(ns.name, ns.target_mb * 1024 * 1024)
+        print(f"compacted {ns.name} -> {n} file(s)")
     elif ns.cmd == "repl":
         repl(mj)
     return 0
@@ -150,6 +159,9 @@ def _dispatch(ns: argparse.Namespace, mj: MapleJuice, out) -> None:
         exe = ns.exe if not os.path.exists(ns.exe) else f"python3 {ns.exe}"
         df = mj.juice(exe, ns.num_tasks, ns.in_prefix, ns.out_name, ns.delete)
         print(f"-- {df.count()} rows -> {ns.out_name}", file=out)
+    elif ns.cmd == "compact":
+        n = mj.catalog.compact(ns.name, ns.target_mb * 1024 * 1024)
+        print(f"compacted {ns.name} -> {n} file(s)", file=out)
 
 
 if __name__ == "__main__":

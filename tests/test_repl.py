@@ -33,3 +33,13 @@ def test_repl_session(spark, tmp_path):
     assert "-- 1 rows" in text
     assert "deleted" in text
     assert "?:" in text  # bad command keeps the shell alive with a hint
+
+
+def test_repl_compact(spark, tmp_path):
+    mj = MapleJuice(spark, str(tmp_path / "wh"))
+    mj.catalog.put(spark.range(1000).withColumnRenamed("id", "v").repartition(8), "t")
+    stdin = io.StringIO("compact t\nexit\n")
+    out = io.StringIO()
+    repl(mj, stdin=stdin, stdout=out)
+    assert "compacted t -> 1 file(s)" in out.getvalue()
+    assert mj.catalog.get("t").count() == 1000
