@@ -80,3 +80,15 @@ def test_two_star_beats_label_prop_on_chain(spark):
     assert {r.a for r in star.collect()} == {0}
     assert {r.comp for r in labels.collect()} == {0}
     assert lp_rounds > 2 * ts_rounds, (lp_rounds, ts_rounds)
+
+
+def test_two_star_handles_self_loops_and_dup_edges(spark):
+    """Canonicalization must drop self-loops and collapse duplicate /
+    reversed edges before the star rounds."""
+    verts = spark.createDataFrame([(i,) for i in [1, 2, 3, 7]], "id bigint")
+    edges = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 1), (2, 3), (2, 3), (7, 7)],
+        "src bigint, dst bigint",
+    )
+    got = {r.id: r.component for r in connected_components(verts, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7}

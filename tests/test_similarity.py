@@ -114,3 +114,29 @@ def test_ivf_recall_against_exact(spark):
     approx = {(r["query_id"], r["neighbor_id"]) for r in run1}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_embedding_quantize_zero_vector_and_roundtrip(spark):
+    """Zero vectors must quantize to all-zero with scale 0 (no NaN/Inf);
+    nonzero vectors must reconstruct within half a quantization step."""
+    from simple_map_reduce_spark.queries_ext import q_embedding_quantize  # noqa: F401
+    from pyspark.sql import functions as F
+
+    emb = spark.createDataFrame(
+        [(1, [0.0] * 4), (2, [0.5, -1.0, 0.25, 0.125])],
+        "vec_id bigint, embedding array<double>",
+    )
+    # run the same expressions the registered query uses, on a local frame
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = (F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)).alias("scale")
+    base = emb.select("vec_id", v.alias("v"), scale)
+    q = F.when(
+        F.col("scale") > 0,
+        F.transform(F.col("v"), lambda x: F.floor(x / F.col("scale") + F.lit(0.5))),
+    ).otherwise(F.transform(F.col("v"), lambda x: F.lit(0).cast("bigint")))
+    rows = {r.vec_id: r for r in base.select("vec_id", "scale", q.alias("q"), "v").collect()}
+    assert rows[1].scale == 0.0 and rows[1].q == [0, 0, 0, 0]
+    s = rows[2].scale
+    recon = [qi * s for qi in rows[2].q]
+    assert all(abs(a - b) <= s / 2 + 1e-12 for a, b in zip(recon, rows[2].v))
+    assert max(abs(x) for x in rows[2].q) == 127  # the max element pins the scale
