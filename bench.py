@@ -94,6 +94,9 @@ EXTENDED_QUERIES = [
     "mixture_weights",
     "embedding_quantize",
     "corpus_splits",
+    "span_dedup",
+    "corpus_shuffle",
+    "bpe_pair_counts",
 ]
 
 

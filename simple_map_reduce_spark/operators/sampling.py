@@ -16,10 +16,10 @@ The reference has no sampling surface (its only filter is a regex,
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashes import md5_long60
+from ..functions.hashes import md5_hex, md5_long60
 
 _DENOM = 10_000  # rate resolution: 0.01%
 
@@ -85,3 +85,49 @@ def split_assign(
     last = F.lit(items[-1][0])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, expr)
+
+
+def shuffle_positions(
+    df: DataFrame,
+    key_col: str,
+    pos_col: str = "shuffle_pos",
+    shard_hex_chars: int = 2,
+) -> DataFrame:
+    """Deterministic corpus shuffle: assign every row its 0-based
+    position in the pseudo-random global order ``ORDER BY md5(key), key``
+    — the "shuffle the corpus once before training" step, reproducible
+    across re-runs, retries, and engines (no ``rand()``).
+
+    A naive ``row_number() OVER (ORDER BY md5)`` is ONE total sort on a
+    single partition — the same scale-killer the sharded sequence packer
+    avoids (operators/packing.py). Same two-level cure, keyed by the hash
+    itself: the shard is the first ``shard_hex_chars`` hex chars of the
+    md5 (256 shards by default — raise to 3–4 chars at 100 TB), so
+    global order == (shard asc, key asc) exactly and every sort is a
+    bounded per-shard partition. Shard row-counts (|shards| rows, KBs)
+    get an exclusive prefix sum on a single tiny partition and are
+    **broadcast** back; ``pos = shard_offset + local_rank``. Nothing in
+    the plan sorts more than one shard's rows in one task.
+    """
+    keyed = df.withColumn("_skey", md5_hex(F.col(key_col).cast("string")))
+    # lowercase-hex prefix ordering == full-key ordering (hex chars are
+    # ascii-ordered), so range-sharding by prefix preserves global order
+    keyed = keyed.withColumn(
+        "_shard", F.conv(F.substring("_skey", 1, shard_hex_chars), 16, 10).cast("int")
+    )
+    w_local = Window.partitionBy("_shard").orderBy("_skey", key_col)
+    local = F.row_number().over(w_local) - F.lit(1)
+    counts = keyed.groupBy("_shard").agg(F.count("*").alias("_n"))
+    w_off = (
+        Window.orderBy("_shard").rowsBetween(Window.unboundedPreceding, -1)
+    )  # |shards| rows only — the single-partition window is over KBs
+    offsets = counts.select(
+        "_shard",
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).cast("bigint").alias("_off"),
+    )
+    return (
+        keyed.withColumn("_local", local)
+        .join(F.broadcast(offsets), "_shard")
+        .withColumn(pos_col, (F.col("_off") + F.col("_local")).cast("bigint"))
+        .drop("_skey", "_shard", "_local", "_off")
+    )

@@ -251,7 +251,7 @@ QUERIES: dict[str, QueryFn] = {
 # round (ANN tier oracle-twinning + sim rounding, chunk DIV + sharded
 # packing, two-star dedup_groups, skew-cap oracle twinning, incremental
 # check refactor, 3 new training-pipeline queries) + the 6 queries whose
-# latest row still dated to r1 + the oldest r2 rows refreshed (30 of 49;
+# latest row still dated to r1 + the oldest r2 rows refreshed (27 of 49;
 # the rest rotate in r5).
 _CHANGED_THIS_ROUND = [
     # r4: ANN tier gains generated-SQL oracles; IVF assignment/probe sims
@@ -277,6 +277,9 @@ _CHANGED_THIS_ROUND = [
     "mixture_weights",
     "embedding_quantize",
     "corpus_splits",
+    "span_dedup",
+    "corpus_shuffle",
+    "bpe_pair_counts",
 ]
 _ROTATION_FRONT = [
     *_CHANGED_THIS_ROUND,
@@ -314,9 +317,6 @@ _ROTATION_FRONT = [
     "part_metrics_unpivot",
     "part_name_features",
     "pricey_parts_dense",
-    "priority_trailing_week",
-    "priority_union",
-    "profit_by_nation_year",
 ]
 assert len(_ROTATION_FRONT) == 50
 assert set(_ROTATION_FRONT) <= set(QUERIES)

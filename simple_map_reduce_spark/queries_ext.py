@@ -545,6 +545,127 @@ def corpus_splits_oracle() -> str:
     """
 
 
+SPAN_TOKENS = 8  # short synthetic docs; Lee et al. use ~50 on real corpora
+BPE_TOP_PAIRS = 50
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup (operators/spans.py): every document
+    cut into non-overlapping SPAN_TOKENS-token blocks, only the
+    corpus-wide first occurrence of each distinct block survives, docs
+    reassembled from survivors. Two bounded-agg shuffles (span hash, doc
+    id) — the Spark-shaped form of Lee et al.'s ExactSubstr dedup."""
+    from .operators.spans import span_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return span_dedup(docs, "doc_id", "text", SPAN_TOKENS)
+
+
+def span_dedup_oracle(span_tokens: int = SPAN_TOKENS) -> str:
+    from .functions.hashes import duckdb_md5_long60
+
+    w = span_tokens
+    h = duckdb_md5_long60("span_text")
+    return rf"""
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+        ),
+        spans AS (
+            SELECT doc_id, t,
+                   unnest(range(CAST((len(t) + {w - 1}) // {w} AS BIGINT))) AS pos
+            FROM toks
+        ),
+        st AS (
+            SELECT doc_id, pos,
+                   array_to_string(t[pos * {w} + 1 : (pos + 1) * {w}], ' ') AS span_text
+            FROM spans
+        ),
+        flagged AS (
+            SELECT doc_id, pos, span_text,
+                   CASE WHEN row_number() OVER (
+                       PARTITION BY {h} ORDER BY doc_id, pos) = 1
+                   THEN 1 ELSE 0 END AS keep
+            FROM st
+        ),
+        agg AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_spans,
+                   CAST(sum(keep) AS BIGINT) AS kept_spans,
+                   md5(coalesce(string_agg(span_text, ' ' ORDER BY pos)
+                                FILTER (WHERE keep = 1), '')) AS clean_md5
+            FROM flagged GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(a.n_spans, 0) AS n_spans,
+               coalesce(a.kept_spans, 0) AS kept_spans,
+               coalesce(a.clean_md5, md5('')) AS clean_md5
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+
+
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pre-training corpus shuffle
+    (operators/sampling.shuffle_positions): each doc's 0-based position
+    in the md5-keyed pseudo-random global order, computed with the
+    two-level sharded rank (bounded per-shard sorts + broadcast shard
+    offsets) — never one global single-partition sort."""
+    from .operators.sampling import shuffle_positions
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shuffle_positions(docs, "doc_id").select("doc_id", "shuffle_pos")
+
+
+CORPUS_SHUFFLE_ORACLE = """
+    SELECT doc_id,
+           CAST(row_number() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+               AS BIGINT) AS shuffle_pos
+    FROM documents
+"""
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE merge-selection step: corpus-wide adjacent token-pair
+    occurrence counts (weighted by occurrences, unlike bigram_docfreq's
+    doc-frequency), top candidates by (count desc, pair asc). Scan-local
+    pair generation + ONE wordcount-shape shuffle (map-side partial agg)
+    + TakeOrderedAndProject top-k — no global sort materializes."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+    n = F.size(toks)
+    pairs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(BPE_TOP_PAIRS)
+    )
+
+
+BPE_PAIR_COUNTS_ORACLE = rf"""
+    WITH toks AS (
+        SELECT regexp_extract_all(text, '\S+') AS t FROM documents
+    ),
+    pairs AS (
+        SELECT t[i] || ' ' || t[i + 1] AS pair
+        FROM (SELECT t, unnest(range(1, CAST(len(t) AS BIGINT))) AS i FROM toks)
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+    FROM pairs GROUP BY pair
+    ORDER BY cnt DESC, pair
+    LIMIT {BPE_TOP_PAIRS}
+"""
+
+
 def q_vocab_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate per-language vocabulary size via HyperLogLog++
     (``approx_count_distinct``) — the 100 TB path for distinct counts
@@ -1431,6 +1552,9 @@ EXT_QUERIES = {
     "mixture_weights": q_mixture_weights,
     "embedding_quantize": q_embedding_quantize,
     "corpus_splits": q_corpus_splits,
+    "span_dedup": q_span_dedup,
+    "corpus_shuffle": q_corpus_shuffle,
+    "bpe_pair_counts": q_bpe_pair_counts,
 }
 
 EXT_ORACLES = {
@@ -1508,6 +1632,9 @@ EXT_ORACLES = {
     "mixture_weights": mixture_weights_oracle(),
     "embedding_quantize": EMBEDDING_QUANTIZE_ORACLE,
     "corpus_splits": corpus_splits_oracle(),
+    "span_dedup": span_dedup_oracle(),
+    "corpus_shuffle": CORPUS_SHUFFLE_ORACLE,
+    "bpe_pair_counts": BPE_PAIR_COUNTS_ORACLE,
     # identical regex patterns + replacement order re-run in DuckDB (RE2)
     "redact_pii": r"""
         SELECT doc_id,

@@ -291,3 +291,40 @@ def test_quantize_and_splits_have_no_shuffle(spark):
     for name in ("embedding_quantize", "corpus_splits"):
         plan = _plan(spark, name)
         assert "Exchange" not in plan, name
+
+
+def test_span_dedup_first_occurrence_is_partial_agg_no_window(spark):
+    """Span dedup's first-occurrence selection must be a map-side
+    partially-aggregated groupBy on the 60-bit span hash — never a
+    window over the exploded corpus (a window would sort every span of
+    the corpus inside each hash partition)."""
+    plan = _plan(spark, "span_dedup")
+    assert "Window" not in plan
+    # partial + final HashAggregate around the span-hash exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning(h" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_corpus_shuffle_has_no_global_sort(spark):
+    """The corpus shuffle must rank inside hash-prefix shards (bounded
+    sorts) with shard offsets broadcast back — a rangepartitioning
+    exchange (global sort) or a single-partition window over the doc
+    frame would be the scale-killer this operator exists to avoid."""
+    plan = _plan(spark, "corpus_shuffle")
+    assert "rangepartitioning" not in plan.lower()
+    assert "Exchange hashpartitioning(_shard" in plan
+    assert "BroadcastHashJoin" in plan
+    # the only SinglePartition exchange feeds the tiny per-shard counts
+    doc_frame_lines = [
+        l for l in plan.splitlines() if "Exchange SinglePartition" in l
+    ]
+    assert len(doc_frame_lines) <= 1
+
+
+def test_bpe_pair_counts_partial_agg_and_topk(spark):
+    """Pair counting must map-side combine and take the top-k without a
+    global sort materializing."""
+    plan = _plan(spark, "bpe_pair_counts")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2
