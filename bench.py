@@ -97,6 +97,7 @@ EXTENDED_QUERIES = [
     "span_dedup",
     "corpus_shuffle",
     "bpe_pair_counts",
+    "vocab_encode",
 ]
 
 

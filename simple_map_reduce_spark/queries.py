@@ -280,6 +280,7 @@ _CHANGED_THIS_ROUND = [
     "span_dedup",
     "corpus_shuffle",
     "bpe_pair_counts",
+    "vocab_encode",
 ]
 _ROTATION_FRONT = [
     *_CHANGED_THIS_ROUND,
@@ -316,7 +317,6 @@ _ROTATION_FRONT = [
     "order_count_histogram",
     "part_metrics_unpivot",
     "part_name_features",
-    "pricey_parts_dense",
 ]
 assert len(_ROTATION_FRONT) == 50
 assert set(_ROTATION_FRONT) <= set(QUERIES)

@@ -666,6 +666,116 @@ BPE_PAIR_COUNTS_ORACLE = rf"""
 """
 
 
+VOCAB_SIZE = 24  # < the corpus's distinct-token count so the unk path runs
+
+
+def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer application: encode every document against the corpus's
+    own top-``VOCAB_SIZE`` token vocabulary (ids by count desc, token asc;
+    out-of-vocab → unk id = VOCAB_SIZE). The dictionary step of a
+    training pipeline, end to end in Catalyst:
+
+    - vocab = wordcount-shape agg + TakeOrderedAndProject top-V, then a
+      row_number over the V surviving rows (bounded by the parameter,
+      never corpus-sized);
+    - encoding = posexplode → **broadcast** vocab join (the dictionary
+      never shuffles the token stream) → per-doc reassembly keyed by doc
+      id with collect_list state bounded by document length — no
+      driver-side dictionary collect at any vocab size.
+
+    Output: (doc_id, n_tokens, n_unk, ids_md5) — ids_md5 hashes the
+    comma-joined id sequence in token order, so the oracle checks the
+    exact encoding, not just counts."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    from .functions.text import tokenize
+
+    exploded = docs.select(
+        "doc_id", F.posexplode(tokenize("text")).alias("pos", "tok")
+    )
+    top = (
+        exploded.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "tok")
+        .limit(VOCAB_SIZE)
+    )
+    vocab = top.select(
+        "tok",
+        (
+            F.row_number().over(Window.orderBy(F.desc("cnt"), "tok")) - F.lit(1)
+        ).alias("tid"),
+    )
+    enc = exploded.join(F.broadcast(vocab), "tok", "left").withColumn(
+        "tid", F.coalesce("tid", F.lit(VOCAB_SIZE))
+    )
+    agg = enc.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum((F.col("tid") == VOCAB_SIZE).cast("bigint")).alias("n_unk"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                    lambda s: s["tid"].cast("string"),
+                ),
+                ",",
+            )
+        ).alias("ids_md5"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce("n_unk", F.lit(0)).cast("bigint").alias("n_unk"),
+            F.coalesce("ids_md5", F.md5(F.lit(""))).alias("ids_md5"),
+        )
+    )
+
+
+def vocab_encode_oracle(vocab_size: int = VOCAB_SIZE) -> str:
+    return rf"""
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ts
+            FROM documents
+        ),
+        exploded AS (
+            SELECT doc_id, i AS pos, ts[i + 1] AS tok
+            FROM (SELECT doc_id, ts,
+                         unnest(range(CAST(len(ts) AS BIGINT))) AS i
+                  FROM toks)
+        ),
+        top AS (
+            SELECT tok, count(*) AS cnt FROM exploded GROUP BY tok
+            ORDER BY cnt DESC, tok LIMIT {vocab_size}
+        ),
+        vocab AS (
+            SELECT tok,
+                   row_number() OVER (ORDER BY cnt DESC, tok) - 1 AS tid
+            FROM top
+        ),
+        enc AS (
+            SELECT e.doc_id, e.pos, coalesce(v.tid, {vocab_size}) AS tid
+            FROM exploded e LEFT JOIN vocab v USING (tok)
+        ),
+        agg AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN tid = {vocab_size} THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_unk,
+                   md5(string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos))
+                       AS ids_md5
+            FROM enc GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(a.n_tokens, 0) AS n_tokens,
+               coalesce(a.n_unk, 0) AS n_unk,
+               coalesce(a.ids_md5, md5('')) AS ids_md5
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+
+
 def q_vocab_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate per-language vocabulary size via HyperLogLog++
     (``approx_count_distinct``) — the 100 TB path for distinct counts
@@ -1555,6 +1665,7 @@ EXT_QUERIES = {
     "span_dedup": q_span_dedup,
     "corpus_shuffle": q_corpus_shuffle,
     "bpe_pair_counts": q_bpe_pair_counts,
+    "vocab_encode": q_vocab_encode,
 }
 
 EXT_ORACLES = {
@@ -1635,6 +1746,7 @@ EXT_ORACLES = {
     "span_dedup": span_dedup_oracle(),
     "corpus_shuffle": CORPUS_SHUFFLE_ORACLE,
     "bpe_pair_counts": BPE_PAIR_COUNTS_ORACLE,
+    "vocab_encode": vocab_encode_oracle(),
     # identical regex patterns + replacement order re-run in DuckDB (RE2)
     "redact_pii": r"""
         SELECT doc_id,

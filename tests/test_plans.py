@@ -328,3 +328,17 @@ def test_bpe_pair_counts_partial_agg_and_topk(spark):
     plan = _plan(spark, "bpe_pair_counts")
     assert "TakeOrderedAndProject" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_vocab_encode_dictionary_is_broadcast(spark):
+    """The vocab dictionary must broadcast onto the exploded token
+    stream (a shuffle join keyed by token would reshuffle the whole
+    corpus for a V-row dictionary); vocab counting must map-side combine
+    and the top-V must be TakeOrderedAndProject."""
+    plan = _plan(spark, "vocab_encode")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2
+    # the single Window runs over the V vocab rows AFTER the top-V limit,
+    # never over the token stream: it must sit above TakeOrderedAndProject
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
