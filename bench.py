@@ -98,6 +98,7 @@ EXTENDED_QUERIES = [
     "corpus_shuffle",
     "bpe_pair_counts",
     "vocab_encode",
+    "dedup_prune",
 ]
 
 

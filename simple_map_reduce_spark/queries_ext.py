@@ -106,6 +106,41 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(F.col("id").alias("doc_id"), F.col("component").alias("group_id"))
 
 
+def q_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the near-dup clusters: keep ONE representative per cluster
+    (the min-label component id labels itself, so survivor ⇔ id ==
+    component) and report the pruned corpus per language. The "write the
+    deduplicated corpus" step, end to end: pairs → components → prune →
+    per-lang summary. The survivor filter is a per-row comparison on the
+    component frame; both aggregates are language-sized."""
+    from .operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dup_pairs(
+        docs, "doc_id", "text", threshold=MINHASH_THRESHOLD, max_bucket=SKEW_CAP
+    )
+    verts = docs.select(F.col("doc_id").alias("id"))
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    cc = connected_components(verts, edges)
+    survivors = cc.filter(F.col("id") == F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    kept = (
+        survivors.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    total = docs.groupBy("lang").agg(F.count("*").alias("n_total"))
+    return total.join(kept, "lang", "left").select(
+        "lang",
+        F.col("n_total").cast("bigint").alias("n_total"),
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        (F.col("n_total") - F.coalesce("n_kept", F.lit(0)))
+        .cast("bigint")
+        .alias("n_dropped"),
+    )
+
+
 def q_simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash(docs, "doc_id", "text")
@@ -1207,9 +1242,11 @@ def decontaminate_oracle() -> str:
     """
 
 
-def dedup_groups_oracle() -> str:
-    """Transitive closure over the MinHash pair set via a recursive CTE;
-    component label = min reachable doc_id (self included)."""
+def _dedup_reach_cte() -> str:
+    """Shared recursive-CTE chain: MinHash pairs → undirected edges →
+    transitive reachability (`reach`). Tailed differently by
+    dedup_groups_oracle (labels) and dedup_prune_oracle (pruned-corpus
+    summary)."""
     return f"""
         WITH RECURSIVE {_SHINGLE_CTE}, {_minhash_sig_sql()}, {_band_sql()},
         bksz AS (SELECT band_idx, band_hash, count(*) AS n
@@ -1239,11 +1276,38 @@ def dedup_groups_oracle() -> str:
             SELECT s, d FROM edges
             UNION
             SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+        ),
+        groups AS (
+            SELECT doc_id,
+                   least(doc_id, coalesce(min(r.d), doc_id)) AS group_id
+            FROM documents LEFT JOIN reach r ON r.s = doc_id
+            GROUP BY doc_id
         )
-        SELECT doc_id,
-               least(doc_id, coalesce(min(r.d), doc_id)) AS group_id
-        FROM documents LEFT JOIN reach r ON r.s = doc_id
-        GROUP BY doc_id
+    """
+
+
+def dedup_groups_oracle() -> str:
+    """Transitive closure over the MinHash pair set via a recursive CTE;
+    component label = min reachable doc_id (self included)."""
+    return f"""
+        {_dedup_reach_cte()}
+        SELECT doc_id, group_id FROM groups
+    """
+
+
+def dedup_prune_oracle() -> str:
+    """Pruned-corpus summary: a document survives iff it is its own
+    cluster representative (doc_id == min-label group_id)."""
+    return f"""
+        {_dedup_reach_cte()}
+        SELECT d.lang,
+               CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN g.group_id = d.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN g.group_id = d.doc_id THEN 0 ELSE 1 END)
+                    AS BIGINT) AS n_dropped
+        FROM documents d JOIN groups g USING (doc_id)
+        GROUP BY d.lang
     """
 
 
@@ -1666,6 +1730,7 @@ EXT_QUERIES = {
     "corpus_shuffle": q_corpus_shuffle,
     "bpe_pair_counts": q_bpe_pair_counts,
     "vocab_encode": q_vocab_encode,
+    "dedup_prune": q_dedup_prune,
 }
 
 EXT_ORACLES = {
@@ -1747,6 +1812,7 @@ EXT_ORACLES = {
     "corpus_shuffle": CORPUS_SHUFFLE_ORACLE,
     "bpe_pair_counts": BPE_PAIR_COUNTS_ORACLE,
     "vocab_encode": vocab_encode_oracle(),
+    "dedup_prune": dedup_prune_oracle(),
     # identical regex patterns + replacement order re-run in DuckDB (RE2)
     "redact_pii": r"""
         SELECT doc_id,
