@@ -97,3 +97,48 @@ def test_minhash_mix_overflow_safe_and_duckdb_exact(h, i):
     assert 0 <= expected < MINHASH_PRIME
     got = duckdb.sql(f"SELECT {duckdb_minhash_mix(str(h), i)}").fetchone()[0]
     assert got == expected
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=40), min_size=1, max_size=10
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_span_dedup_matches_reference_on_random_docs(spark_global, texts):
+    """span_dedup ≡ the Python reference for arbitrary tiny-alphabet
+    docs (heavy span collisions by construction), and the corpus keeps
+    each distinct span text exactly once."""
+    from tests.test_spans import _ref_span_dedup
+
+    docs = list(enumerate(texts))
+    df = spark_global.createDataFrame(docs, ["doc_id", "text"])
+    from simple_map_reduce_spark.operators.spans import span_dedup
+
+    rows = span_dedup(df, "doc_id", "text", span_tokens=2).collect()
+    got = {r["doc_id"]: (r["n_spans"], r["kept_spans"], r["clean_md5"]) for r in rows}
+    assert got == _ref_span_dedup(docs, 2)
+    distinct_spans = {
+        " ".join(t.split()[p * 2 : (p + 1) * 2])
+        for _, t in docs
+        for p in range((len(t.split()) + 1) // 2)
+    }
+    assert sum(k for _, k, _ in got.values()) == len(distinct_spans)
+
+
+@given(st.sets(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=40))
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_shuffle_positions_is_md5_rank_for_any_keys(spark_global, keys):
+    """shuffle_positions ≡ rank in (md5(str(key)), key) order, a
+    permutation of 0..n-1, for arbitrary bigint keys."""
+    import hashlib
+
+    from simple_map_reduce_spark.operators.sampling import shuffle_positions
+
+    df = spark_global.createDataFrame([(k,) for k in keys], ["doc_id"])
+    got = {
+        r["doc_id"]: r["shuffle_pos"]
+        for r in shuffle_positions(df, "doc_id").collect()
+    }
+    order = sorted(keys, key=lambda k: (hashlib.md5(str(k).encode()).hexdigest(), k))
+    assert got == {k: i for i, k in enumerate(order)}
