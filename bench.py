@@ -99,6 +99,7 @@ EXTENDED_QUERIES = [
     "bpe_pair_counts",
     "vocab_encode",
     "dedup_prune",
+    "quality_filter",
 ]
 
 

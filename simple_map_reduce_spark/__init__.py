@@ -8,6 +8,17 @@ from .session import get_session
 from .catalog import Catalog
 from .engine import MapleJuice
 from .operators.dedup import NearDupIndex
+from .operators.sampling import shuffle_positions, split_assign, stratified_sample
+from .operators.spans import span_dedup
 
-__all__ = ["get_session", "Catalog", "MapleJuice", "NearDupIndex"]
+__all__ = [
+    "get_session",
+    "Catalog",
+    "MapleJuice",
+    "NearDupIndex",
+    "shuffle_positions",
+    "split_assign",
+    "stratified_sample",
+    "span_dedup",
+]
 __version__ = "0.1.0"

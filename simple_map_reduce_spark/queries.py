@@ -282,6 +282,7 @@ _CHANGED_THIS_ROUND = [
     "bpe_pair_counts",
     "vocab_encode",
     "dedup_prune",
+    "quality_filter",
 ]
 _ROTATION_FRONT = [
     *_CHANGED_THIS_ROUND,
@@ -316,7 +317,6 @@ _ROTATION_FRONT = [
     "nation_full_outer",
     "nation_trade_volume",
     "order_count_histogram",
-    "part_metrics_unpivot",
 ]
 assert len(_ROTATION_FRONT) == 50
 assert set(_ROTATION_FRONT) <= set(QUERIES)

@@ -106,6 +106,89 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(F.col("id").alias("doc_id"), F.col("component").alias("group_id"))
 
 
+# Gopher-style heuristic quality rules (Rae et al. 2021 §A1.1, adapted
+# to the short synthetic docs). Every rule is an EXACT INTEGER
+# comparison (cross-multiplied ratios) so both engines agree bit-for-bit
+# with no float thresholds.
+QF_MIN_TOKENS = 20       # Gopher uses 50
+QF_TOKLEN_LO = 3         # mean word length bounds (Gopher: 3..10)
+QF_TOKLEN_HI = 10
+QF_SYMBOL_DENOM = 10     # punctuation ≤ 1/10 of characters
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply named Gopher-style quality rules and report the per-language
+    keep/drop breakdown — the filter-application analog of dedup_prune.
+    Rules (all must pass): min token count, mean word length in
+    [3, 10] (as ``lo·n ≤ chars ≤ hi·n`` — integer exact), ≥1 stopword,
+    punctuation ≤ 1/10 of characters. All scan-local expressions; ONE
+    language-sized groupBy."""
+    from .functions.text import punct_count, stopword_count, tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    base = docs.select(
+        "lang",
+        F.size(toks).cast("bigint").alias("n_tok"),
+        F.length(F.array_join(toks, "")).cast("bigint").alias("tok_chars"),
+        punct_count("text").alias("n_punct"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        stopword_count("text").alias("n_stop"),
+    )
+    p_minlen = F.col("n_tok") >= QF_MIN_TOKENS
+    p_toklen = (F.lit(QF_TOKLEN_LO) * F.col("n_tok") <= F.col("tok_chars")) & (
+        F.col("tok_chars") <= F.lit(QF_TOKLEN_HI) * F.col("n_tok")
+    )
+    p_stop = F.col("n_stop") >= 1
+    p_sym = F.lit(QF_SYMBOL_DENOM) * F.col("n_punct") <= F.col("n_chars")
+
+    def fails(p):
+        return F.sum(F.when(p, 0).otherwise(1)).cast("bigint")
+
+    return base.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum((p_minlen & p_toklen & p_stop & p_sym).cast("int"))
+        .cast("bigint")
+        .alias("n_pass"),
+        fails(p_minlen).alias("fail_minlen"),
+        fails(p_toklen).alias("fail_toklen"),
+        fails(p_stop).alias("fail_stopword"),
+        fails(p_sym).alias("fail_symbol"),
+    )
+
+
+def quality_filter_oracle() -> str:
+    stop_list = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+    return f"""
+        WITH base AS (
+            SELECT lang,
+                   CAST(len({_TOK}) AS BIGINT) AS n_tok,
+                   CAST(length(array_to_string({_TOK}, '')) AS BIGINT) AS tok_chars,
+                   CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS BIGINT) AS n_punct,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len(list_filter({_TOK},
+                        t -> list_contains({stop_list}, t))) AS BIGINT) AS n_stop
+            FROM documents),
+        flags AS (
+            SELECT lang,
+                   (n_tok >= {QF_MIN_TOKENS}) AS p_minlen,
+                   ({QF_TOKLEN_LO} * n_tok <= tok_chars
+                    AND tok_chars <= {QF_TOKLEN_HI} * n_tok) AS p_toklen,
+                   (n_stop >= 1) AS p_stop,
+                   ({QF_SYMBOL_DENOM} * n_punct <= n_chars) AS p_sym
+            FROM base)
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN p_minlen AND p_toklen AND p_stop AND p_sym
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+               CAST(sum(CASE WHEN p_minlen THEN 0 ELSE 1 END) AS BIGINT) AS fail_minlen,
+               CAST(sum(CASE WHEN p_toklen THEN 0 ELSE 1 END) AS BIGINT) AS fail_toklen,
+               CAST(sum(CASE WHEN p_stop THEN 0 ELSE 1 END) AS BIGINT) AS fail_stopword,
+               CAST(sum(CASE WHEN p_sym THEN 0 ELSE 1 END) AS BIGINT) AS fail_symbol
+        FROM flags GROUP BY lang
+    """
+
+
 def q_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the near-dup clusters: keep ONE representative per cluster
     (the min-label component id labels itself, so survivor ⇔ id ==
@@ -1731,6 +1814,7 @@ EXT_QUERIES = {
     "bpe_pair_counts": q_bpe_pair_counts,
     "vocab_encode": q_vocab_encode,
     "dedup_prune": q_dedup_prune,
+    "quality_filter": q_quality_filter,
 }
 
 EXT_ORACLES = {
@@ -1813,6 +1897,7 @@ EXT_ORACLES = {
     "bpe_pair_counts": BPE_PAIR_COUNTS_ORACLE,
     "vocab_encode": vocab_encode_oracle(),
     "dedup_prune": dedup_prune_oracle(),
+    "quality_filter": quality_filter_oracle(),
     # identical regex patterns + replacement order re-run in DuckDB (RE2)
     "redact_pii": r"""
         SELECT doc_id,

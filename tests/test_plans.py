@@ -342,3 +342,12 @@ def test_vocab_encode_dictionary_is_broadcast(spark):
     # the single Window runs over the V vocab rows AFTER the top-V limit,
     # never over the token stream: it must sit above TakeOrderedAndProject
     assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+
+
+def test_quality_filter_is_scan_local_plus_one_agg(spark):
+    """Every rule evaluates at the scan; the only shuffle is the
+    language-sized groupBy (map-side combined)."""
+    plan = _plan(spark, "quality_filter")
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("HashAggregate") >= 2
