@@ -324,6 +324,91 @@ def cosine_topk_ivf(
     )
 
 
+def kmeans_refine(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic spherical k-means (Lloyd) refinement of the IVF
+    coarse quantizer — the iterative-training counterpart to
+    :func:`ivf_assign`'s id-ordered seeds (which production IVF would
+    refine exactly like this to balance the inverted lists).
+
+    Determinism at any parallelism, the property the rest of this repo
+    is built on, needs care in two places:
+
+    - **assignment**: cosine rounded to 6 decimals, centroid_id
+      tiebreak — same contract as :func:`ivf_assign`;
+    - **means**: a double ``avg`` is partition-order-dependent (IEEE
+      addition is not associative), so each component is summed as
+      ``DECIMAL(38,18)`` — exact, therefore order-independent — then
+      divided by the count and rounded back to 6-decimal doubles.
+      Re-running with any repartitioning yields bit-identical centroids.
+
+    Scale shape per iteration: ONE broadcast assignment pass over the
+    corpus (per-row window bounded by k candidates) + ONE component-mean
+    shuffle whose keys are (centroid, dim) — k·d keys regardless of
+    corpus size, fully map-side combined. Empty clusters keep their
+    previous centroid (anti-join + union of the k-row frames). Each
+    round's k-row centroid frame is ``localCheckpoint``-ed so plan depth
+    stays O(1) in ``iters``.
+
+    Returns (centroid_id, cvec, cn) — drop-in for the centroid side of
+    :func:`cosine_topk_ivf`'s probe and assignment joins.
+    """
+    corpus = _prep(emb, id_col, vec_col, "id", "vec", "vn")
+    centroids = _prep(
+        emb.orderBy(id_col).limit(n_centroids), id_col, vec_col,
+        "centroid_id", "cvec", "cn", spread=False,
+    ).select("centroid_id", "cvec", "cn")
+    w = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
+    for _ in range(iters):
+        assigned = (
+            corpus.crossJoin(F.broadcast(centroids))
+            .withColumn(
+                "sim",
+                F.round(
+                    dot(F.col("vec"), F.col("cvec")) / (F.col("vn") * F.col("cn")), 6
+                ),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("centroid_id", "vec")
+        )
+        comp = assigned.select(
+            "centroid_id", F.posexplode("vec").alias("dim", "val")
+        )
+        means = (
+            comp.groupBy("centroid_id", "dim")
+            .agg(
+                F.sum(F.col("val").cast("decimal(38,18)")).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .select(
+                "centroid_id",
+                "dim",
+                F.round((F.col("s") / F.col("n")).cast("double"), 6).alias("m"),
+            )
+        )
+        new_c = (
+            means.groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"],
+                ).alias("cvec")
+            )
+            .withColumn("cn", norm(F.col("cvec")))
+        )
+        # clusters that attracted no vectors keep their previous centroid
+        kept = centroids.join(new_c.select("centroid_id"), "centroid_id", "anti")
+        centroids = new_c.select("centroid_id", "cvec", "cn").union(kept)
+        centroids = centroids.localCheckpoint(eager=True)
+    return centroids
+
+
 def cosine_topk_lsh(
     emb: DataFrame,
     query_ids: list[int],

@@ -140,3 +140,97 @@ def test_embedding_quantize_zero_vector_and_roundtrip(spark):
     recon = [qi * s for qi in rows[2].q]
     assert all(abs(a - b) <= s / 2 + 1e-12 for a, b in zip(recon, rows[2].v))
     assert max(abs(x) for x in rows[2].q) == 127  # the max element pins the scale
+
+
+def _clustered_emb(spark):
+    """Two tight clusters around e0 and e1 plus their seeds."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.95, 0.05, 0.0, 0.0]),
+        (3, [0.9, 0.02, 0.0, 0.0]),
+        (4, [0.05, 0.95, 0.0, 0.0]),
+        (5, [0.02, 0.9, 0.0, 0.0]),
+        (6, [0.97, 0.01, 0.0, 0.0]),
+        (7, [0.01, 0.97, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_kmeans_refine_moves_centroids_to_cluster_means(spark):
+    from simple_map_reduce_spark.operators.similarity import kmeans_refine
+
+    cents = kmeans_refine(_clustered_emb(spark), n_centroids=2, iters=2).collect()
+    assert len(cents) == 2
+    by_id = {r["centroid_id"]: r["cvec"] for r in cents}
+    # centroid 0 ends near the x-axis cluster mean, centroid 1 near y's
+    assert by_id[0][0] > 0.8 * by_id[0][1] and by_id[0][0] > 0.5
+    assert by_id[1][1] > 0.8 * by_id[1][0] and by_id[1][1] > 0.5
+    for r in cents:
+        assert r["cn"] == pytest.approx(
+            math.sqrt(sum(x * x for x in r["cvec"])), rel=1e-9
+        )
+
+
+def test_kmeans_refine_is_deterministic_under_repartition(spark):
+    """Decimal-exact component sums make the refined centroids
+    bit-identical at any parallelism."""
+    from simple_map_reduce_spark.operators.similarity import kmeans_refine
+
+    emb = _clustered_emb(spark)
+    a = sorted(map(tuple, kmeans_refine(emb, 2, iters=3).collect()))
+    b = sorted(map(tuple, kmeans_refine(emb.repartition(5), 2, iters=3).collect()))
+    assert a == b
+
+
+def test_kmeans_refine_empty_cluster_keeps_previous_centroid(spark):
+    """A seed that attracts no vectors must survive unchanged, keeping
+    the centroid count stable."""
+    from simple_map_reduce_spark.operators.similarity import kmeans_refine
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [-1.0, 0.0]),   # seed 1: everything else is closer to seed 0
+        (2, [1.0, 0.01]),
+        (3, [0.99, 0.0]),
+        (4, [1.0, -0.01]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = {r["centroid_id"]: r["cvec"] for r in
+             kmeans_refine(emb, 2, iters=2).collect()}
+    assert len(cents) == 2
+    assert cents[1] == [-1.0, 0.0]
+
+
+def test_kmeans_refine_improves_ivf_assignment_quality(spark):
+    """On the real embeddings table, refined centroids must not reduce
+    the mean best-assignment cosine vs the id-ordered seeds."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from simple_map_reduce_spark.operators.similarity import (
+        _prep, dot, ivf_assign, kmeans_refine,
+    )
+    from simple_map_reduce_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings").limit(300)
+
+    def mean_best_sim(cents):
+        corpus = _prep(emb, "vec_id", "embedding", "id", "vec", "vn")
+        w = Window.partitionBy("id").orderBy(
+            F.col("sim").desc(), F.col("centroid_id")
+        )
+        best = (
+            corpus.crossJoin(F.broadcast(cents))
+            .withColumn(
+                "sim",
+                dot(F.col("vec"), F.col("cvec")) / (F.col("vn") * F.col("cn")),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+        return best.agg(F.avg("sim")).collect()[0][0]
+
+    seeds, _ = ivf_assign(emb, 8)
+    refined = kmeans_refine(emb, 8, iters=2)
+    assert mean_best_sim(refined) >= mean_best_sim(seeds) - 1e-9
