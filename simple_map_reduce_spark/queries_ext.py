@@ -749,7 +749,16 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair generation + ONE wordcount-shape shuffle (map-side partial agg)
     + TakeOrderedAndProject top-k — no global sort materializes."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+    # materialize the token array BEFORE the lambda references it:
+    # element_at over a raw split(...) expression re-evaluates the split
+    # per element inside the (interpreted, non-codegen) HOF lambda —
+    # O(tokens²) per doc; over a bound attribute it is O(1)
+    with_toks = docs.select(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit("")).alias(
+            "_toks"
+        )
+    )
+    toks = F.col("_toks")
     n = F.size(toks)
     pairs = F.when(
         n >= 2,
@@ -761,7 +770,7 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        docs.select(F.explode(pairs).alias("pair"))
+        with_toks.select(F.explode(pairs).alias("pair"))
         .groupBy("pair")
         .agg(F.count("*").alias("cnt"))
         .orderBy(F.desc("cnt"), "pair")
