@@ -251,7 +251,7 @@ QUERIES: dict[str, QueryFn] = {
 # round (ANN tier oracle-twinning + sim rounding, chunk DIV + sharded
 # packing, two-star dedup_groups, skew-cap oracle twinning, incremental
 # check refactor, 3 new training-pipeline queries) + the 6 queries whose
-# latest row still dated to r1 + the oldest r2 rows refreshed (27 of 49;
+# latest row still dated to r1 + the oldest r2 rows refreshed (22 of 49;
 # the rest rotate in r5).
 _CHANGED_THIS_ROUND = [
     # r4: ANN tier gains generated-SQL oracles; IVF assignment/probe sims
@@ -283,6 +283,7 @@ _CHANGED_THIS_ROUND = [
     "vocab_encode",
     "dedup_prune",
     "quality_filter",
+    "streaming_hourly_users",
 ]
 _ROTATION_FRONT = [
     *_CHANGED_THIS_ROUND,
@@ -316,7 +317,6 @@ _ROTATION_FRONT = [
     "moving_avg_3m",
     "nation_full_outer",
     "nation_trade_volume",
-    "order_count_histogram",
 ]
 assert len(_ROTATION_FRONT) == 50
 assert set(_ROTATION_FRONT) <= set(QUERIES)

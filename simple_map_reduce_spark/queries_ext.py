@@ -951,6 +951,36 @@ def _events_stream(spark: SparkSession, sf_dir: str):
     return read_events_stream(spark, sf_dir, glob="events.parquet")
 
 
+def q_streaming_hourly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful streaming: watermarked per-(user, hour) dedup
+    feeding a windowed count — the streaming form of hourly distinct
+    users, exercising Spark's multiple-stateful-operator pipeline
+    (dedup state → window agg state in one query). State is bounded by
+    the watermark on both operators: one dedup entry per active (user,
+    hour), one agg row per open window. Oracle = batch
+    ``count(DISTINCT user_id)`` per hour on the same table."""
+    import tempfile
+    import uuid
+
+    from .streaming.events import run_available_now
+
+    ev = _events_stream(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("ts", "2 hours")
+        .withColumn("hour", F.date_trunc("hour", F.col("ts")))
+        .dropDuplicates(["user_id", "hour"])
+    )
+    counts = (
+        deduped.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("distinct_users"))
+        .select(F.col("w.start").alias("window_start"), "distinct_users")
+    )
+    sink = f"stream_hourly_users_{uuid.uuid4().hex[:8]}"
+    return run_available_now(
+        counts, sink, tempfile.mkdtemp(), output_mode="complete"
+    )
+
+
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exactly-once dedup: the event stream unioned with itself
     (every event arrives twice) then ``dropDuplicates`` on event_id —
@@ -1824,6 +1854,7 @@ EXT_QUERIES = {
     "vocab_encode": q_vocab_encode,
     "dedup_prune": q_dedup_prune,
     "quality_filter": q_quality_filter,
+    "streaming_hourly_users": q_streaming_hourly_users,
 }
 
 EXT_ORACLES = {
@@ -1907,6 +1938,12 @@ EXT_ORACLES = {
     "vocab_encode": vocab_encode_oracle(),
     "dedup_prune": dedup_prune_oracle(),
     "quality_filter": quality_filter_oracle(),
+    # chained dedup → window agg must converge to the batch distinct count
+    "streaming_hourly_users": """
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
+        FROM events GROUP BY 1
+    """,
     # identical regex patterns + replacement order re-run in DuckDB (RE2)
     "redact_pii": r"""
         SELECT doc_id,
