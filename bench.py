@@ -100,6 +100,7 @@ EXTENDED_QUERIES = [
     "vocab_encode",
     "dedup_prune",
     "quality_filter",
+    "pretraining_manifest",
 ]
 
 

@@ -104,6 +104,51 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Gopher-style heuristic quality rules (Rae et al. 2021 §A1.1, adapted to
+# the short synthetic docs). Exact INTEGER comparisons only
+# (cross-multiplied ratios) so the SQL oracles agree bit-for-bit.
+GOPHER_MIN_TOKENS = 20       # Gopher uses 50
+GOPHER_TOKLEN_LO = 3         # mean word length bounds (Gopher: 3..10)
+GOPHER_TOKLEN_HI = 10
+GOPHER_SYMBOL_DENOM = 10     # punctuation ≤ 1/10 of characters
+
+
+def gopher_rule_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append one boolean column per quality rule (``p_minlen``,
+    ``p_toklen``, ``p_stopword``, ``p_symbol``) plus ``p_all``. Shared by
+    the quality_filter report query and the composed pretraining
+    pipeline so the two can never apply different rules."""
+    toks = tokenize(text_col)
+    flagged = df.withColumns(
+        {
+            "_n_tok": F.size(toks).cast("bigint"),
+            "_tok_chars": F.length(F.array_join(toks, "")).cast("bigint"),
+            "_n_punct": punct_count(text_col),
+            "_n_chars": F.length(text_col).cast("bigint"),
+            "_n_stop": stopword_count(text_col),
+        }
+    )
+    flagged = flagged.withColumns(
+        {
+            "p_minlen": F.col("_n_tok") >= GOPHER_MIN_TOKENS,
+            "p_toklen": (
+                F.lit(GOPHER_TOKLEN_LO) * F.col("_n_tok") <= F.col("_tok_chars")
+            )
+            & (F.col("_tok_chars") <= F.lit(GOPHER_TOKLEN_HI) * F.col("_n_tok")),
+            "p_stopword": F.col("_n_stop") >= 1,
+            "p_symbol": F.lit(GOPHER_SYMBOL_DENOM) * F.col("_n_punct")
+            <= F.col("_n_chars"),
+        }
+    )
+    return flagged.withColumn(
+        "p_all",
+        F.col("p_minlen")
+        & F.col("p_toklen")
+        & F.col("p_stopword")
+        & F.col("p_symbol"),
+    ).drop("_n_tok", "_tok_chars", "_n_punct", "_n_chars", "_n_stop")
+
+
 def lang_marker_counts(col: Column | str) -> list[Column]:
     """One count column per language: tokens ∈ that language's marker set."""
     toks = tokenize(col)

@@ -30,10 +30,18 @@ frame stays driver-broadcastable up to millions of shards (16 B/row).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_CHUNK_TOKENS = 512
+
+
+def _groups(group_col: str | Sequence[str]) -> list[str]:
+    """``group_col`` accepts one name or several (e.g. ``("lang",
+    "split")`` to pack each training split separately)."""
+    return [group_col] if isinstance(group_col, str) else list(group_col)
 
 
 def _finish(sized: DataFrame, start, chunk_tokens: int, out_cols: list[str]) -> DataFrame:
@@ -51,25 +59,26 @@ def _finish(sized: DataFrame, start, chunk_tokens: int, out_cols: list[str]) -> 
 
 def chunk_assignment(
     sized: DataFrame,
-    group_col: str = "lang",
+    group_col: str | Sequence[str] = "lang",
     id_col: str = "doc_id",
     tokens_col: str = "n_tokens",
     chunk_tokens: int = DEFAULT_CHUNK_TOKENS,
 ) -> DataFrame:
     """Single-window form: exclusive prefix sum per group. Oracle tier —
     one sorted partition per group (see module doc)."""
+    groups = _groups(group_col)
     w = (
-        Window.partitionBy(group_col)
+        Window.partitionBy(*groups)
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     start = F.coalesce(F.sum(tokens_col).over(w), F.lit(0)).cast("bigint")
-    return _finish(sized, start, chunk_tokens, [id_col, group_col, tokens_col])
+    return _finish(sized, start, chunk_tokens, [id_col, *groups, tokens_col])
 
 
 def chunk_assignment_sharded(
     sized: DataFrame,
-    group_col: str = "lang",
+    group_col: str | Sequence[str] = "lang",
     id_col: str = "doc_id",
     tokens_col: str = "n_tokens",
     chunk_tokens: int = DEFAULT_CHUNK_TOKENS,
@@ -78,28 +87,29 @@ def chunk_assignment_sharded(
     """Two-level form: per-(group, shard) local prefix sums + broadcast
     cumulative shard offsets. Output identical to :func:`chunk_assignment`
     (range shards preserve id order within each group)."""
+    groups = _groups(group_col)
     sharded = sized.withColumn(
         "_shard", F.expr(f"CAST({id_col} AS BIGINT) DIV {span}")
     )
     # level 1: bounded local sort — every window partition holds ≤ span ids
     w_local = (
-        Window.partitionBy(group_col, "_shard")
+        Window.partitionBy(*groups, "_shard")
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     local = F.coalesce(F.sum(tokens_col).over(w_local), F.lit(0)).cast("bigint")
     # level 2: exclusive prefix sum over the TINY per-shard totals (this
     # per-group single-partition window is over |shards| rows, not docs)
-    totals = sharded.groupBy(group_col, "_shard").agg(
+    totals = sharded.groupBy(*groups, "_shard").agg(
         F.sum(tokens_col).cast("bigint").alias("_shard_tokens")
     )
     w_off = (
-        Window.partitionBy(group_col)
+        Window.partitionBy(*groups)
         .orderBy("_shard")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = totals.select(
-        group_col,
+        *groups,
         "_shard",
         F.coalesce(F.sum("_shard_tokens").over(w_off), F.lit(0))
         .cast("bigint")
@@ -108,9 +118,9 @@ def chunk_assignment_sharded(
     start = (F.col("_offset") + F.col("_local")).cast("bigint")
     return _finish(
         sharded.withColumn("_local", local).join(
-            F.broadcast(offsets), [group_col, "_shard"]
+            F.broadcast(offsets), [*groups, "_shard"]
         ),
         start,
         chunk_tokens,
-        [id_col, group_col, tokens_col],
+        [id_col, *groups, tokens_col],
     )

@@ -284,6 +284,7 @@ _CHANGED_THIS_ROUND = [
     "dedup_prune",
     "quality_filter",
     "streaming_hourly_users",
+    "pretraining_manifest",
 ]
 _ROTATION_FRONT = [
     *_CHANGED_THIS_ROUND,
@@ -316,7 +317,6 @@ _ROTATION_FRONT = [
     "monthly_gapfill",
     "moving_avg_3m",
     "nation_full_outer",
-    "nation_trade_volume",
 ]
 assert len(_ROTATION_FRONT) == 50
 assert set(_ROTATION_FRONT) <= set(QUERIES)

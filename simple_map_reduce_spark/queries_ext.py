@@ -106,76 +106,86 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(F.col("id").alias("doc_id"), F.col("component").alias("group_id"))
 
 
-# Gopher-style heuristic quality rules (Rae et al. 2021 §A1.1, adapted
-# to the short synthetic docs). Every rule is an EXACT INTEGER
-# comparison (cross-multiplied ratios) so both engines agree bit-for-bit
-# with no float thresholds.
-QF_MIN_TOKENS = 20       # Gopher uses 50
-QF_TOKLEN_LO = 3         # mean word length bounds (Gopher: 3..10)
-QF_TOKLEN_HI = 10
-QF_SYMBOL_DENOM = 10     # punctuation ≤ 1/10 of characters
-
-
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply named Gopher-style quality rules and report the per-language
     keep/drop breakdown — the filter-application analog of dedup_prune.
-    Rules (all must pass): min token count, mean word length in
-    [3, 10] (as ``lo·n ≤ chars ≤ hi·n`` — integer exact), ≥1 stopword,
-    punctuation ≤ 1/10 of characters. All scan-local expressions; ONE
-    language-sized groupBy."""
-    from .functions.text import punct_count, stopword_count, tokenize
+    Rules (all must pass, ``functions.text.gopher_rule_flags`` — the same
+    flags the composed pretraining pipeline filters on): min token
+    count, mean word length in [3, 10] (as ``lo·n ≤ chars ≤ hi·n`` —
+    integer exact), ≥1 stopword, punctuation ≤ 1/10 of characters. All
+    scan-local expressions; ONE language-sized groupBy."""
+    from .functions.text import gopher_rule_flags
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokenize("text")
-    base = docs.select(
-        "lang",
-        F.size(toks).cast("bigint").alias("n_tok"),
-        F.length(F.array_join(toks, "")).cast("bigint").alias("tok_chars"),
-        punct_count("text").alias("n_punct"),
-        F.length("text").cast("bigint").alias("n_chars"),
-        stopword_count("text").alias("n_stop"),
-    )
-    p_minlen = F.col("n_tok") >= QF_MIN_TOKENS
-    p_toklen = (F.lit(QF_TOKLEN_LO) * F.col("n_tok") <= F.col("tok_chars")) & (
-        F.col("tok_chars") <= F.lit(QF_TOKLEN_HI) * F.col("n_tok")
-    )
-    p_stop = F.col("n_stop") >= 1
-    p_sym = F.lit(QF_SYMBOL_DENOM) * F.col("n_punct") <= F.col("n_chars")
+    flagged = gopher_rule_flags(docs.select("lang", "text"))
 
-    def fails(p):
-        return F.sum(F.when(p, 0).otherwise(1)).cast("bigint")
+    def fails(c: str):
+        return F.sum(F.when(F.col(c), 0).otherwise(1)).cast("bigint")
 
-    return base.groupBy("lang").agg(
+    return flagged.groupBy("lang").agg(
         F.count("*").cast("bigint").alias("n_docs"),
-        F.sum((p_minlen & p_toklen & p_stop & p_sym).cast("int"))
-        .cast("bigint")
-        .alias("n_pass"),
-        fails(p_minlen).alias("fail_minlen"),
-        fails(p_toklen).alias("fail_toklen"),
-        fails(p_stop).alias("fail_stopword"),
-        fails(p_sym).alias("fail_symbol"),
+        F.sum(F.col("p_all").cast("int")).cast("bigint").alias("n_pass"),
+        fails("p_minlen").alias("fail_minlen"),
+        fails("p_toklen").alias("fail_toklen"),
+        fails("p_stopword").alias("fail_stopword"),
+        fails("p_symbol").alias("fail_symbol"),
     )
 
 
-def quality_filter_oracle() -> str:
+def _qf_counts_sql(cols: str) -> str:
+    """Inner SELECT computing the quality-rule count columns over
+    ``documents`` — shared by quality_filter_oracle and the composed
+    pretraining-pipeline oracle (one definition of the rules)."""
     stop_list = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
-    return f"""
-        WITH base AS (
-            SELECT lang,
+    return f"""SELECT {cols},
                    CAST(len({_TOK}) AS BIGINT) AS n_tok,
                    CAST(length(array_to_string({_TOK}, '')) AS BIGINT) AS tok_chars,
                    CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS BIGINT) AS n_punct,
                    CAST(length(text) AS BIGINT) AS n_chars,
                    CAST(len(list_filter({_TOK},
                         t -> list_contains({stop_list}, t))) AS BIGINT) AS n_stop
-            FROM documents),
+            FROM documents"""
+
+
+def _qf_flags_sql() -> str:
+    from .functions.text import (
+        GOPHER_MIN_TOKENS,
+        GOPHER_SYMBOL_DENOM,
+        GOPHER_TOKLEN_HI,
+        GOPHER_TOKLEN_LO,
+    )
+
+    return f"""(n_tok >= {GOPHER_MIN_TOKENS}) AS p_minlen,
+                   ({GOPHER_TOKLEN_LO} * n_tok <= tok_chars
+                    AND tok_chars <= {GOPHER_TOKLEN_HI} * n_tok) AS p_toklen,
+                   (n_stop >= 1) AS p_stop,
+                   ({GOPHER_SYMBOL_DENOM} * n_punct <= n_chars) AS p_sym"""
+
+
+def _qf_pass_where() -> str:
+    """The all-rules-pass predicate over _qf_counts_sql's columns."""
+    from .functions.text import (
+        GOPHER_MIN_TOKENS,
+        GOPHER_SYMBOL_DENOM,
+        GOPHER_TOKLEN_HI,
+        GOPHER_TOKLEN_LO,
+    )
+
+    return (
+        f"n_tok >= {GOPHER_MIN_TOKENS}"
+        f" AND {GOPHER_TOKLEN_LO} * n_tok <= tok_chars"
+        f" AND tok_chars <= {GOPHER_TOKLEN_HI} * n_tok"
+        f" AND n_stop >= 1"
+        f" AND {GOPHER_SYMBOL_DENOM} * n_punct <= n_chars"
+    )
+
+
+def quality_filter_oracle() -> str:
+    return f"""
+        WITH base AS ({_qf_counts_sql("lang")}),
         flags AS (
             SELECT lang,
-                   (n_tok >= {QF_MIN_TOKENS}) AS p_minlen,
-                   ({QF_TOKLEN_LO} * n_tok <= tok_chars
-                    AND tok_chars <= {QF_TOKLEN_HI} * n_tok) AS p_toklen,
-                   (n_stop >= 1) AS p_stop,
-                   ({QF_SYMBOL_DENOM} * n_punct <= n_chars) AS p_sym
+                   {_qf_flags_sql()}
             FROM base)
         SELECT lang,
                CAST(count(*) AS BIGINT) AS n_docs,
@@ -951,6 +961,65 @@ def _events_stream(spark: SparkSession, sf_dir: str):
     return read_events_stream(spark, sf_dir, glob="events.parquet")
 
 
+def q_pretraining_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole pretraining prep pipeline composed end-to-end
+    (pipelines.pretraining_manifest): Gopher-rule quality filter →
+    MinHash-LSH near-dup prune over the survivors → deterministic
+    train/val/test splits → range-sharded per-(lang, split) packing
+    layout. Oracle recomposes every stage in SQL on the shared
+    fragments (rule counts, recursive reach chain, split CASE, prefix
+    sum), so the manifest is checked bit-for-bit end to end."""
+    from .pipelines import pretraining_manifest
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pretraining_manifest(
+        docs,
+        SPLIT_FRACTIONS,
+        neardup_threshold=MINHASH_THRESHOLD,
+        max_bucket=SKEW_CAP,
+        span=100,  # ≥5 shards at sf0.01: real cross-shard offsets at test scale
+    )
+
+
+def pretraining_manifest_oracle() -> str:
+    from .functions.hashes import duckdb_md5_long60
+
+    pre = f"""base AS (
+            SELECT doc_id, lang, text
+            FROM ({_qf_counts_sql("doc_id, lang, text")})
+            WHERE {_qf_pass_where()}),
+        """
+    bucket = f"{duckdb_md5_long60('CAST(doc_id AS VARCHAR)')} % 10000"
+    items = list(SPLIT_FRACTIONS.items())
+    acc, whens = 0.0, []
+    for label, frac in items[:-1]:
+        acc += frac
+        whens.append(f"WHEN {bucket} < {int(round(acc * 10000))} THEN '{label}'")
+    split_case = f"CASE {' '.join(whens)} ELSE '{items[-1][0]}' END"
+    return f"""
+        {_dedup_reach_cte("base", pre)},
+        surv AS (
+            SELECT b.doc_id, b.lang, b.text
+            FROM base b JOIN groups g USING (doc_id)
+            WHERE g.group_id = b.doc_id),
+        labeled AS (
+            SELECT doc_id, lang, {split_case} AS split,
+                   CAST(len({_TOK}) AS BIGINT) AS n_tokens
+            FROM surv),
+        s AS (
+            SELECT doc_id, lang, split, n_tokens,
+                   coalesce(sum(n_tokens) OVER (
+                       PARTITION BY lang, split ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS start
+            FROM labeled)
+        SELECT doc_id, lang, split, n_tokens,
+               CAST(start // 512 AS BIGINT) AS chunk_id,
+               CAST(start % 512 AS BIGINT) AS chunk_offset
+        FROM s
+    """
+
+
 def q_streaming_hourly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHAINED stateful streaming: watermarked per-(user, hour) dedup
     feeding a windowed count — the streaming form of hourly distinct
@@ -1211,8 +1280,12 @@ def q_maple_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOK = r"regexp_extract_all(lower(text), '\w+')"
 
-_SHINGLE_CTE = f"""
-tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+def _shingle_cte(src: str = "documents") -> str:
+    """Shingle CTE chain over ``src`` (any prior CTE/table with
+    (doc_id, text)) — lets the composed-pipeline oracle run the SAME
+    minhash chain over a filtered subset."""
+    return f"""
+tok AS (SELECT doc_id, {_TOK} AS t FROM {src}),
 sh AS (
     SELECT DISTINCT doc_id AS id, shingle FROM (
         SELECT doc_id, unnest(
@@ -1222,6 +1295,9 @@ sh AS (
                  ELSE [array_to_string(t, ' ')] END) AS shingle
         FROM tok))
 """
+
+
+_SHINGLE_CTE = _shingle_cte()
 
 
 def _hashed_shingle_cte() -> str:
@@ -1364,13 +1440,15 @@ def decontaminate_oracle() -> str:
     """
 
 
-def _dedup_reach_cte() -> str:
+def _dedup_reach_cte(src: str = "documents", pre: str = "") -> str:
     """Shared recursive-CTE chain: MinHash pairs → undirected edges →
-    transitive reachability (`reach`). Tailed differently by
-    dedup_groups_oracle (labels) and dedup_prune_oracle (pruned-corpus
-    summary)."""
+    transitive reachability (`reach`) → min-label `groups`, all over
+    ``src``. Tailed differently by dedup_groups_oracle (labels),
+    dedup_prune_oracle (pruned-corpus summary), and the composed
+    pretraining-pipeline oracle (which passes ``pre`` to define its
+    filtered ``base`` CTE first)."""
     return f"""
-        WITH RECURSIVE {_SHINGLE_CTE}, {_minhash_sig_sql()}, {_band_sql()},
+        WITH RECURSIVE {pre}{_shingle_cte(src)}, {_minhash_sig_sql()}, {_band_sql()},
         bksz AS (SELECT band_idx, band_hash, count(*) AS n
                  FROM buckets GROUP BY 1, 2),
         bk AS (SELECT b.* FROM buckets b JOIN bksz USING (band_idx, band_hash)
@@ -1402,7 +1480,7 @@ def _dedup_reach_cte() -> str:
         groups AS (
             SELECT doc_id,
                    least(doc_id, coalesce(min(r.d), doc_id)) AS group_id
-            FROM documents LEFT JOIN reach r ON r.s = doc_id
+            FROM {src} LEFT JOIN reach r ON r.s = doc_id
             GROUP BY doc_id
         )
     """
@@ -1855,6 +1933,7 @@ EXT_QUERIES = {
     "dedup_prune": q_dedup_prune,
     "quality_filter": q_quality_filter,
     "streaming_hourly_users": q_streaming_hourly_users,
+    "pretraining_manifest": q_pretraining_manifest,
 }
 
 EXT_ORACLES = {
@@ -1938,6 +2017,7 @@ EXT_ORACLES = {
     "vocab_encode": vocab_encode_oracle(),
     "dedup_prune": dedup_prune_oracle(),
     "quality_filter": quality_filter_oracle(),
+    "pretraining_manifest": pretraining_manifest_oracle(),
     # chained dedup → window agg must converge to the batch distinct count
     "streaming_hourly_users": """
         SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,

@@ -351,3 +351,16 @@ def test_quality_filter_is_scan_local_plus_one_agg(spark):
     assert plan.count("Exchange") == 1
     assert "Join" not in plan and "Window" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_pretraining_manifest_keeps_sharded_packing_shape(spark):
+    """The composed pipeline's packing stage must keep the two-level
+    sharded properties: the doc-frame prefix-sum sort carries the shard
+    key (bounded sorts) and shard offsets join back broadcast."""
+    plan = _plan(spark, "pretraining_manifest")
+    doc_sorts = [
+        l for l in plan.splitlines() if "Sort [lang" in l and "doc_id" in l
+    ]
+    assert doc_sorts and all("_shard" in l for l in doc_sorts), doc_sorts
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
