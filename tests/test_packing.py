@@ -72,3 +72,36 @@ def test_split_assign_is_exhaustive_and_validated(spark):
     assert all(again[r.k] == r.split for r in rows)
     with pytest.raises(ValueError, match="sum to 1"):
         split_assign(df, "k", {"train": 0.5, "val": 0.1})
+
+
+def test_multi_group_packing_partitions_by_both_cols(spark):
+    """(lang, split) grouping: prefix sums restart per (lang, split)
+    pair, and the sharded form stays output-identical."""
+    rows = [
+        (0, "en", "train", 400), (1, "en", "train", 200),
+        (2, "en", "val", 300), (3, "en", "val", 300),
+        (4, "fr", "train", 600), (5, "fr", "val", 100),
+        (9, "en", "train", 513),
+    ]
+    sized = spark.createDataFrame(
+        rows, "doc_id bigint, lang string, split string, n_tokens bigint"
+    )
+    out = {
+        r["doc_id"]: (r["chunk_id"], r["chunk_offset"])
+        for r in chunk_assignment(
+            sized, group_col=("lang", "split"), chunk_tokens=512
+        ).collect()
+    }
+    # each (lang, split) stream starts at chunk 0 offset 0
+    assert out[0] == (0, 0) and out[2] == (0, 0)
+    assert out[4] == (0, 0) and out[5] == (0, 0)
+    assert out[1] == (0, 400)          # en/train continues after doc 0
+    assert out[3] == (0, 300)          # en/val continues after doc 2
+    assert out[9] == (1, 88)           # 600 tokens in -> chunk 1, offset 88
+    sharded = {
+        r["doc_id"]: (r["chunk_id"], r["chunk_offset"])
+        for r in chunk_assignment_sharded(
+            sized, group_col=("lang", "split"), chunk_tokens=512, span=2
+        ).collect()
+    }
+    assert sharded == out
