@@ -101,6 +101,8 @@ EXTENDED_QUERIES = [
     "dedup_prune",
     "quality_filter",
     "pretraining_manifest",
+    "source_overlap",
+    "label_confusion",
 ]
 
 

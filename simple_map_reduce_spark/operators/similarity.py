@@ -324,6 +324,103 @@ def cosine_topk_ivf(
     )
 
 
+LC_SCALE = 1_000_000
+
+
+def label_centroids(
+    emb: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label mean embedding, bit-stable at any parallelism.
+
+    A double ``avg`` is partition-order-dependent (IEEE addition is not
+    associative), so each component is quantized to an exact integer at 6
+    decimals first — ``floor(x·1e6 + 0.5)``, the cross-engine half-up
+    idiom shared with the int8 quantizer — summed as bigint (exact,
+    order-free), then divided back in double and rounded. The one shuffle
+    keys on (label, dim): |labels|·d keys regardless of corpus size,
+    fully map-side combined. Returns (centroid_label, cvec, cn)."""
+    v = emb.select(
+        F.col(label_col).alias("centroid_label"),
+        _to_double(F.col(vec_col)).alias("vec"),
+    )
+    comp = v.select("centroid_label", F.posexplode("vec").alias("dim", "val"))
+    means = (
+        comp.groupBy("centroid_label", "dim")
+        .agg(
+            F.sum(
+                F.floor(F.col("val") * F.lit(float(LC_SCALE)) + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "centroid_label",
+            "dim",
+            F.round(
+                F.col("s").cast("double") / F.col("n") / F.lit(float(LC_SCALE)), 6
+            ).alias("m"),
+        )
+    )
+    return (
+        means.groupBy("centroid_label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda s: s["m"],
+            ).alias("cvec")
+        )
+        .withColumn("cn", norm(F.col("cvec")))
+    )
+
+
+def nearest_centroid_confusion(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid classification report over a labelled embedding
+    table: assign every vector to its closest label centroid (rounded
+    cosine, label tiebreak — the module's determinism contract) and roll
+    up the (label, assigned_label) confusion matrix. The standard
+    embedding-space quality check: off-diagonal mass = labels whose
+    clusters bleed into each other.
+
+    Scale shape: centroids are |labels| rows — broadcast; the corpus is
+    scanned once, never shuffled for scoring (same funnel as the IVF
+    assignment pass); the output is ≤ |labels|² rows."""
+    cents = label_centroids(emb, label_col, vec_col)
+    from ..sources.readers import ensure_parallelism
+
+    v = ensure_parallelism(
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.col(label_col).alias("true_label"),
+            _to_double(F.col(vec_col)).alias("vec"),
+        )
+    ).withColumn("vn", norm(F.col("vec")))
+    w = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("centroid_label"))
+    assigned = (
+        v.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "sim",
+            F.round(dot(F.col("vec"), F.col("cvec")) / (F.col("vn") * F.col("cn")), 6),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        assigned.groupBy("true_label", "centroid_label")
+        .agg(F.count("*").cast("bigint").alias("n_vecs"))
+        .select(
+            F.col("true_label").alias("label"),
+            F.col("centroid_label").alias("assigned_label"),
+            "n_vecs",
+        )
+    )
+
+
 def kmeans_refine(
     emb: DataFrame,
     n_centroids: int = 16,

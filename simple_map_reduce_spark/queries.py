@@ -250,9 +250,9 @@ QUERIES: dict[str, QueryFn] = {
 # Round 4 window = everything whose behavior OR oracle changed this
 # round (ANN tier oracle-twinning + sim rounding, chunk DIV + sharded
 # packing, two-star dedup_groups, skew-cap oracle twinning, incremental
-# check refactor, 3 new training-pipeline queries) + the 6 queries whose
-# latest row still dated to r1 + the oldest r2 rows refreshed (22 of 49;
-# the rest rotate in r5).
+# check refactor, the new training-pipeline queries incl. source_overlap
+# and label_confusion) + the 6 queries whose latest row still dated to
+# r1 + the oldest r2 rows refreshed (20 of 49; the rest rotate in r5).
 _CHANGED_THIS_ROUND = [
     # r4: ANN tier gains generated-SQL oracles; IVF assignment/probe sims
     # now rounded to 6 decimals before ranking (cross-engine determinism)
@@ -285,6 +285,8 @@ _CHANGED_THIS_ROUND = [
     "quality_filter",
     "streaming_hourly_users",
     "pretraining_manifest",
+    "source_overlap",
+    "label_confusion",
 ]
 _ROTATION_FRONT = [
     *_CHANGED_THIS_ROUND,
@@ -315,8 +317,6 @@ _ROTATION_FRONT = [
     "market_share",
     "mom_revenue_growth",
     "monthly_gapfill",
-    "moving_avg_3m",
-    "nation_full_outer",
 ]
 assert len(_ROTATION_FRONT) == 50
 assert set(_ROTATION_FRONT) <= set(QUERIES)

@@ -234,6 +234,57 @@ def q_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: which sources copy from which.
+    The MinHash-LSH near-dup pairs (same parameter instance as
+    ``minhash_dup_pairs``) are labelled with each side's ``source`` tag
+    and rolled up to unordered (source_a ≤ source_b) cells — the curation
+    signal behind source-priority dedup (e.g. "drop the crawl copy, keep
+    the curated one") and dataset-overlap audits.
+
+    Scale shape: pair volume ∝ duplicate rate (bucketed LSH, never
+    |docs|²); the source lookup joins a 2-column projection of the
+    corpus onto the pair ids; the output is ≤ |sources|² rows. The cell
+    statistic is ``max(jaccard)`` (+ count), NOT avg — a double max is
+    partition-order-independent, so the matrix is bit-stable at any
+    parallelism (an avg over doubles is not associative-safe)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dup_pairs(
+        docs, "doc_id", "text", threshold=MINHASH_THRESHOLD, max_bucket=SKEW_CAP
+    )
+    src = docs.select("doc_id", "source")
+    labeled = pairs.join(
+        src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a")),
+        "id_a",
+    ).join(
+        src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b")),
+        "id_b",
+    )
+    return (
+        labeled.select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+        )
+    )
+
+
+def q_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid confusion matrix over the labelled embeddings
+    (operators/similarity.py::nearest_centroid_confusion): per-label
+    bit-stable centroids, broadcast assignment, |labels|²-bounded
+    output. The embedding-space label-quality report."""
+    from .operators.similarity import nearest_centroid_confusion
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return nearest_centroid_confusion(emb)
+
+
 def q_simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash(docs, "doc_id", "text")
@@ -1379,6 +1430,72 @@ def minhash_pairs_oracle() -> str:
     """
 
 
+def label_confusion_oracle() -> str:
+    """DuckDB twin of ``nearest_centroid_confusion``: same integer-
+    quantized component means (floor(x·1e6 + 0.5), exact bigint sums),
+    same rounded-cosine assignment with label tiebreak."""
+    s = "1000000.0"
+    return f"""
+        WITH v AS (SELECT vec_id, label,
+                          CAST(embedding AS DOUBLE[]) AS vec
+                   FROM embeddings),
+        comp AS (
+            SELECT label, generate_subscripts(vec, 1) AS dim,
+                   unnest(vec) AS val
+            FROM v),
+        means AS (
+            SELECT label, dim,
+                   round(CAST(sum(CAST(floor(val * {s} + 0.5) AS BIGINT))
+                              AS DOUBLE) / count(*) / {s}, 6) AS m
+            FROM comp GROUP BY 1, 2),
+        cent AS (
+            SELECT label AS centroid_label,
+                   list(m ORDER BY dim) AS cvec
+            FROM means GROUP BY label),
+        centn AS (
+            SELECT centroid_label, cvec,
+                   sqrt(list_sum(list_transform(cvec, x -> x * x))) AS cn
+            FROM cent),
+        scored AS (
+            SELECT v.vec_id, v.label AS true_label, centroid_label,
+                   round(list_sum(list_transform(list_zip(v.vec, cvec),
+                                                 p -> p[1] * p[2]))
+                         / (sqrt(list_sum(list_transform(v.vec, x -> x * x)))
+                            * cn), 6) AS sim
+            FROM v, centn),
+        best AS (
+            SELECT true_label, centroid_label FROM (
+                SELECT true_label, centroid_label,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY sim DESC, centroid_label)
+                           AS rn
+                FROM scored)
+            WHERE rn = 1)
+        SELECT true_label AS label, centroid_label AS assigned_label,
+               CAST(count(*) AS BIGINT) AS n_vecs
+        FROM best GROUP BY 1, 2
+    """
+
+
+def source_overlap_oracle() -> str:
+    """The full pair oracle nested as a CTE, labelled and rolled up with
+    the same least/greatest + count/max(jaccard) cell statistics."""
+    return f"""
+        WITH pairs AS ({minhash_pairs_oracle()}),
+        lab AS (
+            SELECT least(da.source, db.source) AS source_a,
+                   greatest(da.source, db.source) AS source_b,
+                   p.jaccard
+            FROM pairs p
+            JOIN documents da ON p.id_a = da.doc_id
+            JOIN documents db ON p.id_b = db.doc_id)
+        SELECT source_a, source_b,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               round(max(jaccard), 6) AS max_jaccard
+        FROM lab GROUP BY 1, 2
+    """
+
+
 def incremental_neardup_oracle() -> str:
     """Asymmetric LSH: new-batch buckets ⋈ corpus buckets, corpus-side
     hot-bucket cap, Jaccard verify over the two hashed shingle sets."""
@@ -1931,6 +2048,8 @@ EXT_QUERIES = {
     "bpe_pair_counts": q_bpe_pair_counts,
     "vocab_encode": q_vocab_encode,
     "dedup_prune": q_dedup_prune,
+    "source_overlap": q_source_overlap,
+    "label_confusion": q_label_confusion,
     "quality_filter": q_quality_filter,
     "streaming_hourly_users": q_streaming_hourly_users,
     "pretraining_manifest": q_pretraining_manifest,
@@ -2016,6 +2135,8 @@ EXT_ORACLES = {
     "bpe_pair_counts": BPE_PAIR_COUNTS_ORACLE,
     "vocab_encode": vocab_encode_oracle(),
     "dedup_prune": dedup_prune_oracle(),
+    "source_overlap": source_overlap_oracle(),
+    "label_confusion": label_confusion_oracle(),
     "quality_filter": quality_filter_oracle(),
     "pretraining_manifest": pretraining_manifest_oracle(),
     # chained dedup → window agg must converge to the batch distinct count

@@ -364,3 +364,29 @@ def test_pretraining_manifest_keeps_sharded_packing_shape(spark):
     assert doc_sorts and all("_shard" in l for l in doc_sorts), doc_sorts
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_label_confusion_centroids_broadcast_corpus_unshuffled(spark):
+    """The centroid side (|labels| rows) must broadcast into the scoring
+    cross join — the corpus is scanned, never shuffled, for assignment.
+    The component-mean aggregate must map-side combine (partial
+    HashAggregate below its (label, dim) exchange), keeping that one
+    shuffle at |labels|·d keys."""
+    plan = _plan(spark, "label_confusion")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
+    # no exchange keyed on the corpus vector id except the per-row
+    # top-1 window's bounded (id) partitioning
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_source_overlap_is_pair_sided(spark):
+    """The source labels join onto the PAIR frame (∝ duplicate rate),
+    and the matrix rollup map-side combines — the corpus text is never
+    re-shuffled past the minhash stage."""
+    plan = _plan(spark, "source_overlap")
+    assert "CartesianProduct" not in plan
+    # the final matrix aggregate partial-combines before its exchange
+    assert "Exchange hashpartitioning(source_a" in plan
+    assert plan.count("HashAggregate") >= 2

@@ -234,3 +234,45 @@ def test_kmeans_refine_improves_ivf_assignment_quality(spark):
     seeds, _ = ivf_assign(emb, 8)
     refined = kmeans_refine(emb, 8, iters=2)
     assert mean_best_sim(refined) >= mean_best_sim(seeds) - 1e-9
+
+
+def _labelled_emb(spark):
+    """Two tight label clusters plus one mislabelled vector (id 6 carries
+    label 1 but sits in label 0's cluster)."""
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.97, 0.02, 0.0], 0),
+        (2, [0.95, 0.01, 0.0], 0),
+        (3, [0.0, 1.0, 0.0], 1),
+        (4, [0.02, 0.97, 0.0], 1),
+        (5, [0.01, 0.95, 0.0], 1),
+        (6, [0.99, 0.03, 0.0], 1),  # mislabelled
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+
+def test_nearest_centroid_confusion_flags_mislabelled_vector(spark):
+    from simple_map_reduce_spark.operators.similarity import (
+        nearest_centroid_confusion,
+    )
+
+    out = {
+        (r["label"], r["assigned_label"]): r["n_vecs"]
+        for r in nearest_centroid_confusion(_labelled_emb(spark)).collect()
+    }
+    # label 0 is pure; label 1 loses exactly the mislabelled vector to 0
+    assert out[(0, 0)] == 3
+    assert out[(1, 1)] == 3
+    assert out[(1, 0)] == 1
+    assert (0, 1) not in out
+
+
+def test_label_centroids_deterministic_under_repartition(spark):
+    """Integer-quantized component sums make the per-label centroids
+    bit-identical at any parallelism."""
+    from simple_map_reduce_spark.operators.similarity import label_centroids
+
+    emb = _labelled_emb(spark)
+    a = sorted(map(tuple, label_centroids(emb).collect()))
+    b = sorted(map(tuple, label_centroids(emb.repartition(5)).collect()))
+    assert a == b
