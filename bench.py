@@ -103,6 +103,8 @@ EXTENDED_QUERIES = [
     "pretraining_manifest",
     "source_overlap",
     "label_confusion",
+    "ivf_refined_centroids",
+    "ivf_refined_topk",
 ]
 
 

@@ -243,11 +243,15 @@ def ivf_assign(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantizer with DETERMINISTIC centroids: the first
     ``n_centroids`` vectors by id serve as centroids (no k-means RNG —
     reproducible across runs/engines; production would refine with
     k-means, which only improves balance, not the algorithm shape).
+    Pass ``centroids`` — a (centroid_id, cvec, cn) frame, e.g. from
+    :func:`kmeans_refine` — to assign against a trained quantizer
+    instead of the id-ordered seeds.
 
     Returns (centroids, assignment) where assignment = (id, centroid_id)
     by max cosine. Assignment is one broadcast pass over the corpus.
@@ -256,10 +260,11 @@ def ivf_assign(
     SQL reproduces it exactly.
     """
     w = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
-    centroids = _prep(
-        emb.orderBy(id_col).limit(n_centroids), id_col, vec_col,
-        "centroid_id", "cvec", "cn", spread=False,
-    )
+    if centroids is None:
+        centroids = _prep(
+            emb.orderBy(id_col).limit(n_centroids), id_col, vec_col,
+            "centroid_id", "cvec", "cn", spread=False,
+        )
     assignment = (
         _prep(emb, id_col, vec_col, "id", "vec", "vn")
         .crossJoin(F.broadcast(centroids))
@@ -282,12 +287,14 @@ def cosine_topk_ivf(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF: score only vectors assigned to the
     query's ``nprobe`` closest centroids. Work per query ∝ corpus/
     n_centroids × nprobe instead of the full corpus; recall tested
-    against the exact tier."""
-    centroids, assignment = ivf_assign(emb, n_centroids, id_col, vec_col)
+    against the exact tier. ``centroids`` (optional) swaps the
+    id-ordered seeds for a trained quantizer (see :func:`ivf_assign`)."""
+    centroids, assignment = ivf_assign(emb, n_centroids, id_col, vec_col, centroids)
     queries = _prep(
         emb.filter(F.col(id_col).isin(query_ids)), id_col, vec_col,
         "query_id", "qvec", "qn", spread=False,
@@ -327,25 +334,17 @@ def cosine_topk_ivf(
 LC_SCALE = 1_000_000
 
 
-def label_centroids(
-    emb: DataFrame, label_col: str = "label", vec_col: str = "embedding"
-) -> DataFrame:
-    """Per-label mean embedding, bit-stable at any parallelism.
-
-    A double ``avg`` is partition-order-dependent (IEEE addition is not
-    associative), so each component is quantized to an exact integer at 6
-    decimals first — ``floor(x·1e6 + 0.5)``, the cross-engine half-up
-    idiom shared with the int8 quantizer — summed as bigint (exact,
-    order-free), then divided back in double and rounded. The one shuffle
-    keys on (label, dim): |labels|·d keys regardless of corpus size,
-    fully map-side combined. Returns (centroid_label, cvec, cn)."""
-    v = emb.select(
-        F.col(label_col).alias("centroid_label"),
-        _to_double(F.col(vec_col)).alias("vec"),
-    )
-    comp = v.select("centroid_label", F.posexplode("vec").alias("dim", "val"))
-    means = (
-        comp.groupBy("centroid_label", "dim")
+def _quantized_component_means(comp: DataFrame, key: str) -> DataFrame:
+    """(key, dim, val) → (key, dim, m): component mean, bit-stable at any
+    parallelism. A double ``avg`` is partition-order-dependent (IEEE
+    addition is not associative), so each component is quantized to an
+    exact integer at 6 decimals first — ``floor(x·1e6 + 0.5)``, the
+    cross-engine half-up idiom shared with the int8 quantizer — summed as
+    bigint (exact, order-free), then divided back in double and rounded.
+    The one shuffle keys on (key, dim): |keys|·d keys regardless of
+    corpus size, fully map-side combined."""
+    return (
+        comp.groupBy(key, "dim")
         .agg(
             F.sum(
                 F.floor(F.col("val") * F.lit(float(LC_SCALE)) + F.lit(0.5)).cast(
@@ -355,15 +354,20 @@ def label_centroids(
             F.count("*").alias("n"),
         )
         .select(
-            "centroid_label",
+            key,
             "dim",
             F.round(
                 F.col("s").cast("double") / F.col("n") / F.lit(float(LC_SCALE)), 6
             ).alias("m"),
         )
     )
+
+
+def _means_to_centroids(means: DataFrame, key: str) -> DataFrame:
+    """(key, dim, m) → (key, cvec, cn): reassemble the component means
+    into dim-ordered vectors with their norms."""
     return (
-        means.groupBy("centroid_label")
+        means.groupBy(key)
         .agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("dim", "m"))),
@@ -371,6 +375,22 @@ def label_centroids(
             ).alias("cvec")
         )
         .withColumn("cn", norm(F.col("cvec")))
+    )
+
+
+def label_centroids(
+    emb: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label mean embedding via the quantized-exact component means
+    (see :func:`_quantized_component_means`). Returns
+    (centroid_label, cvec, cn)."""
+    v = emb.select(
+        F.col(label_col).alias("centroid_label"),
+        _to_double(F.col(vec_col)).alias("vec"),
+    )
+    comp = v.select("centroid_label", F.posexplode("vec").alias("dim", "val"))
+    return _means_to_centroids(
+        _quantized_component_means(comp, "centroid_label"), "centroid_label"
     )
 
 
@@ -439,9 +459,11 @@ def kmeans_refine(
     - **assignment**: cosine rounded to 6 decimals, centroid_id
       tiebreak — same contract as :func:`ivf_assign`;
     - **means**: a double ``avg`` is partition-order-dependent (IEEE
-      addition is not associative), so each component is summed as
-      ``DECIMAL(38,18)`` — exact, therefore order-independent — then
-      divided by the count and rounded back to 6-decimal doubles.
+      addition is not associative), so components are quantized to exact
+      integers at 6 decimals and summed as bigint — order-independent —
+      then divided back and rounded (:func:`_quantized_component_means`;
+      the same idiom twins in DuckDB SQL, unlike a DECIMAL(38,18) cast,
+      whose double→decimal rounding differs between engines).
       Re-running with any repartitioning yields bit-identical centroids.
 
     Scale shape per iteration: ONE broadcast assignment pass over the
@@ -477,27 +499,8 @@ def kmeans_refine(
         comp = assigned.select(
             "centroid_id", F.posexplode("vec").alias("dim", "val")
         )
-        means = (
-            comp.groupBy("centroid_id", "dim")
-            .agg(
-                F.sum(F.col("val").cast("decimal(38,18)")).alias("s"),
-                F.count("*").alias("n"),
-            )
-            .select(
-                "centroid_id",
-                "dim",
-                F.round((F.col("s") / F.col("n")).cast("double"), 6).alias("m"),
-            )
-        )
-        new_c = (
-            means.groupBy("centroid_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
-                    lambda s: s["m"],
-                ).alias("cvec")
-            )
-            .withColumn("cn", norm(F.col("cvec")))
+        new_c = _means_to_centroids(
+            _quantized_component_means(comp, "centroid_id"), "centroid_id"
         )
         # clusters that attracted no vectors keep their previous centroid
         kept = centroids.join(new_c.select("centroid_id"), "centroid_id", "anti")

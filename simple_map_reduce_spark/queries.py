@@ -252,7 +252,7 @@ QUERIES: dict[str, QueryFn] = {
 # packing, two-star dedup_groups, skew-cap oracle twinning, incremental
 # check refactor, the new training-pipeline queries incl. source_overlap
 # and label_confusion) + the 6 queries whose latest row still dated to
-# r1 + the oldest r2 rows refreshed (20 of 49; the rest rotate in r5).
+# r1 + the oldest r2 rows refreshed (18 of 49; the rest rotate in r5).
 _CHANGED_THIS_ROUND = [
     # r4: ANN tier gains generated-SQL oracles; IVF assignment/probe sims
     # now rounded to 6 decimals before ranking (cross-engine determinism)
@@ -287,6 +287,8 @@ _CHANGED_THIS_ROUND = [
     "pretraining_manifest",
     "source_overlap",
     "label_confusion",
+    "ivf_refined_centroids",
+    "ivf_refined_topk",
 ]
 _ROTATION_FRONT = [
     *_CHANGED_THIS_ROUND,
@@ -315,8 +317,6 @@ _ROTATION_FRONT = [
     "image_features",
     "late_ship_priority",
     "market_share",
-    "mom_revenue_growth",
-    "monthly_gapfill",
 ]
 assert len(_ROTATION_FRONT) == 50
 assert set(_ROTATION_FRONT) <= set(QUERIES)

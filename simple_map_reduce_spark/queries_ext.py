@@ -53,6 +53,10 @@ SIM_LSH_PLANES = 12
 SIM_LSH_HAMMING = 2
 SIM_IVF_CENTROIDS = 16
 SIM_IVF_NPROBE = 4
+# Lloyd refinement of the IVF quantizer: k seeds, fixed iteration count —
+# the oracle unrolls exactly this many assignment/mean rounds in SQL
+IVF_REFINE_K = 8
+IVF_REFINE_ITERS = 2
 # decontamination: every 20th doc plays the benchmark set; ≥3 shared
 # trigrams flags a train doc as contaminated (real runs: 8..13-grams)
 DECON_MOD = 20
@@ -283,6 +287,47 @@ def q_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return nearest_centroid_confusion(emb)
+
+
+def q_ivf_refined_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means refinement of the IVF coarse quantizer
+    (operators/similarity.py::kmeans_refine) as an oracle-checked query:
+    the ITERATIVE-algorithm twin — the DuckDB oracle unrolls the same
+    ``IVF_REFINE_ITERS`` assignment + quantized-mean rounds in SQL, so
+    every Lloyd round is verified bit-for-bit, not just the final shape.
+    Centroid components are emitted integer-quantized at 6 decimals
+    (CSV) — the exact integers both engines agree on, sidestepping
+    float-array rendering."""
+    from .operators.similarity import kmeans_refine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_refine(emb, n_centroids=IVF_REFINE_K, iters=IVF_REFINE_ITERS)
+    return cents.select(
+        "centroid_id",
+        F.array_join(
+            F.transform(
+                "cvec",
+                lambda m: F.floor(m * F.lit(1000000.0) + F.lit(0.5))
+                .cast("bigint")
+                .cast("string"),
+            ),
+            ",",
+        ).alias("cvec_q6_csv"),
+        F.round("cn", 6).alias("cn"),
+    )
+
+
+def q_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-search: the k-means-refined quantizer feeding the IVF
+    top-k search — the production ANN pipeline end to end, oracle-checked
+    through every Lloyd round AND the probe/rescore/rank funnel."""
+    from .operators.similarity import kmeans_refine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_refine(emb, n_centroids=IVF_REFINE_K, iters=IVF_REFINE_ITERS)
+    return cosine_topk_ivf(
+        emb, SIM_QUERY_IDS, k=SIM_K, nprobe=SIM_IVF_NPROBE, centroids=cents
+    )
 
 
 def q_simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1430,6 +1475,138 @@ def minhash_pairs_oracle() -> str:
     """
 
 
+def _kmeans_ctes(k: int, iters: int) -> tuple[str, str]:
+    """The unrolled Lloyd chain as DuckDB CTEs: one (assignment,
+    quantized-mean, empty-cluster-keep) block per round, generated from
+    the same parameters the Spark queries pass. Same rounded-cosine
+    assignment (centroid_id tiebreak), same floor(x·1e6 + 0.5)
+    integer-quantized exact component means as ``kmeans_refine``.
+    Returns (joined_cte_sql, final_centroid_cte_name); the ``v`` CTE
+    (vec_id, vec, vn) is included."""
+    s = "1000000.0"
+    sim = (
+        "round(list_sum(list_transform(list_zip(v.vec, c.cvec),"
+        " p -> p[1] * p[2])) / (v.vn * c.cn), 6)"
+    )
+    ctes = [
+        f"""v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+                   sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                                x -> x * x))) AS vn
+            FROM embeddings)""",
+        f"""cent0 AS (
+            SELECT vec_id AS centroid_id, vec AS cvec, vn AS cn
+            FROM v ORDER BY vec_id LIMIT {k})""",
+    ]
+    for i in range(1, iters + 1):
+        p = f"cent{i - 1}"
+        ctes.append(
+            f"""asg{i} AS (
+            SELECT centroid_id, vec FROM (
+                SELECT c.centroid_id, v.vec,
+                       row_number() OVER (PARTITION BY v.vec_id
+                                          ORDER BY {sim} DESC, c.centroid_id)
+                           AS rn
+                FROM v, {p} c)
+            WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""means{i} AS (
+            SELECT centroid_id, dim,
+                   round(CAST(sum(CAST(floor(val * {s} + 0.5) AS BIGINT))
+                              AS DOUBLE) / count(*) / {s}, 6) AS m
+            FROM (SELECT centroid_id, generate_subscripts(vec, 1) AS dim,
+                         unnest(vec) AS val
+                  FROM asg{i})
+            GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""cent{i} AS (
+            SELECT centroid_id, cvec,
+                   sqrt(list_sum(list_transform(cvec, x -> x * x))) AS cn
+            FROM (SELECT centroid_id, list(m ORDER BY dim) AS cvec
+                  FROM means{i} GROUP BY centroid_id)
+            UNION ALL
+            SELECT centroid_id, cvec, cn FROM {p}
+            WHERE centroid_id NOT IN (SELECT centroid_id FROM means{i}))"""
+        )
+    return ",\n        ".join(ctes), f"cent{iters}"
+
+
+def ivf_refined_centroids_oracle(
+    k: int = IVF_REFINE_K, iters: int = IVF_REFINE_ITERS
+) -> str:
+    """DuckDB twin of ``kmeans_refine`` (see :func:`_kmeans_ctes`)."""
+    ctes, cent = _kmeans_ctes(k, iters)
+    return f"""
+        WITH {ctes}
+        SELECT centroid_id,
+               array_to_string(list_transform(cvec,
+                   x -> CAST(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)
+                             AS VARCHAR)),
+                   ',') AS cvec_q6_csv,
+               round(cn, 6) AS cn
+        FROM {cent}
+    """
+
+
+def ivf_refined_topk_oracle(
+    k: int = IVF_REFINE_K, iters: int = IVF_REFINE_ITERS
+) -> str:
+    """DuckDB twin of the trained-quantizer IVF search: the unrolled
+    Lloyd chain feeds the same assignment / probe / rescore / top-k SQL
+    as the seed-centroid IVF oracle — the full train-then-search
+    pipeline verified end to end."""
+    ids = ", ".join(str(i) for i in SIM_QUERY_IDS)
+    ctes, cent = _kmeans_ctes(k, iters)
+    sim = (
+        "round(list_sum(list_transform(list_zip(v.vec, c.cvec),"
+        " p -> p[1] * p[2])) / (v.vn * c.cn), 6)"
+    )
+    qsim = (
+        "round(list_sum(list_transform(list_zip(q.vec, c.cvec),"
+        " p -> p[1] * p[2])) / (q.vn * c.cn), 6)"
+    )
+    return f"""
+        WITH {ctes},
+        asg AS (
+            SELECT id, centroid_id FROM (
+                SELECT v.vec_id AS id, c.centroid_id,
+                       row_number() OVER (PARTITION BY v.vec_id
+                                          ORDER BY {sim} DESC, c.centroid_id)
+                           AS rn
+                FROM v, {cent} c)
+            WHERE rn = 1),
+        probes AS (
+            SELECT query_id, centroid_id FROM (
+                SELECT q.vec_id AS query_id, c.centroid_id,
+                       row_number() OVER (PARTITION BY q.vec_id
+                                          ORDER BY {qsim} DESC, c.centroid_id)
+                           AS rn
+                FROM v q, {cent} c WHERE q.vec_id IN ({ids}))
+            WHERE rn <= {SIM_IVF_NPROBE}),
+        cand AS (
+            SELECT DISTINCT query_id, a.id AS neighbor_id
+            FROM probes p JOIN asg a ON p.centroid_id = a.centroid_id
+            WHERE a.id != p.query_id),
+        scored AS (
+            SELECT query_id, neighbor_id,
+                   round(list_sum(list_transform(list_zip(q.vec, n.vec),
+                                                 p -> p[1] * p[2]))
+                         / (q.vn * n.vn), 6) AS score
+            FROM cand
+            JOIN v q ON cand.query_id = q.vec_id
+            JOIN v n ON cand.neighbor_id = n.vec_id),
+        ranked AS (
+            SELECT query_id, neighbor_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, neighbor_id) AS rank
+            FROM scored)
+        SELECT query_id, neighbor_id, score, rank
+        FROM ranked WHERE rank <= {SIM_K}
+    """
+
+
 def label_confusion_oracle() -> str:
     """DuckDB twin of ``nearest_centroid_confusion``: same integer-
     quantized component means (floor(x·1e6 + 0.5), exact bigint sums),
@@ -2050,6 +2227,8 @@ EXT_QUERIES = {
     "dedup_prune": q_dedup_prune,
     "source_overlap": q_source_overlap,
     "label_confusion": q_label_confusion,
+    "ivf_refined_centroids": q_ivf_refined_centroids,
+    "ivf_refined_topk": q_ivf_refined_topk,
     "quality_filter": q_quality_filter,
     "streaming_hourly_users": q_streaming_hourly_users,
     "pretraining_manifest": q_pretraining_manifest,
@@ -2137,6 +2316,8 @@ EXT_ORACLES = {
     "dedup_prune": dedup_prune_oracle(),
     "source_overlap": source_overlap_oracle(),
     "label_confusion": label_confusion_oracle(),
+    "ivf_refined_centroids": ivf_refined_centroids_oracle(),
+    "ivf_refined_topk": ivf_refined_topk_oracle(),
     "quality_filter": quality_filter_oracle(),
     "pretraining_manifest": pretraining_manifest_oracle(),
     # chained dedup → window agg must converge to the batch distinct count
