@@ -276,3 +276,24 @@ def test_label_centroids_deterministic_under_repartition(spark):
     a = sorted(map(tuple, label_centroids(emb).collect()))
     b = sorted(map(tuple, label_centroids(emb.repartition(5)).collect()))
     assert a == b
+
+
+def test_refined_ivf_recall_against_exact(spark):
+    """Trained-quantizer IVF (kmeans_refine centroids): same recall gate
+    as the seed-centroid tier, plus determinism across runs — the
+    refinement must not cost search quality."""
+    from simple_map_reduce_spark.operators.similarity import kmeans_refine
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, qids, k=5).collect()
+    }
+    cents = kmeans_refine(emb, n_centroids=16, iters=2)
+    run1 = cosine_topk_ivf(emb, qids, k=5, nprobe=8, centroids=cents).collect()
+    run2 = cosine_topk_ivf(emb, qids, k=5, nprobe=8, centroids=cents).collect()
+    assert sorted(map(tuple, run1)) == sorted(map(tuple, run2))
+    approx = {(r["query_id"], r["neighbor_id"]) for r in run1}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"refined-IVF recall too low: {recall}"
