@@ -340,7 +340,12 @@ def _quantized_component_means(comp: DataFrame, key: str) -> DataFrame:
     addition is not associative), so each component is quantized to an
     exact integer at 6 decimals first — ``floor(x·1e6 + 0.5)``, the
     cross-engine half-up idiom shared with the int8 quantizer — summed as
-    bigint (exact, order-free), then divided back in double and rounded.
+    bigint (exact, order-free), then divided back. The MEAN is quantized
+    with the same floor(x + 0.5) idiom, NOT ``round(x, 6)``: both
+    engines evaluate floor on the identical IEEE quotient double, whereas
+    round-to-decimals diverges at representable 7th-decimal half-ties
+    (Spark rounds the shortest decimal repr HALF_UP, DuckDB rounds the
+    scaled double — e.g. s=249, n=2 gives 0.000125 vs 0.000124).
     The one shuffle keys on (key, dim): |keys|·d keys regardless of
     corpus size, fully map-side combined."""
     return (
@@ -356,8 +361,11 @@ def _quantized_component_means(comp: DataFrame, key: str) -> DataFrame:
         .select(
             key,
             "dim",
-            F.round(
-                F.col("s").cast("double") / F.col("n") / F.lit(float(LC_SCALE)), 6
+            (
+                F.floor(F.col("s").cast("double") / F.col("n") + F.lit(0.5))
+                .cast("bigint")
+                .cast("double")
+                / F.lit(float(LC_SCALE))
             ).alias("m"),
         )
     )
@@ -384,9 +392,13 @@ def label_centroids(
     """Per-label mean embedding via the quantized-exact component means
     (see :func:`_quantized_component_means`). Returns
     (centroid_label, cvec, cn)."""
-    v = emb.select(
-        F.col(label_col).alias("centroid_label"),
-        _to_double(F.col(vec_col)).alias("vec"),
+    from ..sources.readers import ensure_parallelism
+
+    v = ensure_parallelism(
+        emb.select(
+            F.col(label_col).alias("centroid_label"),
+            _to_double(F.col(vec_col)).alias("vec"),
+        )
     )
     comp = v.select("centroid_label", F.posexplode("vec").alias("dim", "val"))
     return _means_to_centroids(
@@ -461,9 +473,10 @@ def kmeans_refine(
     - **means**: a double ``avg`` is partition-order-dependent (IEEE
       addition is not associative), so components are quantized to exact
       integers at 6 decimals and summed as bigint — order-independent —
-      then divided back and rounded (:func:`_quantized_component_means`;
-      the same idiom twins in DuckDB SQL, unlike a DECIMAL(38,18) cast,
-      whose double→decimal rounding differs between engines).
+      then the quotient is re-quantized with the same floor(x + 0.5)
+      idiom (:func:`_quantized_component_means`; this twins in DuckDB
+      SQL, unlike a DECIMAL(38,18) cast or ``round(x, 6)``, whose
+      rounding differs between engines).
       Re-running with any repartitioning yields bit-identical centroids.
 
     Scale shape per iteration: ONE broadcast assignment pass over the

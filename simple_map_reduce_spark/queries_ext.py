@@ -35,7 +35,12 @@ from .operators.dedup import (
 )
 from .functions.text import BPE_RE, token_count_bpe, token_count_ws
 from .operators.maple_juice import juice, maple
-from .operators.similarity import cosine_neardup_pairs, cosine_topk, cosine_topk_ivf
+from .operators.similarity import (
+    LC_SCALE,
+    cosine_neardup_pairs,
+    cosine_topk,
+    cosine_topk_ivf,
+)
 from .multimodal import attach_binary
 from .sources.readers import load_table
 
@@ -57,6 +62,31 @@ SIM_IVF_NPROBE = 4
 # the oracle unrolls exactly this many assignment/mean rounds in SQL
 IVF_REFINE_K = 8
 IVF_REFINE_ITERS = 2
+# the centroid quantization scale, single-sourced from the operator so
+# the oracle SQL can never silently desynchronize from the Spark side
+_LC_S = f"{float(LC_SCALE):.1f}"
+
+
+def _carried_cos_sql(a: str, b: str) -> str:
+    """Rounded cosine over pre-normed frames: ``a`` carries (vec, vn),
+    ``b`` carries (cvec, cn) — the SQL form of the Spark operators'
+    round(dot / (vn·cn), 6). One definition for every centroid oracle."""
+    return (
+        f"round(list_sum(list_transform(list_zip({a}.vec, {b}.cvec),"
+        f" p -> p[1] * p[2])) / ({a}.vn * {b}.cn), 6)"
+    )
+
+
+def _quantized_mean_sql() -> str:
+    """DuckDB form of ``operators.similarity._quantized_component_means``
+    over (.., dim, val) rows: integer-quantized exact sums, quotient
+    re-quantized via floor(x + 0.5) — floor evaluates on the identical
+    IEEE quotient in both engines, where round(x, 6) diverges at
+    representable 7th-decimal half-ties."""
+    return (
+        f"CAST(CAST(floor(CAST(sum(CAST(floor(val * {_LC_S} + 0.5) AS BIGINT))"
+        f" AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS DOUBLE) / {_LC_S}"
+    )
 # decontamination: every 20th doc plays the benchmark set; ≥3 shared
 # trigrams flags a train doc as contaminated (real runs: 8..13-grams)
 DECON_MOD = 20
@@ -273,7 +303,10 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(
             F.count("*").cast("bigint").alias("n_pairs"),
-            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+            # unrounded, like the pair queries: the jaccard doubles are
+            # identical per pair on both engines, so max is too — a
+            # round(x, 6) here could diverge at 7th-decimal half-ties
+            F.max("jaccard").alias("max_jaccard"),
         )
     )
 
@@ -307,7 +340,7 @@ def q_ivf_refined_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(
             F.transform(
                 "cvec",
-                lambda m: F.floor(m * F.lit(1000000.0) + F.lit(0.5))
+                lambda m: F.floor(m * F.lit(float(LC_SCALE)) + F.lit(0.5))
                 .cast("bigint")
                 .cast("string"),
             ),
@@ -1483,11 +1516,7 @@ def _kmeans_ctes(k: int, iters: int) -> tuple[str, str]:
     integer-quantized exact component means as ``kmeans_refine``.
     Returns (joined_cte_sql, final_centroid_cte_name); the ``v`` CTE
     (vec_id, vec, vn) is included."""
-    s = "1000000.0"
-    sim = (
-        "round(list_sum(list_transform(list_zip(v.vec, c.cvec),"
-        " p -> p[1] * p[2])) / (v.vn * c.cn), 6)"
-    )
+    sim = _carried_cos_sql("v", "c")
     ctes = [
         f"""v AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
@@ -1513,8 +1542,7 @@ def _kmeans_ctes(k: int, iters: int) -> tuple[str, str]:
         ctes.append(
             f"""means{i} AS (
             SELECT centroid_id, dim,
-                   round(CAST(sum(CAST(floor(val * {s} + 0.5) AS BIGINT))
-                              AS DOUBLE) / count(*) / {s}, 6) AS m
+                   {_quantized_mean_sql()} AS m
             FROM (SELECT centroid_id, generate_subscripts(vec, 1) AS dim,
                          unnest(vec) AS val
                   FROM asg{i})
@@ -1542,7 +1570,7 @@ def ivf_refined_centroids_oracle(
         WITH {ctes}
         SELECT centroid_id,
                array_to_string(list_transform(cvec,
-                   x -> CAST(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)
+                   x -> CAST(CAST(floor(x * {_LC_S} + 0.5) AS BIGINT)
                              AS VARCHAR)),
                    ',') AS cvec_q6_csv,
                round(cn, 6) AS cn
@@ -1559,14 +1587,8 @@ def ivf_refined_topk_oracle(
     pipeline verified end to end."""
     ids = ", ".join(str(i) for i in SIM_QUERY_IDS)
     ctes, cent = _kmeans_ctes(k, iters)
-    sim = (
-        "round(list_sum(list_transform(list_zip(v.vec, c.cvec),"
-        " p -> p[1] * p[2])) / (v.vn * c.cn), 6)"
-    )
-    qsim = (
-        "round(list_sum(list_transform(list_zip(q.vec, c.cvec),"
-        " p -> p[1] * p[2])) / (q.vn * c.cn), 6)"
-    )
+    sim = _carried_cos_sql("v", "c")
+    qsim = _carried_cos_sql("q", "c")
     return f"""
         WITH {ctes},
         asg AS (
@@ -1611,7 +1633,6 @@ def label_confusion_oracle() -> str:
     """DuckDB twin of ``nearest_centroid_confusion``: same integer-
     quantized component means (floor(x·1e6 + 0.5), exact bigint sums),
     same rounded-cosine assignment with label tiebreak."""
-    s = "1000000.0"
     return f"""
         WITH v AS (SELECT vec_id, label,
                           CAST(embedding AS DOUBLE[]) AS vec
@@ -1622,8 +1643,7 @@ def label_confusion_oracle() -> str:
             FROM v),
         means AS (
             SELECT label, dim,
-                   round(CAST(sum(CAST(floor(val * {s} + 0.5) AS BIGINT))
-                              AS DOUBLE) / count(*) / {s}, 6) AS m
+                   {_quantized_mean_sql()} AS m
             FROM comp GROUP BY 1, 2),
         cent AS (
             SELECT label AS centroid_label,
@@ -1668,7 +1688,7 @@ def source_overlap_oracle() -> str:
             JOIN documents db ON p.id_b = db.doc_id)
         SELECT source_a, source_b,
                CAST(count(*) AS BIGINT) AS n_pairs,
-               round(max(jaccard), 6) AS max_jaccard
+               max(jaccard) AS max_jaccard
         FROM lab GROUP BY 1, 2
     """
 
