@@ -252,7 +252,7 @@ QUERIES: dict[str, QueryFn] = {
 # packing, two-star dedup_groups, skew-cap oracle twinning, incremental
 # check refactor, the new training-pipeline queries incl. source_overlap
 # and label_confusion) + the 6 queries whose latest row still dated to
-# r1 + the oldest r2 rows refreshed (18 of 49; the rest rotate in r5).
+# r1 + the oldest r2 rows refreshed (17 of 49; the rest rotate in r5).
 _CHANGED_THIS_ROUND = [
     # r4: ANN tier gains generated-SQL oracles; IVF assignment/probe sims
     # now rounded to 6 decimals before ranking (cross-engine determinism)
