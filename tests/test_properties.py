@@ -142,3 +142,51 @@ def test_shuffle_positions_is_md5_rank_for_any_keys(spark_global, keys):
     }
     order = sorted(keys, key=lambda k: (hashlib.md5(str(k).encode()).hexdigest(), k))
     assert got == {k: i for i, k in enumerate(order)}
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=60),   # doc_id (dups dropped below)
+            st.sampled_from(["en", "fr", "de"]),
+            st.integers(min_value=0, max_value=1500),  # n_tokens
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.sampled_from([1, 2, 3, 7, 1000]),               # shard span
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_sharded_packing_equivalence_property(spark_global, rows, span):
+    """chunk_assignment_sharded ≡ chunk_assignment for ANY ids/langs/
+    token counts and ANY shard span, and both ≡ a Python prefix-sum
+    reference — the invariant behind using the single-window form as the
+    sharded scale tier's oracle."""
+    from simple_map_reduce_spark.operators.packing import (
+        chunk_assignment,
+        chunk_assignment_sharded,
+    )
+
+    uniq = {}
+    for i, lang, n in rows:
+        uniq[i] = (lang, n)
+    data = [(i, lang, n) for i, (lang, n) in sorted(uniq.items())]
+    df = spark_global.createDataFrame(
+        data, "doc_id bigint, lang string, n_tokens bigint"
+    )
+    base = {
+        r["doc_id"]: (r["chunk_id"], r["chunk_offset"])
+        for r in chunk_assignment(df, chunk_tokens=512).collect()
+    }
+    sharded = {
+        r["doc_id"]: (r["chunk_id"], r["chunk_offset"])
+        for r in chunk_assignment_sharded(df, chunk_tokens=512, span=span).collect()
+    }
+    assert sharded == base
+    # Python reference: per-lang exclusive prefix sum in id order
+    start, want = {}, {}
+    for i, lang, n in data:
+        s = start.get(lang, 0)
+        want[i] = (s // 512, s % 512)
+        start[lang] = s + n
+    assert base == want
