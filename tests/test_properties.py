@@ -190,3 +190,56 @@ def test_sharded_packing_equivalence_property(spark_global, rows, span):
         want[i] = (s // 512, s % 512)
         start[lang] = s + n
     assert base == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),      # label
+            st.lists(
+                st.floats(
+                    min_value=-2.0, max_value=2.0,
+                    allow_nan=False, allow_infinity=False, width=32,
+                ),
+                min_size=4, max_size=4,
+            ),
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_label_centroids_match_python_reference(spark_global, rows):
+    """The quantized-exact centroid mean ≡ a bit-for-bit Python
+    reference: floor(x·1e6 + 0.5) integer sums per (label, dim), the
+    quotient re-quantized the same way — Python floats ARE IEEE doubles,
+    so any divergence is an engine bug, not noise."""
+    import math
+
+    from simple_map_reduce_spark.operators.similarity import label_centroids
+
+    data = [(i, vec, lab) for i, (lab, vec) in enumerate(rows)]
+    df = spark_global.createDataFrame(data, "vec_id bigint, embedding array<float>, label int")
+    got = {
+        r["centroid_label"]: r["cvec"]
+        for r in label_centroids(df).collect()
+    }
+    # reference: float32 storage round-trip, then exact integer means
+    import struct
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    sums, counts = {}, {}
+    for _, vec, lab in data:
+        counts[lab] = counts.get(lab, 0) + 1
+        for d, x in enumerate(vec):
+            sums[(lab, d)] = sums.get((lab, d), 0) + math.floor(f32(x) * 1e6 + 0.5)
+    want = {
+        lab: [
+            float(math.floor(sums[(lab, d)] / counts[lab] + 0.5)) / 1e6
+            for d in range(4)
+        ]
+        for lab in counts
+    }
+    assert got == want
