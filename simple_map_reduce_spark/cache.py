@@ -35,6 +35,20 @@ def tracked_persist(
     return df
 
 
+def untrack(df: DataFrame) -> None:
+    """Unpersist ONE tracked cache early (an operator that knows its
+    caches are dead — e.g. after an eager checkpoint — releases them
+    itself instead of waiting for the harness sweep)."""
+    try:
+        df.unpersist(blocking=False)
+    except Exception:
+        pass
+    try:
+        _TRACKED.remove(df)
+    except ValueError:
+        pass
+
+
 def release_tracked() -> int:
     """Unpersist every tracked cache (non-blocking); returns the count."""
     released = 0

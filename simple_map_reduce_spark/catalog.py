@@ -100,8 +100,12 @@ class Catalog:
 
     # -- ls / store (S6) ---------------------------------------------------
     def ls(self) -> list[str]:
+        # dot-dirs are internal scratch (e.g. a crashed compact's tmp dir)
+        # — never listed, since _path() refuses to address them anyway
         return sorted(
-            d for d in os.listdir(self.root) if os.path.isdir(os.path.join(self.root, d))
+            d
+            for d in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, d)) and not d.startswith(".")
         )
 
     def exists(self, name: str) -> bool:
@@ -130,6 +134,22 @@ class Catalog:
         """
         import math
 
+        if target_file_bytes <= 0:
+            raise ValueError(f"target_file_bytes must be > 0, got {target_file_bytes}")
+        try:
+            # a session-catalog table with bucket metadata must not be
+            # rewritten as plain parquet: the catalog would still claim
+            # bucketed filenames and every later read would fail
+            if any(t.name == name for t in self.spark.catalog.listTables()):
+                raise ValueError(
+                    f"{name!r} is registered in the session catalog (bucketed "
+                    "tables keep their layout metadata there) — compact would "
+                    "corrupt it; re-bucket via put_bucketed instead"
+                )
+        except ValueError:
+            raise
+        except Exception:
+            pass  # no usable session catalog — path-only table, proceed
         path = self._path(name)
         size = sum(
             os.path.getsize(os.path.join(path, f))
@@ -138,9 +158,14 @@ class Catalog:
         )
         n = max(1, math.ceil(size / target_file_bytes))
         tmp = os.path.join(self.root, f".{name}.compact-tmp")
+        if os.path.isdir(tmp):  # stale scratch from a crashed compact
+            shutil.rmtree(tmp)
         self.get(name).repartition(n).write.mode("overwrite").parquet(tmp)
         shutil.rmtree(path)
         os.rename(tmp, path)
+        # the swap happened behind Spark's back (os.rename, not a Spark
+        # writer) — drop any cached plans/file listings over the old files
+        self.spark.catalog.refreshByPath(path)
         return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
 
     # -- bucketed tables (co-located joins) --------------------------------

@@ -39,6 +39,17 @@ def tokenize(col: Column | str) -> Column:
     return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_RE), F.lit(0))
 
 
+def ws_tokens(col: Column | str) -> Column:
+    """Whitespace tokens with empties dropped — the exact-reassembly
+    tokenizer (single-space rejoin reproduces the original up to
+    whitespace runs), unlike :func:`tokenize` which lowercases for
+    counting. The DuckDB twin is ``regexp_extract_all(text, '\\S+')``;
+    one definition here keeps span dedup and BPE pair counting (and any
+    future consumer) agreeing with their oracles."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, r"\s+"), lambda x: x != F.lit(""))
+
+
 def token_count(col: Column | str) -> Column:
     return F.size(tokenize(col)).cast("bigint")
 

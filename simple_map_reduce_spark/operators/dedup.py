@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..cache import tracked_persist
+from ..cache import tracked_persist, untrack
 
 from ..functions.hashes import md5_long60, minhash_mix
 from ..functions.text import tokenize
@@ -304,6 +304,10 @@ def _asymmetric_neardup_check(
             bc.select(F.col("id").alias("id_corpus"), "band_idx", "band_hash"),
             ["band_idx", "band_hash"],
         )
+        # a doc can legitimately exist on BOTH sides (a replayed ingest
+        # micro-batch whose docs already reached the corpus) — a self-
+        # pair is never a duplicate *decision*, just identity
+        .filter(F.col("id_new") != F.col("id_corpus"))
         .select("id_new", "id_corpus")
         .distinct()
     )
@@ -455,10 +459,26 @@ class NearDupIndex:
         buckets but no shingles can surface as a candidate yet never
         yields a pair (its intersection is empty), while the reverse
         order has no window at all — both states are benign, and the
-        anti-join heals either on retry."""
+        anti-join heals either on retry.
+
+        The three operator-internal persists (batch shingles, batch
+        buckets, corpus buckets) are released before returning: the
+        report is eagerly checkpointed, so nothing downstream reads them
+        — without the release, a long-running ingest loop (see
+        :meth:`ingest_stream`) would pin a corpus-sized cache per batch
+        for the life of the process."""
         shn, bn = self._derive(new_df)
         bn = tracked_persist(bn)  # feeds the self-join (both sides) + append
         bc = self._corpus_buckets()  # one persisted scan feeds cap + join + anti-join
+        try:
+            return self._ingest_inner(shn, bn, bc)
+        finally:
+            for frame in (shn, bn, bc):
+                untrack(frame)
+
+    def _ingest_inner(
+        self, shn: DataFrame, bn: DataFrame, bc: DataFrame
+    ) -> DataFrame:
         corpus_pairs = _asymmetric_neardup_check(
             shn,
             self.catalog.get(self.shingles_table),
@@ -521,9 +541,28 @@ class NearDupIndex:
         decisions stay auditable; the corpus tables grow exactly as if
         the batches had been ingested sequentially in batch mode.
         Uses Trigger.AvailableNow: processes what exists, then stops
-        (drop the trigger for a long-running continuous ingest)."""
+        (drop the trigger for a long-running continuous ingest).
+
+        Replay safety: ``foreachBatch`` is at-least-once — a crash after
+        the batch commits but before the checkpoint does re-delivers the
+        same epoch. The report append runs AFTER the corpus appends
+        (inside :meth:`ingest`), so a recorded ``epoch_id`` doubles as
+        the batch's commit marker: a replayed epoch that already has
+        report rows is skipped entirely (idempotent), and a replay of a
+        partially-applied epoch re-runs :meth:`ingest`, whose anti-joins
+        and self-pair filter heal the state tables without duplicating
+        or self-matching."""
 
         def _ingest_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            if self.catalog.exists(self.reports_table):
+                done = (
+                    self.catalog.get(self.reports_table)
+                    .filter(F.col("epoch_id") == int(epoch_id))
+                    .limit(1)
+                    .count()
+                )
+                if done:
+                    return  # epoch fully committed before the crash
             report = self.ingest(batch_df).withColumn(
                 "epoch_id", F.lit(epoch_id).cast("bigint")
             )

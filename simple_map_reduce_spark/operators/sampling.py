@@ -108,8 +108,27 @@ def shuffle_positions(
     get an exclusive prefix sum on a single tiny partition and are
     **broadcast** back; ``pos = shard_offset + local_rank``. Nothing in
     the plan sorts more than one shard's rows in one task.
+
+    Contract: ``key_col`` is the row's identity (a doc id) — it must be
+    NON-NULL (enforced scan-locally below: a NULL key would hash to a
+    NULL shard and silently vanish in the offsets join) and UNIQUE
+    (documented, not scanned for: duplicate keys tie on the full sort
+    key, making their relative order partition-dependent — there is no
+    deterministic order between indistinguishable rows).
     """
-    keyed = df.withColumn("_skey", md5_hex(F.col(key_col).cast("string")))
+    keyed = df.withColumn(
+        "_skey",
+        md5_hex(
+            F.when(
+                F.col(key_col).isNotNull(), F.col(key_col).cast("string")
+            ).otherwise(
+                F.raise_error(
+                    F.lit(f"shuffle_positions: NULL {key_col} — the shuffle "
+                          "key is the row's identity and must be non-null")
+                )
+            )
+        ),
+    )
     # lowercase-hex prefix ordering == full-key ordering (hex chars are
     # ascii-ordered), so range-sharding by prefix preserves global order
     keyed = keyed.withColumn(

@@ -42,12 +42,11 @@ DEFAULT_SPAN_TOKENS = 8
 
 
 def _ws_tokens(text_col: str):
-    """Whitespace tokens with empties dropped — exact-reassembly tokenizer
-    (single-space rejoin must reproduce the original up to whitespace
-    runs), unlike functions.text.tokenize which lowercases for counting."""
-    return F.filter(
-        F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")
-    )
+    """Exact-reassembly whitespace tokenizer — single definition in
+    functions.text.ws_tokens (shared with BPE pair counting)."""
+    from ..functions.text import ws_tokens
+
+    return ws_tokens(text_col)
 
 
 def doc_spans(

@@ -892,11 +892,9 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # element_at over a raw split(...) expression re-evaluates the split
     # per element inside the (interpreted, non-codegen) HOF lambda —
     # O(tokens²) per doc; over a bound attribute it is O(1)
-    with_toks = docs.select(
-        F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit("")).alias(
-            "_toks"
-        )
-    )
+    from .functions.text import ws_tokens
+
+    with_toks = docs.select(ws_tokens("text").alias("_toks"))
     toks = F.col("_toks")
     n = F.size(toks)
     pairs = F.when(
@@ -1711,7 +1709,8 @@ def incremental_neardup_oracle() -> str:
         cand AS (
             SELECT DISTINCT n.id AS id_new, c.id AS id_corpus
             FROM bn n JOIN bc c
-              ON n.band_idx = c.band_idx AND n.band_hash = c.band_hash),
+              ON n.band_idx = c.band_idx AND n.band_hash = c.band_hash
+             AND n.id != c.id),
         szn AS (SELECT id, count(*) AS sz_new FROM hn GROUP BY id),
         szc AS (SELECT id, count(*) AS sz_corpus FROM hc GROUP BY id),
         inter AS (

@@ -46,3 +46,51 @@ def test_invalid_names_rejected(cat):
     for bad in ("", "a/b", ".hidden"):
         with pytest.raises(ValueError):
             cat.put(None, bad)  # type: ignore[arg-type]
+
+
+def test_ls_skips_internal_dot_dirs(cat, spark, tmp_path):
+    """A crashed compact's scratch dir must not surface in ls() — the
+    API can't address dot-names, so listing one creates an unremovable
+    ghost."""
+    import os
+
+    cat.put(spark.createDataFrame([(1,)], ["v"]), "t")
+    os.makedirs(os.path.join(cat.root, ".t.compact-tmp"), exist_ok=True)
+    assert cat.ls() == ["t"]
+
+
+def test_compact_validates_target_and_refuses_bucketed(cat, spark):
+    """--target-mb 0 is a usage error, not a ZeroDivisionError; and a
+    session-catalog (bucketed) table must be refused — rewriting it as
+    plain parquet corrupts the bucket metadata the catalog still holds."""
+    import pytest as _pytest
+
+    cat.put(spark.createDataFrame([(1,)], ["v"]), "plain")
+    with _pytest.raises(ValueError, match="target_file_bytes"):
+        cat.compact("plain", target_file_bytes=0)
+    cat.put_bucketed(spark.createDataFrame([(1, "x")], ["k", "v"]), "bkt", "k", 4)
+    try:
+        with _pytest.raises(ValueError, match="session catalog"):
+            cat.compact("bkt")
+        # the bucketed read path must still work afterwards
+        assert cat.get_bucketed("bkt").count() == 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt")
+
+
+def test_compact_recovers_stale_tmp_and_refreshes(cat, spark):
+    """A leftover compact scratch dir is cleaned on the next compact,
+    and a cached plan over the table survives the file swap (compact
+    refreshes Spark's path metadata)."""
+    import os
+
+    df = spark.range(100).withColumnRenamed("id", "v")
+    cat.put(df, "t2")
+    os.makedirs(os.path.join(cat.root, ".t2.compact-tmp"), exist_ok=True)
+    cached = cat.get("t2").persist()
+    assert cached.count() == 100
+    n = cat.compact("t2")
+    assert n >= 1
+    assert not os.path.isdir(os.path.join(cat.root, ".t2.compact-tmp"))
+    assert cat.get("t2").count() == 100
+    cached.unpersist()

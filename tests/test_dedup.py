@@ -173,11 +173,18 @@ def test_neardup_index_ingest_appends_accepted_only(spark, tmp_path):
     assert after_ids.issuperset(batch_ids - dup_ids)
     assert not (after_ids & dup_ids)
     assert len(after_ids) == before + len(batch_ids - dup_ids)
-    # an accepted doc re-ingested now collides with the corpus copy
+    # re-checking an accepted doc under its OWN id is identity, not
+    # duplication (replay safety — the self-pair filter): no self-match
     accepted_id = sorted(batch_ids - dup_ids)[0]
-    redo = idx.check(batch.filter(F.col("doc_id") == accepted_id))
+    own = batch.filter(F.col("doc_id") == accepted_id)
+    redo = idx.check(own)
+    assert not any(r.id_new == r.id_corpus for r in redo.collect())
+    # ...but the same CONTENT under a fresh id still collides with the
+    # corpus copy at jaccard 1.0
+    clone = own.withColumn("doc_id", F.lit(10_000_000).cast("bigint"))
+    redo2 = idx.check(clone)
     assert any(
-        r.id_corpus == accepted_id and r.jaccard == 1.0 for r in redo.collect()
+        r.id_corpus == accepted_id and r.jaccard == 1.0 for r in redo2.collect()
     )
 
 

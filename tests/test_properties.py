@@ -243,3 +243,15 @@ def test_label_centroids_match_python_reference(spark_global, rows):
         for lab in counts
     }
     assert got == want
+
+
+def test_shuffle_positions_rejects_null_keys(spark_global):
+    """A NULL shuffle key would hash to a NULL shard and silently vanish
+    in the offsets join — the operator must fail loudly instead."""
+    import pytest as _pytest
+
+    from simple_map_reduce_spark.operators.sampling import shuffle_positions
+
+    df = spark_global.createDataFrame([(1,), (None,)], "k bigint")
+    with _pytest.raises(Exception, match="must be non-null"):
+        shuffle_positions(df, "k").collect()
