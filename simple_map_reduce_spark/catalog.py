@@ -128,7 +128,9 @@ class Catalog:
         file set per ingest) accumulate small files; at scale, scan task
         count and namenode/listing pressure grow with file count, not
         data size — periodic compaction is the standard fix. Locally the
-        swap is rewrite-then-rename (not crash-atomic); on object
+        swap is rename-based (old dir → scratch, tmp → live, drop
+        scratch), so every crash point leaves a recoverable state —
+        a retried compact heals a half-swapped table; on object
         storage, production would write through a table format whose
         metadata commit provides atomicity (Delta/Iceberg).
         """
@@ -139,8 +141,14 @@ class Catalog:
         try:
             # a session-catalog table with bucket metadata must not be
             # rewritten as plain parquet: the catalog would still claim
-            # bucketed filenames and every later read would fail
-            if any(t.name == name for t in self.spark.catalog.listTables()):
+            # bucketed filenames and every later read would fail. Spark
+            # lowercases catalog identifiers, so compare lowercased; temp
+            # views carry no storage layout and must not block a
+            # path-only table that merely shares a name.
+            if any(
+                t.name == name.lower() and not t.isTemporary
+                for t in self.spark.catalog.listTables()
+            ):
                 raise ValueError(
                     f"{name!r} is registered in the session catalog (bucketed "
                     "tables keep their layout metadata there) — compact would "
@@ -151,6 +159,11 @@ class Catalog:
         except Exception:
             pass  # no usable session catalog — path-only table, proceed
         path = self._path(name)
+        old = os.path.join(self.root, f".{name}.compact-old")
+        if not os.path.isdir(path) and os.path.isdir(old):
+            # heal a crash that happened between the two swap renames:
+            # the table's only copy is the scratch dir — put it back
+            os.rename(old, path)
         size = sum(
             os.path.getsize(os.path.join(path, f))
             for f in os.listdir(path)
@@ -158,11 +171,17 @@ class Catalog:
         )
         n = max(1, math.ceil(size / target_file_bytes))
         tmp = os.path.join(self.root, f".{name}.compact-tmp")
-        if os.path.isdir(tmp):  # stale scratch from a crashed compact
-            shutil.rmtree(tmp)
+        for stale in (tmp, old):  # scratch from a crashed earlier compact
+            if os.path.isdir(stale):
+                shutil.rmtree(stale)
         self.get(name).repartition(n).write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(path)
+        # swap via rename, never delete-then-rename: a crash at any point
+        # leaves either the old dir addressable or the healable
+        # old-in-scratch state recovered above — the table's only copy is
+        # never in a state a retry can't reach
+        os.rename(path, old)
         os.rename(tmp, path)
+        shutil.rmtree(old)
         # the swap happened behind Spark's back (os.rename, not a Spark
         # writer) — drop any cached plans/file listings over the old files
         self.spark.catalog.refreshByPath(path)
@@ -170,17 +189,52 @@ class Catalog:
 
     # -- bucketed tables (co-located joins) --------------------------------
     def put_bucketed(
-        self, df: DataFrame, name: str, bucket_col: str, num_buckets: int = 32
+        self,
+        df: DataFrame,
+        name: str,
+        bucket_col: str | tuple[str, ...] | list[str],
+        num_buckets: int = 32,
     ) -> None:
         """Save as a BUCKETED managed table: joins/aggregations keyed on
-        ``bucket_col`` between tables bucketed the same way skip the
-        shuffle entirely (verified in tests/test_skew_bucket.py). This is
-        the 100 TB answer to repeated fact⋈fact joins on the same key —
-        pay the shuffle once at write time."""
+        the bucket column(s) between tables bucketed the same way skip
+        the shuffle entirely (verified in tests/test_skew_bucket.py).
+        This is the 100 TB answer to repeated fact⋈fact joins on the
+        same key — pay the shuffle once at write time.
+
+        Multi-column bucketing matters because Spark's co-partition check
+        requires ALL join keys by default
+        (``spark.sql.requireAllClusterKeysForCoPartition``): a table
+        bucketed on a strict subset of the join keys still shuffles, so
+        bucket on exactly the key tuple the hot join uses."""
+        cols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
         (
             df.write.mode("overwrite")
-            .bucketBy(num_buckets, bucket_col)
-            .sortBy(bucket_col)
+            .bucketBy(num_buckets, *cols)
+            .sortBy(*cols)
+            .option("path", self._path(name))
+            .saveAsTable(name)
+        )
+
+    def append_bucketed(
+        self,
+        df: DataFrame,
+        name: str,
+        bucket_col: str | tuple[str, ...] | list[str],
+        num_buckets: int = 32,
+    ) -> None:
+        """Append to an existing bucketed table, preserving its layout.
+
+        Plain :meth:`append` writes unbucketed part files into the path,
+        which would corrupt a bucketed table (the session catalog still
+        claims bucketed filenames); the bucketed writer re-shuffles the
+        appended rows into the declared buckets. Spark validates the
+        spec against the existing table, so a mismatched append fails
+        loudly instead of corrupting."""
+        cols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
+        (
+            df.write.mode("append")
+            .bucketBy(num_buckets, *cols)
+            .sortBy(*cols)
             .option("path", self._path(name))
             .saveAsTable(name)
         )

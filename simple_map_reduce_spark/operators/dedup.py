@@ -284,13 +284,19 @@ def _asymmetric_neardup_check(
     bands: int,
     threshold: float,
     max_bucket: int,
+    sz_c: DataFrame | None = None,
 ) -> DataFrame:
     """Core of the incremental check: new-batch shingles (``shn``) are
     banded and joined against the corpus band-buckets (``bc``), then the
     candidates are Jaccard-verified against the corpus shingle sets
     (``shc``). The corpus sides are *frames*, not text — callers pass
     either freshly-derived frames (oracle convenience) or catalog table
-    scans (:class:`NearDupIndex` — the production precompute shape)."""
+    scans (:class:`NearDupIndex` — the production precompute shape).
+
+    ``sz_c`` optionally supplies precomputed corpus shingle-set sizes
+    (columns ``id, sz``): without it the sizes are aggregated from
+    ``shc`` — a full shuffle of the corpus shingle table per check,
+    which the index precomputes away."""
     sig_n = shn.groupBy("id").agg(*_minhash_aggs(num_hashes))
     bn = lsh_band_buckets(sig_n, num_hashes, bands)
     if max_bucket:
@@ -312,7 +318,10 @@ def _asymmetric_neardup_check(
         .distinct()
     )
     sz_n = shn.groupBy("id").agg(F.count("*").alias("sz_new"))
-    sz_c = shc.groupBy("id").agg(F.count("*").alias("sz_corpus"))
+    if sz_c is None:
+        sz_c = shc.groupBy("id").agg(F.count("*").alias("sz_corpus"))
+    else:
+        sz_c = sz_c.select("id", F.col("sz").alias("sz_corpus"))
     inter = (
         cand.join(shn.select(F.col("id").alias("id_new"), "h"), "id_new")
         .join(shc.select(F.col("id").alias("id_corpus"), "h"), ["id_corpus", "h"])
@@ -339,11 +348,19 @@ class NearDupIndex:
     ``incremental_neardup_pairs`` re-derives the corpus signatures on
     every call (an oracle convenience: DuckDB can recompute the whole
     pipeline). At 100 TB that re-tokenization *is* the job, so the
-    standing corpus state lives in two catalog parquet tables instead:
+    standing corpus state lives in three catalog tables instead:
 
     - ``{name}__shingles``: (id, h) hashed shingle sets (Jaccard verify)
+      — BUCKETED on (id, h), the verify join's exact key tuple;
     - ``{name}__buckets``:  (id, band_idx, band_hash) LSH band buckets
-      (candidate generation)
+      (candidate generation) — BUCKETED on (band_idx, band_hash), so the
+      hot-bucket-cap aggregate AND the candidate join both read
+      pre-partitioned data with NO Exchange above the corpus scan
+      (plan-pinned in tests/test_dedup.py); only the new batch shuffles,
+      so per-ingest shuffle cost is ∝ |batch|, not |corpus|;
+    - ``{name}__sizes``: (id, sz) shingle-set sizes — precomputed at
+      ingest so the Jaccard denominator never re-aggregates (re-shuffles)
+      the corpus shingle table per check.
 
     :meth:`ingest` checks a new batch against the tables (per-ingest cost
     ∝ |batch| × collision rate — the corpus is scanned as 8-byte-int
@@ -364,6 +381,7 @@ class NearDupIndex:
         shingle_n: int = 3,
         threshold: float = 0.5,
         max_bucket: int = 1000,
+        num_buckets: int = 32,
     ):
         self.catalog = catalog
         self.name = name
@@ -374,6 +392,7 @@ class NearDupIndex:
         self.shingle_n = shingle_n
         self.threshold = threshold
         self.max_bucket = max_bucket
+        self.num_buckets = num_buckets
 
     @property
     def shingles_table(self) -> str:
@@ -386,6 +405,17 @@ class NearDupIndex:
     @property
     def reports_table(self) -> str:
         return f"{self.name}__reports"
+
+    @property
+    def epochs_table(self) -> str:
+        return f"{self.name}__epochs"
+
+    @property
+    def sizes_table(self) -> str:
+        return f"{self.name}__sizes"
+
+    _SHINGLE_KEYS = ("id", "h")
+    _BUCKET_KEYS = ("band_idx", "band_hash")
 
     def _derive(self, df: DataFrame) -> tuple[DataFrame, DataFrame]:
         """(shingles, buckets) for a batch — the ONE place text is
@@ -400,18 +430,36 @@ class NearDupIndex:
     def build(self, corpus_df: DataFrame) -> None:
         """Bootstrap (or rebuild) the index from a standing corpus."""
         sh, bk = self._derive(corpus_df)
-        self.catalog.put(sh, self.shingles_table)
-        self.catalog.put(bk, self.buckets_table)
+        self.catalog.put_bucketed(
+            sh, self.shingles_table, self._SHINGLE_KEYS, self.num_buckets
+        )
+        self.catalog.put_bucketed(
+            bk, self.buckets_table, self._BUCKET_KEYS, self.num_buckets
+        )
+        self.catalog.put(
+            sh.groupBy("id").agg(F.count("*").alias("sz")), self.sizes_table
+        )
+        untrack(sh)
 
     def _corpus_buckets(self) -> DataFrame:
-        """The corpus bucket table, persisted for the duration of one
-        check/ingest: the skew-cap sizes aggregate AND the candidate
-        join both consume it, and without the persist each branch scans
-        the full corpus bucket parquet — the one table here that grows
-        with the corpus. (The next step up at extreme scale is storing
-        it via ``Catalog.put_bucketed`` on band_hash so the candidate
-        join is also shuffle-free.)"""
-        return tracked_persist(self.catalog.get(self.buckets_table))
+        """The corpus bucket table, read THROUGH the session catalog so
+        the scan carries its (band_idx, band_hash) bucket partitioning:
+        the skew-cap aggregate and the candidate join then both run with
+        no Exchange above this scan — at 100 TB, re-shuffling the
+        ever-growing bucket table per ingest would BE the per-ingest
+        cost. Deliberately NOT persisted: caching compiles the scan
+        standalone (where the planner may drop the bucketed layout), and
+        a corpus-sized cache is not a thing at scale — two bucketed
+        columnar scans are cheaper than one shuffle."""
+        return self.catalog.get_bucketed(self.buckets_table)
+
+    def _corpus_shingles(self) -> DataFrame:
+        """(id, h) corpus shingle sets, bucketed on exactly the Jaccard
+        verify join's key tuple."""
+        return self.catalog.get_bucketed(self.shingles_table)
+
+    def _corpus_sizes(self) -> DataFrame:
+        return self.catalog.get(self.sizes_table)
 
     def check(self, new_df: DataFrame) -> DataFrame:
         """Near-dup pairs (id_new, id_corpus, jaccard ≥ threshold) of a
@@ -420,12 +468,13 @@ class NearDupIndex:
         shn, _ = self._derive(new_df)
         return _asymmetric_neardup_check(
             shn,
-            self.catalog.get(self.shingles_table),
+            self._corpus_shingles(),
             self._corpus_buckets(),
             self.num_hashes,
             self.bands,
             self.threshold,
             self.max_bucket,
+            sz_c=self._corpus_sizes(),
         )
 
     def ingest(self, new_df: DataFrame) -> DataFrame:
@@ -451,29 +500,31 @@ class NearDupIndex:
         corpus state. On a cluster, use ``checkpoint`` for the same
         reason with executor-loss durability.
 
-        Crash safety: the two appends are not one atomic unit, so each
+        Crash safety: the three appends are not one atomic unit, so each
         append anti-joins ids already present in ITS table — a retried
-        partially-failed ingest tops up the missing table instead of
+        partially-failed ingest tops up the missing tables instead of
         duplicating (id, h) rows (which would double that doc's set size
-        in every later jaccard). Buckets are written first: a doc with
-        buckets but no shingles can surface as a candidate yet never
-        yields a pair (its intersection is empty), while the reverse
-        order has no window at all — both states are benign, and the
-        anti-join heals either on retry.
+        in every later jaccard). Write order is buckets → sizes →
+        shingles: a doc missing its shingle rows (or its size row) can
+        surface as a candidate yet never yields a pair, so no crash
+        window ever emits a WRONG pair — the only exposure is a missed
+        detection until the retry heals the gap, exactly the window the
+        two-table layout already had.
 
-        The three operator-internal persists (batch shingles, batch
-        buckets, corpus buckets) are released before returning: the
-        report is eagerly checkpointed, so nothing downstream reads them
-        — without the release, a long-running ingest loop (see
-        :meth:`ingest_stream`) would pin a corpus-sized cache per batch
-        for the life of the process."""
+        The two operator-internal persists (batch shingles, batch
+        buckets) are released before returning: the report is eagerly
+        checkpointed, so nothing downstream reads them — without the
+        release, a long-running ingest loop (see :meth:`ingest_stream`)
+        would pin a cache per batch for the life of the process. The
+        corpus scans are bucketed catalog reads, never cached (see
+        :meth:`_corpus_buckets`)."""
         shn, bn = self._derive(new_df)
         bn = tracked_persist(bn)  # feeds the self-join (both sides) + append
-        bc = self._corpus_buckets()  # one persisted scan feeds cap + join + anti-join
+        bc = self._corpus_buckets()  # bucketed scan: cap + join + anti-join
         try:
             return self._ingest_inner(shn, bn, bc)
         finally:
-            for frame in (shn, bn, bc):
+            for frame in (shn, bn):
                 untrack(frame)
 
     def _ingest_inner(
@@ -481,12 +532,13 @@ class NearDupIndex:
     ) -> DataFrame:
         corpus_pairs = _asymmetric_neardup_check(
             shn,
-            self.catalog.get(self.shingles_table),
+            self._corpus_shingles(),
             bc,
             self.num_hashes,
             self.bands,
             self.threshold,
             self.max_bucket,
+            sz_c=self._corpus_sizes(),
         )
         bnc = bn
         if self.max_bucket:  # same hot-bucket guard as minhash_dup_pairs
@@ -521,14 +573,26 @@ class NearDupIndex:
         )
         dup_ids = pairs.select(F.col("id_new").alias("id")).distinct()
         have_bk = bc.select("id").distinct()
-        have_sh = self.catalog.get(self.shingles_table).select("id").distinct()
-        self.catalog.append(
+        have_sz = self._corpus_sizes().select("id").distinct()
+        have_sh = self._corpus_shingles().select("id").distinct()
+        accepted_sh = shn.join(dup_ids, "id", "left_anti")
+        self.catalog.append_bucketed(
             bn.join(dup_ids, "id", "left_anti").join(have_bk, "id", "left_anti"),
             self.buckets_table,
+            self._BUCKET_KEYS,
+            self.num_buckets,
         )
         self.catalog.append(
-            shn.join(dup_ids, "id", "left_anti").join(have_sh, "id", "left_anti"),
+            accepted_sh.groupBy("id")
+            .agg(F.count("*").alias("sz"))
+            .join(have_sz, "id", "left_anti"),
+            self.sizes_table,
+        )
+        self.catalog.append_bucketed(
+            accepted_sh.join(have_sh, "id", "left_anti"),
             self.shingles_table,
+            self._SHINGLE_KEYS,
+            self.num_buckets,
         )
         return pairs
 
@@ -545,18 +609,21 @@ class NearDupIndex:
 
         Replay safety: ``foreachBatch`` is at-least-once — a crash after
         the batch commits but before the checkpoint does re-delivers the
-        same epoch. The report append runs AFTER the corpus appends
-        (inside :meth:`ingest`), so a recorded ``epoch_id`` doubles as
-        the batch's commit marker: a replayed epoch that already has
-        report rows is skipped entirely (idempotent), and a replay of a
+        same epoch. The commit marker is an explicit per-epoch row in
+        ``{name}__epochs``, written LAST (after the corpus appends inside
+        :meth:`ingest` and after the report append) — report rows alone
+        cannot serve as the marker, because a batch that finds zero
+        duplicate pairs appends zero report rows. A replayed epoch whose
+        marker exists is skipped entirely (idempotent); a replay of a
         partially-applied epoch re-runs :meth:`ingest`, whose anti-joins
         and self-pair filter heal the state tables without duplicating
         or self-matching."""
 
         def _ingest_batch(batch_df: DataFrame, epoch_id: int) -> None:
-            if self.catalog.exists(self.reports_table):
+            spark = batch_df.sparkSession
+            if self.catalog.exists(self.epochs_table):
                 done = (
-                    self.catalog.get(self.reports_table)
+                    self.catalog.get(self.epochs_table)
                     .filter(F.col("epoch_id") == int(epoch_id))
                     .limit(1)
                     .count()
@@ -570,6 +637,13 @@ class NearDupIndex:
                 self.catalog.append(report, self.reports_table)
             else:
                 self.catalog.put(report, self.reports_table)
+            marker = spark.createDataFrame(
+                [(int(epoch_id),)], "epoch_id bigint"
+            )
+            if self.catalog.exists(self.epochs_table):
+                self.catalog.append(marker, self.epochs_table)
+            else:
+                self.catalog.put(marker, self.epochs_table)
 
         q = (
             stream_df.writeStream.foreachBatch(_ingest_batch)

@@ -1152,8 +1152,11 @@ def q_streaming_hourly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     feeding a windowed count — the streaming form of hourly distinct
     users, exercising Spark's multiple-stateful-operator pipeline
     (dedup state → window agg state in one query). State is bounded by
-    the watermark on both operators: one dedup entry per active (user,
-    hour), one agg row per open window. Oracle = batch
+    the watermark on both operators: the dedup key is the EVENT-TIME
+    ``window(ts, '1 hour')`` column — a plain ``date_trunc`` alias would
+    not carry the watermark metadata, so dedup state would never be
+    evicted in a continuous run — giving one evictable dedup entry per
+    active (user, hour) and one agg row per open window. Oracle = batch
     ``count(DISTINCT user_id)`` per hour on the same table."""
     import tempfile
     import uuid
@@ -1163,11 +1166,15 @@ def q_streaming_hourly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events_stream(spark, sf_dir)
     deduped = (
         ev.withWatermark("ts", "2 hours")
-        .withColumn("hour", F.date_trunc("hour", F.col("ts")))
-        .dropDuplicates(["user_id", "hour"])
+        # project down to (user, window) BEFORE the dedup: the window
+        # column must be the stream's ONLY event-time column (Spark
+        # rejects two), and it is what lets both stateful operators
+        # evict by watermark
+        .select("user_id", F.window("ts", "1 hour").alias("hour_w"))
+        .dropDuplicates(["user_id", "hour_w"])
     )
     counts = (
-        deduped.groupBy(F.window("ts", "1 hour").alias("w"))
+        deduped.groupBy(F.col("hour_w").alias("w"))
         .agg(F.count("*").alias("distinct_users"))
         .select(F.col("w.start").alias("window_start"), "distinct_users")
     )

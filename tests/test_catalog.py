@@ -94,3 +94,43 @@ def test_compact_recovers_stale_tmp_and_refreshes(cat, spark):
     assert not os.path.isdir(os.path.join(cat.root, ".t2.compact-tmp"))
     assert cat.get("t2").count() == 100
     cached.unpersist()
+
+
+def test_compact_heals_crashed_swap(cat, spark):
+    """A crash between compact's two swap renames leaves the table's only
+    copy in the .{name}.compact-old scratch dir; the next compact must
+    put it back instead of failing on the missing live dir."""
+    import os
+    import shutil
+
+    df = spark.range(500).withColumnRenamed("id", "v")
+    cat.put(df, "t3")
+    path = os.path.join(cat.root, "t3")
+    shutil.move(path, os.path.join(cat.root, ".t3.compact-old"))
+    assert not os.path.isdir(path)  # the simulated crash state
+    n = cat.compact("t3")
+    assert n >= 1
+    assert sorted(r.v for r in cat.get("t3").collect()) == list(range(500))
+    assert not os.path.isdir(os.path.join(cat.root, ".t3.compact-old"))
+
+
+def test_compact_guard_case_and_temp_views(cat, spark):
+    """The bucketed-table guard compares identifiers the way Spark's
+    catalog stores them (lowercased) and ignores temp views: a temp view
+    sharing a path-table's name must not block compaction, and a
+    bucketed table registered under a different case must still refuse."""
+    import pytest as _pytest
+
+    df = spark.range(50).withColumnRenamed("id", "v")
+    cat.put(df.repartition(4), "shadowed")
+    spark.range(3).createOrReplaceTempView("shadowed")
+    try:
+        assert cat.compact("shadowed") >= 1  # temp view must not block
+    finally:
+        spark.catalog.dropTempView("shadowed")
+    cat.put_bucketed(spark.createDataFrame([(1, "x")], ["k", "v"]), "CasedBkt", "k", 4)
+    try:
+        with _pytest.raises(ValueError, match="session catalog"):
+            cat.compact("CasedBkt")  # catalog stores it as 'casedbkt'
+    finally:
+        spark.sql("DROP TABLE IF EXISTS casedbkt")

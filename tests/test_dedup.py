@@ -314,3 +314,100 @@ def test_catalog_compact_preserves_data(spark, tmp_path):
     assert after_files < before_files
     got = sorted(r.v for r in cat.get("t").collect())
     assert got == list(range(10_000))
+
+
+def _scan_ancestries(plan: str, table_token: str) -> list[list[str]]:
+    """For every FileScan line containing ``table_token``, the chain of
+    ancestor lines (nearest first) reconstructed from the plan-string
+    tree indentation (a node's parent is the nearest preceding line with
+    a smaller branch-marker offset)."""
+    lines = plan.splitlines()
+
+    def depth(line: str) -> int:
+        return max(line.rfind("+- "), line.rfind(":- "))
+
+    out = []
+    for i, line in enumerate(lines):
+        if "FileScan" in line and table_token in line:
+            chain, d = [], depth(line)
+            for j in range(i - 1, -1, -1):
+                dj = depth(lines[j])
+                if dj < d:
+                    chain.append(lines[j])
+                    d = dj
+                if dj <= -1:
+                    break
+            out.append(chain)
+    return out
+
+
+def test_neardup_index_check_corpus_side_no_exchange(spark, tmp_path):
+    """THE bucketed-storage guarantee (the 100 TB per-ingest cost): the
+    corpus bucket/shingle tables are bucketed on exactly their join key
+    tuples, so check()'s plan consumes them with NO Exchange between the
+    scan and the first join/aggregate — only the new batch shuffles.
+    Broadcast is disabled so the guard pins the sort-merge (big-batch)
+    path, not a broadcast degenerate case."""
+    idx, _, _, batch, _ = _index_fixture(spark, tmp_path)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = idx.check(batch)._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    for token in ("__buckets", "__shingles"):
+        chains = _scan_ancestries(plan, token)
+        assert chains, f"no {token} scan found in plan"
+        scans = [l for l in plan.splitlines() if "FileScan" in l and token in l]
+        assert all("Bucketed: true" in l for l in scans), scans
+        for chain in chains:
+            joined = next(
+                (k for k, l in enumerate(chain)
+                 if "SortMergeJoin" in l or "HashAggregate" in l),
+                len(chain),
+            )
+            shuffled = next(
+                (k for k, l in enumerate(chain) if "Exchange" in l), len(chain)
+            )
+            assert joined < shuffled, (
+                f"Exchange above the {token} scan before its consumer:\n"
+                + "\n".join(chain[: shuffled + 1])
+            )
+
+
+def test_neardup_index_stream_marks_clean_epochs(spark, tmp_path):
+    """A micro-batch with ZERO duplicate pairs appends no report rows, so
+    report rows cannot be the replay commit marker — the epochs table
+    must record every processed epoch, clean ones included."""
+    import shutil
+
+    from simple_map_reduce_spark.catalog import Catalog
+    from simple_map_reduce_spark.operators.dedup import NearDupIndex
+
+    src = tmp_path / "stream-src2"
+    src.mkdir()
+    batches = [
+        ("a.parquet", [(10, BASE)]),                      # dup of corpus
+        ("b.parquet", [(20, "wholly novel words that match nothing else")]),
+    ]
+    for fname, rows in batches:
+        out = tmp_path / f"stage2-{fname}"
+        spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+            1
+        ).write.parquet(str(out))
+        part = next(p for p in out.iterdir() if p.name.endswith(".parquet"))
+        shutil.move(str(part), str(src / fname))
+
+    cat = Catalog(spark, str(tmp_path / "wh5"))
+    idx = NearDupIndex(cat, "cleanix", threshold=0.3)
+    idx.build(spark.createDataFrame([(1, BASE)], "doc_id bigint, text string"))
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    idx.ingest_stream(stream, str(tmp_path / "ckpt2"))
+    marked = {r.epoch_id for r in cat.get(idx.epochs_table).collect()}
+    assert marked == {0, 1}  # BOTH epochs committed, the clean one too
+    reported = {r.epoch_id for r in cat.get(idx.reports_table).collect()}
+    assert len(reported) == 1  # only the duplicate-bearing batch reported
