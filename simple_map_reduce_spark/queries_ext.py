@@ -593,6 +593,35 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_neardup_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION incremental-check path (operators.dedup.NearDupIndex):
+    the same 1-in-10 batch/corpus split as ``incremental_neardup``, but
+    the corpus side is a catalog-persisted BUCKETED index — built once
+    here, then ``check()`` scans it as pre-partitioned hashed-int parquet
+    with no Exchange above any corpus scan (plan-pinned in
+    tests/test_dedup.py); only the batch is tokenized and shuffled. The
+    oracle is byte-identical to ``incremental_neardup``'s: the index
+    tables are just materialized intermediates of the same math, so this
+    driver row verifies the production storage path end to end."""
+    import tempfile
+
+    from .catalog import Catalog
+    from .operators.dedup import NearDupIndex
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % INCR_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % INCR_MOD != 0)
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="neardup_idx_reg_"))
+    idx = NearDupIndex(
+        cat,
+        "neardup_idx_reg",
+        threshold=MINHASH_THRESHOLD,
+        max_bucket=SKEW_CAP,
+    )
+    idx.build(corpus)
+    return idx.check(new)
+
+
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing pass (functions.text.redact_pii): per doc, the count
     of redacted emails/phones and the md5 of the scrubbed text — pure
@@ -928,6 +957,87 @@ BPE_PAIR_COUNTS_ORACLE = rf"""
     ORDER BY cnt DESC, pair
     LIMIT {BPE_TOP_PAIRS}
 """
+
+
+BPE_MERGES = 8  # enough rounds that later merges build on earlier ones
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATIVE BPE merge training (operators/bpe.py): the full
+    merge-selection loop — count adjacent pairs, take the best, greedily
+    re-encode the word-frequency table, repeat — not just one candidate
+    round. The oracle unrolls every round in SQL (the kmeans_refine
+    pattern), so each learned merge and its weighted count is verified
+    bit-for-bit. One corpus pass; all rounds are vocab-sized."""
+    from .operators.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train(docs, "text", num_merges=BPE_MERGES)
+
+
+def q_bpe_word_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY side of BPE training: re-encode the vocabulary with the
+    full learned merge sequence and report each word's final
+    segmentation + symbol count. Each distinct word is encoded once —
+    tokenizing a corpus joins this table back to documents rather than
+    re-folding per occurrence."""
+    from .operators.bpe import bpe_train, bpe_word_segments, word_frequencies
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", num_merges=BPE_MERGES)
+    return bpe_word_segments(word_frequencies(docs, "text"), merges)
+
+
+def _bpe_rounds_sql(k: int) -> str:
+    """Shared oracle CTE chain: word frequencies → char segmentation →
+    k unrolled (pair-count → best-pair → list_reduce greedy re-encode)
+    rounds — the same fold semantics as operators/bpe.py::_merge_fold,
+    comma-guarded suffix check and all."""
+    parts = [
+        r"""words AS (
+            SELECT word, CAST(count(*) AS BIGINT) AS freq
+            FROM (SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS word
+                  FROM documents)
+            GROUP BY word),
+        seg0 AS (SELECT word, freq, array_to_string(split(word, ''), ',') AS seg
+                 FROM words)"""
+    ]
+    for r in range(1, k + 1):
+        prev = f"seg{r - 1}"
+        parts.append(
+            f"""pairs{r} AS (
+            SELECT s[i] AS left_sym, s[i + 1] AS right_sym,
+                   CAST(sum(freq) AS BIGINT) AS pair_cnt
+            FROM (SELECT split(seg, ',') AS s, freq,
+                         unnest(range(1, CAST(len(split(seg, ',')) AS BIGINT))) AS i
+                  FROM {prev})
+            GROUP BY 1, 2),
+        best{r} AS (
+            SELECT CAST({r} AS BIGINT) AS merge_rank, left_sym, right_sym, pair_cnt
+            FROM pairs{r} ORDER BY pair_cnt DESC, left_sym, right_sym LIMIT 1),
+        seg{r} AS (
+            SELECT word, freq,
+                   list_reduce(split(seg, ','), (acc, x) -> CASE
+                       WHEN x = b.right_sym AND (acc = b.left_sym
+                            OR ends_with(acc, ',' || b.left_sym))
+                       THEN acc || x ELSE acc || ',' || x END) AS seg
+            FROM {prev}, best{r} b)"""
+        )
+    return ",\n        ".join(parts)
+
+
+def bpe_train_oracle(k: int = BPE_MERGES) -> str:
+    union = "\n        UNION ALL\n        ".join(
+        f"SELECT * FROM best{r}" for r in range(1, k + 1)
+    )
+    return f"WITH {_bpe_rounds_sql(k)}\n        {union}"
+
+
+def bpe_word_segments_oracle(k: int = BPE_MERGES) -> str:
+    return f"""WITH {_bpe_rounds_sql(k)}
+        SELECT word, freq, seg,
+               CAST(len(split(seg, ',')) AS BIGINT) AS n_symbols
+        FROM seg{k}"""
 
 
 VOCAB_SIZE = 24  # < the corpus's distinct-token count so the unk path runs
@@ -2242,6 +2352,7 @@ EXT_QUERIES = {
     "chunk_assignment": q_chunk_assignment,
     "chunk_assignment_sharded": q_chunk_assignment_sharded,
     "incremental_neardup": q_incremental_neardup,
+    "incremental_neardup_idx": q_incremental_neardup_idx,
     "repetition_signals": q_repetition_signals,
     "mixture_weights": q_mixture_weights,
     "embedding_quantize": q_embedding_quantize,
@@ -2249,6 +2360,8 @@ EXT_QUERIES = {
     "span_dedup": q_span_dedup,
     "corpus_shuffle": q_corpus_shuffle,
     "bpe_pair_counts": q_bpe_pair_counts,
+    "bpe_train": q_bpe_train,
+    "bpe_word_segments": q_bpe_word_segments,
     "vocab_encode": q_vocab_encode,
     "dedup_prune": q_dedup_prune,
     "source_overlap": q_source_overlap,
@@ -2331,6 +2444,9 @@ EXT_ORACLES = {
     """,
     "decontaminate": decontaminate_oracle(),
     "incremental_neardup": incremental_neardup_oracle(),
+    # the index query materializes the SAME math into catalog tables —
+    # one oracle text verifies both the recompute and the storage path
+    "incremental_neardup_idx": incremental_neardup_oracle(),
     "repetition_signals": repetition_signals_oracle(),
     "mixture_weights": mixture_weights_oracle(),
     "embedding_quantize": EMBEDDING_QUANTIZE_ORACLE,
@@ -2338,6 +2454,8 @@ EXT_ORACLES = {
     "span_dedup": span_dedup_oracle(),
     "corpus_shuffle": CORPUS_SHUFFLE_ORACLE,
     "bpe_pair_counts": BPE_PAIR_COUNTS_ORACLE,
+    "bpe_train": bpe_train_oracle(),
+    "bpe_word_segments": bpe_word_segments_oracle(),
     "vocab_encode": vocab_encode_oracle(),
     "dedup_prune": dedup_prune_oracle(),
     "source_overlap": source_overlap_oracle(),
