@@ -53,6 +53,116 @@ def prepare_corpus(
     )
 
 
+def quality_kept_docs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """The Gopher-rule quality gate as a reusable stage: the documents
+    (id, lang, text) that pass every rule — the corpus every later
+    pipeline stage (pair derivation, manifest) operates on."""
+    from .functions.text import gopher_rule_flags
+
+    return (
+        gopher_rule_flags(docs, text_col)
+        .filter(F.col("p_all"))
+        .select(id_col, lang_col, text_col)
+    )
+
+
+def neardup_prune_summary(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Apply the near-dup clusters: keep ONE representative per cluster
+    (the min-label component labels itself, so survivor ⇔ id ==
+    component) and report the pruned corpus per language —
+    ``(lang, n_total, n_kept, n_dropped)``.
+
+    ``pairs`` optionally supplies a precomputed near-dup pair frame
+    ``(id_a, id_b, …)`` over the SAME corpus — a suite running several
+    pair consumers (prune + overlap matrix + manifest) derives the pair
+    set once (one tokenize/MinHash pass, persisted) instead of paying it
+    per consumer; omitted, the pairs are recomputed here so the function
+    stays self-contained (what the registered oracle-twinned query
+    does)."""
+    from .operators.dedup import minhash_dup_pairs
+    from .operators.graph import connected_components
+
+    if pairs is None:
+        pairs = minhash_dup_pairs(
+            docs, id_col, text_col, threshold=threshold, max_bucket=max_bucket
+        )
+    verts = docs.select(F.col(id_col).alias("id"))
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    cc = connected_components(verts, edges)
+    survivors = cc.filter(F.col("id") == F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    kept = (
+        survivors.join(docs.select(id_col, lang_col), id_col)
+        .groupBy(lang_col)
+        .agg(F.count("*").alias("n_kept"))
+    )
+    total = docs.groupBy(lang_col).agg(F.count("*").alias("n_total"))
+    return total.join(kept, lang_col, "left").select(
+        lang_col,
+        F.col("n_total").cast("bigint").alias("n_total"),
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        (F.col("n_total") - F.coalesce("n_kept", F.lit(0)))
+        .cast("bigint")
+        .alias("n_dropped"),
+    )
+
+
+def source_overlap_matrix(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Cross-source duplication matrix over the near-dup pairs:
+    unordered (source_a ≤ source_b) cells with pair count and
+    ``max(jaccard)`` (max of doubles is partition-order-independent,
+    unlike avg). ``pairs`` shares a precomputed pair set exactly like
+    :func:`neardup_prune_summary`."""
+    from .operators.dedup import minhash_dup_pairs
+
+    if pairs is None:
+        pairs = minhash_dup_pairs(
+            docs, id_col, text_col, threshold=threshold, max_bucket=max_bucket
+        )
+    src = docs.select(id_col, source_col)
+    labeled = pairs.join(
+        src.select(F.col(id_col).alias("id_a"), F.col(source_col).alias("src_a")),
+        "id_a",
+    ).join(
+        src.select(F.col(id_col).alias("id_b"), F.col(source_col).alias("src_b")),
+        "id_b",
+    )
+    return (
+        labeled.select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
+
+
 def pretraining_manifest(
     docs: DataFrame,
     splits: dict[str, float],
@@ -63,6 +173,7 @@ def pretraining_manifest(
     max_bucket: int = 1000,
     chunk_tokens: int = 512,
     span: int = 1_000_000,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """The WHOLE pretraining data-prep pipeline as one DataFrame program:
 
@@ -83,21 +194,25 @@ def pretraining_manifest(
     Stage order is the scale order: the per-row filter runs at the scan
     so the dedup shuffles only price surviving rows; packing runs last so
     context windows are laid over exactly the corpus being trained on.
+
+    ``pairs`` optionally supplies a precomputed near-dup pair frame over
+    the FILTER-SURVIVING corpus (i.e. computed from
+    :func:`quality_kept_docs` output with the same threshold) — pairs
+    over the unfiltered corpus would link clusters through documents the
+    filter already dropped, changing component labels. A suite derives
+    the filtered corpus and its pair set once and feeds every consumer.
     """
-    from .functions.text import gopher_rule_flags, token_count
+    from .functions.text import token_count
     from .operators.dedup import minhash_dup_pairs
     from .operators.graph import connected_components
     from .operators.packing import chunk_assignment_sharded
     from .operators.sampling import split_assign
 
-    kept = (
-        gopher_rule_flags(docs, text_col)
-        .filter(F.col("p_all"))
-        .select(id_col, lang_col, text_col)
-    )
-    pairs = minhash_dup_pairs(
-        kept, id_col, text_col, threshold=neardup_threshold, max_bucket=max_bucket
-    )
+    kept = quality_kept_docs(docs, id_col, text_col, lang_col)
+    if pairs is None:
+        pairs = minhash_dup_pairs(
+            kept, id_col, text_col, threshold=neardup_threshold, max_bucket=max_bucket
+        )
     cc = connected_components(
         kept.select(F.col(id_col).alias("id")),
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),

@@ -239,32 +239,15 @@ def q_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     component) and report the pruned corpus per language. The "write the
     deduplicated corpus" step, end to end: pairs → components → prune →
     per-lang summary. The survivor filter is a per-row comparison on the
-    component frame; both aggregates are language-sized."""
-    from .operators.graph import connected_components
+    component frame; both aggregates are language-sized. Delegates to
+    pipelines.neardup_prune_summary (which also takes a precomputed pair
+    set when several consumers run as a suite — here it recomputes, the
+    honest per-query price the oracle twins)."""
+    from .pipelines import neardup_prune_summary
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_dup_pairs(
-        docs, "doc_id", "text", threshold=MINHASH_THRESHOLD, max_bucket=SKEW_CAP
-    )
-    verts = docs.select(F.col("doc_id").alias("id"))
-    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    cc = connected_components(verts, edges)
-    survivors = cc.filter(F.col("id") == F.col("component")).select(
-        F.col("id").alias("doc_id")
-    )
-    kept = (
-        survivors.join(docs.select("doc_id", "lang"), "doc_id")
-        .groupBy("lang")
-        .agg(F.count("*").alias("n_kept"))
-    )
-    total = docs.groupBy("lang").agg(F.count("*").alias("n_total"))
-    return total.join(kept, "lang", "left").select(
-        "lang",
-        F.col("n_total").cast("bigint").alias("n_total"),
-        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
-        (F.col("n_total") - F.coalesce("n_kept", F.lit(0)))
-        .cast("bigint")
-        .alias("n_dropped"),
+    return neardup_prune_summary(
+        docs, threshold=MINHASH_THRESHOLD, max_bucket=SKEW_CAP
     )
 
 
@@ -281,33 +264,16 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus onto the pair ids; the output is ≤ |sources|² rows. The cell
     statistic is ``max(jaccard)`` (+ count), NOT avg — a double max is
     partition-order-independent, so the matrix is bit-stable at any
-    parallelism (an avg over doubles is not associative-safe)."""
+    parallelism (an avg over doubles is not associative-safe; and
+    max_jaccard stays unrounded like the pair queries — the doubles are
+    identical per pair on both engines, while a round(x, 6) could
+    diverge at 7th-decimal half-ties). Delegates to
+    pipelines.source_overlap_matrix (suite form shares one pair set)."""
+    from .pipelines import source_overlap_matrix
+
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_dup_pairs(
-        docs, "doc_id", "text", threshold=MINHASH_THRESHOLD, max_bucket=SKEW_CAP
-    )
-    src = docs.select("doc_id", "source")
-    labeled = pairs.join(
-        src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a")),
-        "id_a",
-    ).join(
-        src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b")),
-        "id_b",
-    )
-    return (
-        labeled.select(
-            F.least("src_a", "src_b").alias("source_a"),
-            F.greatest("src_a", "src_b").alias("source_b"),
-            "jaccard",
-        )
-        .groupBy("source_a", "source_b")
-        .agg(
-            F.count("*").cast("bigint").alias("n_pairs"),
-            # unrounded, like the pair queries: the jaccard doubles are
-            # identical per pair on both engines, so max is too — a
-            # round(x, 6) here could diverge at 7th-decimal half-ties
-            F.max("jaccard").alias("max_jaccard"),
-        )
+    return source_overlap_matrix(
+        docs, threshold=MINHASH_THRESHOLD, max_bucket=SKEW_CAP
     )
 
 

@@ -47,3 +47,66 @@ def test_scoring_stages_fuse_into_one_scan(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_suite_shares_one_pair_set(spark):
+    """The suite form: quality filter once, MinHash pair set once
+    (persisted), then prune summary, overlap matrix, AND the manifest all
+    consume the SAME frame — results identical to each consumer's
+    self-contained form. That the injected frame really IS the pair set
+    used (no internal recompute) is proven functionally: an EMPTY pairs
+    frame must yield zero pruning / an empty matrix even though the
+    corpus demonstrably contains near-duplicates."""
+    from simple_map_reduce_spark.operators.dedup import minhash_dup_pairs
+    from simple_map_reduce_spark.pipelines import (
+        neardup_prune_summary,
+        pretraining_manifest,
+        quality_kept_docs,
+        source_overlap_matrix,
+    )
+    from simple_map_reduce_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    kept = quality_kept_docs(docs)
+    pairs = minhash_dup_pairs(kept, "doc_id", "text", threshold=0.3).persist()
+    try:
+        shared = {
+            "prune": neardup_prune_summary(kept, pairs=pairs, threshold=0.3),
+            "manifest": pretraining_manifest(
+                docs, splits, neardup_threshold=0.3, span=100, pairs=pairs
+            ),
+        }
+        solo = {
+            "prune": neardup_prune_summary(kept, threshold=0.3),
+            "manifest": pretraining_manifest(
+                docs, splits, neardup_threshold=0.3, span=100
+            ),
+        }
+        for key in shared:
+            got = sorted(map(tuple, shared[key].collect()))
+            want = sorted(map(tuple, solo[key].collect()))
+            assert got == want, key
+        # overlap needs the source column: run it over the full corpus
+        # with full-corpus pairs (its own suite), same sharing contract
+        full_pairs = minhash_dup_pairs(docs, "doc_id", "text", threshold=0.3).persist()
+        try:
+            got = sorted(map(tuple,
+                source_overlap_matrix(docs, pairs=full_pairs).collect()))
+            want = sorted(map(tuple,
+                source_overlap_matrix(docs, threshold=0.3).collect()))
+            assert got == want
+        finally:
+            full_pairs.unpersist()
+    finally:
+        pairs.unpersist()
+    # --- injection proof: consumers must use EXACTLY the given pairs ---
+    empty = spark.createDataFrame([], "id_a bigint, id_b bigint, jaccard double")
+    pr = neardup_prune_summary(kept, pairs=empty).collect()
+    assert all(r.n_dropped == 0 and r.n_kept == r.n_total for r in pr)
+    assert source_overlap_matrix(docs, pairs=empty).count() == 0
+    man_all = pretraining_manifest(docs, splits, span=100, pairs=empty)
+    assert man_all.count() == kept.count()  # nothing pruned
+    # ...while the self-contained forms DO find and drop duplicates
+    assert any(r.n_dropped > 0 for r in neardup_prune_summary(kept, threshold=0.3).collect())
