@@ -105,6 +105,11 @@ EXTENDED_QUERIES = [
     "label_confusion",
     "ivf_refined_centroids",
     "ivf_refined_topk",
+    # r5: iterative BPE training + the catalog-backed (bucketed-index)
+    # incremental dedup path
+    "bpe_train",
+    "bpe_word_segments",
+    "incremental_neardup_idx",
 ]
 
 
@@ -166,6 +171,11 @@ def main() -> None:
         # (bench run while the machine was busy) is self-evident
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        # an honest record self-flags: timings taken while the machine was
+        # already busy measure the co-tenant load, not this code (round 4's
+        # driver record started at loadavg 8 and read as a regression while
+        # the idle record showed a 15% improvement)
+        "contaminated": load_start[0] > max(2.0, (os.cpu_count() or 1) / 5),
         "reps": reps,
     }
     if errors:

@@ -247,76 +247,75 @@ QUERIES: dict[str, QueryFn] = {
 # so a behavior change can never ship on a stale green row again (round
 # 2's trigram-default change left jaccard_pairs unverified for a round).
 #
-# Round 4 window = everything whose behavior OR oracle changed this
-# round (ANN tier oracle-twinning + sim rounding, chunk DIV + sharded
-# packing, two-star dedup_groups, skew-cap oracle twinning, incremental
-# check refactor, the new training-pipeline queries incl. source_overlap
-# and label_confusion) + the 6 queries whose latest row still dated to
-# r1 + the oldest r2 rows refreshed (17 of 49; the rest rotate in r5).
+# Round 5 window = everything whose behavior OR implementation changed
+# this round (the new BPE-training pair, the catalog-backed bucketed
+# incremental-check query, the streaming_hourly_users event-time-dedup
+# restructure, the pipelines-delegation refactor of the pair-set
+# consumers, the shared _asymmetric_neardup_check sizes parameter) + the
+# remaining 32 r2-dated rows (closing the freshness rotation round 4
+# started) + the 10 alphabetically-first r3-dated rows.
 _CHANGED_THIS_ROUND = [
-    # r4: ANN tier gains generated-SQL oracles; IVF assignment/probe sims
-    # now rounded to 6 decimals before ranking (cross-engine determinism)
-    "similarity_topk_ivf",
-    "similarity_topk_lsh",
-    "embedding_neardup_lsh",
-    "embedding_neardup",  # oracle rebuilt on the shared rounded-cos snippet
-    # r4: chunk_id via integer DIV; new sharded scale tier
-    "chunk_assignment",
-    "chunk_assignment_sharded",
-    # r4: skew caps twinned into the oracles (bucket cap for candidates,
-    # posting cap for sets) and passed explicitly by the queries
-    "minhash_dup_pairs",
-    "jaccard_pairs",
-    "incremental_neardup",  # + shared _asymmetric_neardup_check core
-    "decontaminate",
-    # r4: connected components now run the two-star algorithm
-    "dedup_groups",
-    # r4: NEW training-pipeline queries (a new query ships its behavior
-    # this round)
-    "repetition_signals",
-    "mixture_weights",
-    "embedding_quantize",
-    "corpus_splits",
-    "span_dedup",
-    "corpus_shuffle",
-    "bpe_pair_counts",
-    "vocab_encode",
-    "dedup_prune",
-    "quality_filter",
+    # r5: NEW queries ship their behavior this round
+    "bpe_train",
+    "bpe_word_segments",
+    "incremental_neardup_idx",
+    # r5: dedup key restructured onto the event-time window column
+    # (state now watermark-evicted; single event-time column)
     "streaming_hourly_users",
-    "pretraining_manifest",
+    # r5: delegated to pipelines.* with an optional shared pair set
+    # (same math — re-verify anyway)
+    "dedup_prune",
     "source_overlap",
-    "label_confusion",
-    "ivf_refined_centroids",
-    "ivf_refined_topk",
+    "pretraining_manifest",
+    # r5: shared check core gained the precomputed-sizes path
+    "incremental_neardup",
 ]
 _ROTATION_FRONT = [
     *_CHANGED_THIS_ROUND,
-    # last driver row dated r1 (unchanged since — freshness refresh)
-    "customers_without_orders",
-    "events_json",
-    "orders_sorted_limit",
-    "part_type_stats",
-    "parts_ordered",
-    "stats_summary",
-    # oldest r2 rows refreshed (alphabetical; remainder rotates in r5)
-    "asof_last_order",
-    "bigram_docfreq",
-    "cheapest_item_per_order",
-    "cohort_retention",
-    "customer_order_seq",
-    "customer_spend_ntile",
-    "deterministic_sample",
-    "disjunctive_revenue",
-    "dominant_suppliers",
-    "events_pivot",
-    "flag_priority_matrix",
-    "forecast_revenue",
-    "frame_sample",
-    "fuzzy_part_names",
-    "image_features",
-    "late_ship_priority",
-    "market_share",
+    # the 32 remaining r2-dated rows (unchanged code — pure freshness)
+    "mom_revenue_growth",
+    "monthly_gapfill",
+    "moving_avg_3m",
+    "nation_full_outer",
+    "nation_trade_volume",
+    "order_count_histogram",
+    "part_metrics_unpivot",
+    "part_name_features",
+    "pricey_parts_dense",
+    "priority_trailing_week",
+    "priority_union",
+    "profit_by_nation_year",
+    "promo_revenue",
+    "purchase_click_burst",
+    "qty_median_by_flag",
+    "qty_quartiles",
+    "returned_revenue_top",
+    "rich_inactive_customers",
+    "sales_cube",
+    "salted_join_segments",
+    "salted_type_rollup",
+    "segment_except",
+    "segment_intersect",
+    "segment_priority_grid",
+    "sessionize_batch",
+    "status_priority_sets",
+    "stratified_sample",
+    "supplier_variety",
+    "tfidf_terms",
+    "token_positions",
+    "top_supplier",
+    "waiting_suppliers",
+    # oldest r3 rows refreshed (alphabetical; remainder rotates in r6)
+    "audio_features",
+    "big_orders",
+    "column_filter",
+    "corpus_prep",
+    "dedup_exact",
+    "distinct_tokens",
+    "doc_fingerprint",
+    "equi_join",
+    "events_windowed",
+    "filter_group_pct",
 ]
 assert len(_ROTATION_FRONT) == 50
 assert set(_ROTATION_FRONT) <= set(QUERIES)
