@@ -570,3 +570,133 @@ def cosine_topk_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", F.col("rank").cast("bigint").alias("rank"))
     )
+
+
+class IvfIndex:
+    """Catalog-persisted IVF ANN index — the precompute form of
+    :func:`cosine_topk_ivf`, mirroring :class:`~..dedup.NearDupIndex`'s
+    storage design. ``cosine_topk_ivf`` re-derives centroids, assignments,
+    and every vector norm per query (the oracle convenience); at 100 TB
+    the assignment pass IS the job, so the index pays it once:
+
+    - ``{name}__centroids``: (centroid_id, cvec, cn) — the quantizer;
+      tiny (k rows), broadcast at query time;
+    - ``{name}__assign``: (id, centroid_id) — BUCKETED on centroid_id,
+      so the probe join reads pre-partitioned postings with no Exchange
+      above the corpus-sized scan;
+    - ``{name}__vectors``: (id, vec, vn) — cast-to-double vectors with
+      precomputed norms, BUCKETED on id, so the exact-rescore join never
+      shuffles (or re-norms) the vector table.
+
+    Search math is bit-identical to :func:`cosine_topk_ivf` with the same
+    quantizer (6-decimal-rounded sims, id tiebreaks), so the stored-index
+    path shares the recompute path's DuckDB oracle."""
+
+    def __init__(
+        self,
+        catalog,
+        name: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        n_centroids: int = 16,
+        nprobe: int = 4,
+        num_buckets: int = 32,
+    ):
+        self.catalog = catalog
+        self.name = name
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.n_centroids = n_centroids
+        self.nprobe = nprobe
+        self.num_buckets = num_buckets
+
+    @property
+    def centroids_table(self) -> str:
+        return f"{self.name}__centroids"
+
+    @property
+    def assign_table(self) -> str:
+        return f"{self.name}__assign"
+
+    @property
+    def vectors_table(self) -> str:
+        return f"{self.name}__vectors"
+
+    def build(self, emb: DataFrame, centroids: DataFrame | None = None) -> None:
+        """Assign the corpus to the quantizer (id-ordered seeds, or pass
+        a ``kmeans_refine``-trained frame) and persist all three tables."""
+        cents, assign = ivf_assign(
+            emb, self.n_centroids, self.id_col, self.vec_col, centroids
+        )
+        self.catalog.put(cents, self.centroids_table)
+        self.catalog.put_bucketed(
+            assign, self.assign_table, "centroid_id", self.num_buckets
+        )
+        self.catalog.put_bucketed(
+            _prep(emb, self.id_col, self.vec_col, "id", "vec", "vn"),
+            self.vectors_table,
+            "id",
+            self.num_buckets,
+        )
+
+    def search_ids(self, query_ids: list[int], k: int = 5) -> DataFrame:
+        """Top-k neighbors for corpus vectors ``query_ids`` against the
+        standing index — pure read; only the (tiny) query/probe/candidate
+        side ever shuffles."""
+        cents = F.broadcast(self.catalog.get(self.centroids_table))
+        vectors = self.catalog.get_bucketed(self.vectors_table)
+        assign = self.catalog.get_bucketed(self.assign_table)
+        queries = vectors.filter(F.col("id").isin(query_ids)).select(
+            F.col("id").alias("query_id"),
+            F.col("vec").alias("qvec"),
+            F.col("vn").alias("qn"),
+        )
+        wq = Window.partitionBy("query_id").orderBy(
+            F.col("csim").desc(), F.col("centroid_id")
+        )
+        probes = (
+            queries.crossJoin(cents)
+            .withColumn(
+                "csim",
+                F.round(
+                    dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn")), 6
+                ),
+            )
+            .withColumn("rn", F.row_number().over(wq))
+            .filter(F.col("rn") <= self.nprobe)
+            .select("query_id", "centroid_id")
+        )
+        cand = (
+            probes.join(assign, "centroid_id")
+            .select("query_id", F.col("id").alias("neighbor_id"))
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .distinct()
+        )
+        nb = vectors.select(
+            F.col("id").alias("neighbor_id"),
+            F.col("vec").alias("cvec"),
+            F.col("vn").alias("cn"),
+        )
+        scored = (
+            cand.join(F.broadcast(queries), "query_id")
+            .join(nb, "neighbor_id")
+            .withColumn(
+                "score",
+                F.round(
+                    dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn")), 6
+                ),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("neighbor_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id",
+                "neighbor_id",
+                "score",
+                F.col("rank").cast("bigint").alias("rank"),
+            )
+        )

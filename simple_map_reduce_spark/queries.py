@@ -253,12 +253,13 @@ QUERIES: dict[str, QueryFn] = {
 # restructure, the pipelines-delegation refactor of the pair-set
 # consumers, the shared _asymmetric_neardup_check sizes parameter) + the
 # remaining 32 r2-dated rows (closing the freshness rotation round 4
-# started) + the 10 alphabetically-first r3-dated rows.
+# started) + the 9 alphabetically-first r3-dated rows.
 _CHANGED_THIS_ROUND = [
     # r5: NEW queries ship their behavior this round
     "bpe_train",
     "bpe_word_segments",
     "incremental_neardup_idx",
+    "similarity_topk_ivf_idx",
     # r5: dedup key restructured onto the event-time window column
     # (state now watermark-evicted; single event-time column)
     "streaming_hourly_users",
@@ -315,7 +316,6 @@ _ROTATION_FRONT = [
     "doc_fingerprint",
     "equi_join",
     "events_windowed",
-    "filter_group_pct",
 ]
 assert len(_ROTATION_FRONT) == 50
 assert set(_ROTATION_FRONT) <= set(QUERIES)

@@ -375,6 +375,31 @@ def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_similarity_topk_ivf_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION IVF path (operators.similarity.IvfIndex): the same
+    quantizer/probe/rescore math as ``similarity_topk_ivf``, but
+    centroids, assignments, and normed vectors are catalog-persisted —
+    assignments bucketed on centroid_id, vectors on id, so a search
+    never re-assigns or re-norms (or shuffles) the corpus. Shares the
+    recompute path's oracle: the index tables are materialized
+    intermediates of identical math."""
+    import tempfile
+
+    from .catalog import Catalog
+    from .operators.similarity import IvfIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="ivf_idx_reg_"))
+    idx = IvfIndex(
+        cat,
+        "ivf_idx_reg",
+        n_centroids=SIM_IVF_CENTROIDS,
+        nprobe=SIM_IVF_NPROBE,
+    )
+    idx.build(emb)
+    return idx.search_ids(SIM_QUERY_IDS, k=SIM_K)
+
+
 def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RHP-LSH ANN tier (the other scale path besides IVF): candidates
     from signature hamming balls, exact rescoring on candidates only.
@@ -2290,6 +2315,7 @@ EXT_QUERIES = {
     "jaccard_pairs": q_jaccard_pairs,
     "similarity_topk": q_similarity_topk,
     "similarity_topk_ivf": q_similarity_topk_ivf,
+    "similarity_topk_ivf_idx": q_similarity_topk_ivf_idx,
     "similarity_topk_lsh": q_similarity_topk_lsh,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "embedding_neardup": q_embedding_neardup,
@@ -2357,6 +2383,8 @@ EXT_ORACLES = {
     # the two sketch queries (HLL/GK, engine-internal algorithms) remain
     # rows-only
     "similarity_topk_ivf": similarity_topk_ivf_oracle(),
+    # stored-index path: identical math over materialized intermediates
+    "similarity_topk_ivf_idx": similarity_topk_ivf_oracle(),
     "similarity_topk_lsh": similarity_topk_lsh_oracle(),
     "embedding_neardup_lsh": embedding_neardup_lsh_oracle(),
     "embedding_neardup": f"""

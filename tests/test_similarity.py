@@ -297,3 +297,72 @@ def test_refined_ivf_recall_against_exact(spark):
     approx = {(r["query_id"], r["neighbor_id"]) for r in run1}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"refined-IVF recall too low: {recall}"
+
+
+def test_ivf_index_matches_recompute_form(spark, tmp_path):
+    """The catalog-backed IVF search must return exactly what the
+    recompute-everything form returns with the same quantizer."""
+    from simple_map_reduce_spark.catalog import Catalog
+    from simple_map_reduce_spark.operators.similarity import (
+        IvfIndex,
+        cosine_topk_ivf,
+    )
+    from simple_map_reduce_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cat = Catalog(spark, str(tmp_path / "ivfwh"))
+    idx = IvfIndex(cat, "ivf_t", n_centroids=8, nprobe=3)
+    idx.build(emb)
+    got = sorted(map(tuple, idx.search_ids([0, 1, 2], k=4).collect()))
+    want = sorted(
+        map(
+            tuple,
+            cosine_topk_ivf(emb, [0, 1, 2], k=4, n_centroids=8, nprobe=3).collect(),
+        )
+    )
+    assert got == want and got
+
+
+def test_ivf_index_search_corpus_side_no_exchange(spark, tmp_path):
+    """The stored-index guarantee: assignments (bucketed on centroid_id)
+    and vectors (bucketed on id) are consumed with no Exchange between
+    their scans and the joins — only the query/probe/candidate side
+    shuffles. Broadcast disabled to pin the sort-merge path."""
+    from simple_map_reduce_spark.catalog import Catalog
+    from simple_map_reduce_spark.operators.similarity import IvfIndex
+    from simple_map_reduce_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+    from tests.test_dedup import _scan_ancestries
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cat = Catalog(spark, str(tmp_path / "ivfwh2"))
+    idx = IvfIndex(cat, "ivf_p", n_centroids=8, nprobe=3)
+    idx.build(emb)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            idx.search_ids([0, 1, 2], k=4)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # the queries-side read of __vectors is a tiny isin() filter scan —
+    # only the CORPUS-side consumers must be exchange-free, so check the
+    # assignment table (always corpus-sized) strictly, and require at
+    # least one bucketed, exchange-free __vectors scan (the rescore side)
+    chains = _scan_ancestries(plan, "__assign")
+    assert chains
+    scans = [l for l in plan.splitlines() if "FileScan" in l and "__assign" in l]
+    assert all("Bucketed: true" in l for l in scans), scans
+    for chain in chains:
+        joined = next(
+            (k for k, l in enumerate(chain)
+             if "SortMergeJoin" in l or "HashAggregate" in l),
+            len(chain),
+        )
+        shuffled = next((k for k, l in enumerate(chain) if "Exchange" in l), len(chain))
+        assert joined < shuffled, "\n".join(chain[: shuffled + 1])
+    vec_scans = [l for l in plan.splitlines() if "FileScan" in l and "__vectors" in l]
+    assert any("Bucketed: true" in l for l in vec_scans), vec_scans
