@@ -114,10 +114,22 @@ class Catalog:
     # -- delete (S7) ---------------------------------------------------------
     def delete(self, name: str) -> bool:
         path = self._path(name)
-        if os.path.isdir(path):
+        if not os.path.isdir(path):
+            return False
+        # a bucketed table also has session-catalog metadata; leaving it
+        # behind would make a later get_bucketed() read a dangling entry
+        # (same lowercase/temp-view matching rule as compact's guard)
+        try:
+            if any(
+                t.name == name.lower() and not t.isTemporary
+                for t in self.spark.catalog.listTables()
+            ):
+                self.spark.sql(f"DROP TABLE IF EXISTS `{name.lower()}`")
+        except Exception:
+            pass  # no usable session catalog — path-only table
+        if os.path.isdir(path):  # DROP TABLE on an external table keeps data
             shutil.rmtree(path)
-            return True
-        return False
+        return True
 
     # -- compaction (small-files management) -------------------------------
     def compact(self, name: str, target_file_bytes: int = 128 * 1024 * 1024) -> int:

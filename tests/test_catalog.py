@@ -134,3 +134,19 @@ def test_compact_guard_case_and_temp_views(cat, spark):
             cat.compact("CasedBkt")  # catalog stores it as 'casedbkt'
     finally:
         spark.sql("DROP TABLE IF EXISTS casedbkt")
+
+
+def test_delete_drops_bucketed_metadata(cat, spark):
+    """Deleting a bucketed table must also drop its session-catalog
+    entry — otherwise a later get_bucketed() reads a dangling table."""
+    import pytest as _pytest
+
+    cat.put_bucketed(spark.createDataFrame([(1, "x")], ["k", "v"]), "bktdel", "k", 4)
+    assert cat.get_bucketed("bktdel").count() == 1
+    assert cat.delete("bktdel")
+    assert not cat.exists("bktdel")
+    assert not any(
+        t.name == "bktdel" for t in spark.catalog.listTables()
+    )
+    with _pytest.raises(Exception):
+        cat.get_bucketed("bktdel").count()
