@@ -110,6 +110,8 @@ EXTENDED_QUERIES = [
     "bpe_train",
     "bpe_word_segments",
     "incremental_neardup_idx",
+    "similarity_topk_ivf_idx",
+    "bm25_topk",
 ]
 
 

@@ -1,0 +1,191 @@
+"""BM25 keyword retrieval [EXT] — exact, oracle-twinned top-k text
+search over the corpus.
+
+No reference counterpart (SURVEY.md §2.11); a training-data pipeline
+uses keyword retrieval for targeted corpus audits (find the documents
+that mention X), hard-negative mining, and quality spot checks — and it
+is the classic inverted-index workload, so it belongs in the engine's
+text tier next to tf·idf.
+
+Scoring is the standard Lucene-style BM25 (Robertson et al.;
+``idf = ln((N - df + 0.5)/(df + 0.5) + 1)``,
+``tf·(k1+1)/(tf + k1·(1 - b + b·dl/avgdl))``).
+
+Scale shape:
+- the token stream is filtered to the query terms AT THE SCAN (an
+  ``isin`` over the broadcast term list), so the tf shuffle carries only
+  posting-list rows — ∝ matched occurrences, never corpus tokens;
+- doc lengths are a scan-local projection; N and avgdl are one global
+  aggregate (2 bigints) cross-joined back (broadcast);
+- df/idf live on a terms-sized frame, broadcast into the contribution
+  join;
+- per-(query, doc) scores sum a handful of per-term contributions —
+  each contribution is QUANTIZED to an exact integer
+  (``floor(x·1e6 + 0.5)`` → bigint, the repo's established
+  order-independence idiom) before the sum, so the score is bit-stable
+  at any parallelism and reproduces exactly in the DuckDB oracle
+  (a raw double sum would be partition-order-dependent);
+- top-k per query is a bounded window with (score desc, doc_id) total
+  order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import token_count, tokenize
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_SCALE = 1_000_000
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, list[str]]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-``k`` documents per keyword query.
+
+    ``queries``: (query_id, [terms...]) — terms are matched against the
+    shared ``\\w+``-lowercase tokenizer's output. Returns
+    (query_id, doc_id, score, rank); ``score`` is the quantized-sum BM25
+    value (6-decimal resolution)."""
+    spark = docs.sparkSession
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, terms in queries for t in dict.fromkeys(terms)],
+        "query_id bigint, tok string",
+    )
+    all_terms = sorted({t for _, terms in queries for t in terms})
+
+    lengths = docs.select(F.col(id_col).alias("doc_id"), token_count(text_col).alias("dl"))
+    stats = lengths.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+    )
+    # persisted: BOTH df (per-term doc counts) and the contribution join
+    # consume the posting lists — without the persist the corpus token
+    # stream is exploded and filtered twice (released by the harness via
+    # cache.release_tracked)
+    from ..cache import tracked_persist
+
+    tf = tracked_persist(
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.explode(tokenize(text_col)).alias("tok")
+        )
+        .filter(F.col("tok").isin(all_terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    df_t = tf.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
+    contrib = (
+        tf.join(lengths, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(df_t), "tok")
+        .withColumn("avgdl", F.col("sum_dl") / F.col("n_docs"))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+        )
+        .withColumn(
+            "c",
+            F.col("idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        # exact-integer quantization BEFORE the per-query sum: bigint
+        # addition is associative where double addition is not
+        .withColumn(
+            "ci", F.floor(F.col("c") * BM25_SCALE + F.lit(0.5)).cast("bigint")
+        )
+    )
+    scored = (
+        contrib.join(F.broadcast(qterms), "tok")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("ci").alias("score_q"))
+        .withColumn("score", F.col("score_q") / F.lit(float(BM25_SCALE)))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_q"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            "score",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def bm25_oracle_sql(
+    queries: list[tuple[int, list[str]]],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    """DuckDB twin of :func:`bm25_topk` — same tokenizer, same idf/tf
+    expression tree, same integer quantization, same tiebreaks."""
+    qvals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, terms in queries
+        for t in dict.fromkeys(terms)
+    )
+    terms = sorted({t for _, ts in queries for t in ts})
+    termlist = ", ".join(f"'{t}'" for t in terms)
+    return rf"""
+        WITH lengths AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(lower(text), '\w+')) AS BIGINT) AS dl
+            FROM documents),
+        stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(dl) AS BIGINT) AS sum_dl
+            FROM lengths),
+        tf AS (
+            SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id,
+                         unnest(regexp_extract_all(lower(text), '\w+')) AS tok
+                  FROM documents)
+            WHERE tok IN ({termlist})
+            GROUP BY doc_id, tok),
+        df_t AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+        contrib AS (
+            SELECT tf.doc_id, tf.tok,
+                   CAST(floor(
+                       ln((s.n_docs - df_t.df + 0.5) / (df_t.df + 0.5) + 1.0)
+                       * (tf.tf * {k1 + 1.0!r})
+                       / (tf.tf + {k1!r} * ({1.0 - b!r} + {b!r} * l.dl
+                                            / (s.sum_dl / CAST(s.n_docs AS DOUBLE))))
+                       * {BM25_SCALE} + 0.5) AS BIGINT) AS ci
+            FROM tf
+            JOIN lengths l ON tf.doc_id = l.doc_id
+            CROSS JOIN stats s
+            JOIN df_t ON tf.tok = df_t.tok),
+        qterms(query_id, tok) AS (VALUES {qvals}),
+        scored AS (
+            SELECT q.query_id, c.doc_id, sum(c.ci) AS score_q
+            FROM contrib c JOIN qterms q ON c.tok = q.tok
+            GROUP BY q.query_id, c.doc_id),
+        ranked AS (
+            SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+                   score_q / {float(BM25_SCALE)!r} AS score,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score_q DESC, doc_id) AS BIGINT) AS rank
+            FROM scored)
+        SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= {k}
+    """

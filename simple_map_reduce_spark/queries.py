@@ -260,6 +260,7 @@ _CHANGED_THIS_ROUND = [
     "bpe_word_segments",
     "incremental_neardup_idx",
     "similarity_topk_ivf_idx",
+    "bm25_topk",
     # r5: dedup key restructured onto the event-time window column
     # (state now watermark-evicted; single event-time column)
     "streaming_hourly_users",
@@ -315,7 +316,6 @@ _ROTATION_FRONT = [
     "distinct_tokens",
     "doc_fingerprint",
     "equi_join",
-    "events_windowed",
 ]
 assert len(_ROTATION_FRONT) == 50
 assert set(_ROTATION_FRONT) <= set(QUERIES)

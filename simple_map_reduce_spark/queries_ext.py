@@ -34,6 +34,7 @@ from .operators.dedup import (
     simhash_dup_pairs,
 )
 from .functions.text import BPE_RE, token_count_bpe, token_count_ws
+from .operators.retrieval import bm25_oracle_sql
 from .operators.maple_juice import juice, maple
 from .operators.similarity import (
     LC_SCALE,
@@ -611,6 +612,26 @@ def q_incremental_neardup_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idx.build(corpus)
     return idx.check(new)
+
+
+BM25_QUERIES = [
+    (1, ["hash", "join"]),
+    (2, ["sort", "merge", "scan"]),
+    (3, ["column", "filter"]),
+]
+BM25_K = 10
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (operators/retrieval.py): top-k documents
+    per query over the shared tokenizer, posting lists filtered at the
+    scan, per-term contributions integer-quantized before the per-query
+    sum (order-independent), Lucene-style idf. The corpus-audit /
+    hard-negative-mining workhorse of a training-data pipeline."""
+    from .operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, BM25_QUERIES, k=BM25_K)
 
 
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2345,6 +2366,7 @@ EXT_QUERIES = {
     "chunk_assignment_sharded": q_chunk_assignment_sharded,
     "incremental_neardup": q_incremental_neardup,
     "incremental_neardup_idx": q_incremental_neardup_idx,
+    "bm25_topk": q_bm25_topk,
     "repetition_signals": q_repetition_signals,
     "mixture_weights": q_mixture_weights,
     "embedding_quantize": q_embedding_quantize,
@@ -2441,6 +2463,7 @@ EXT_ORACLES = {
     # the index query materializes the SAME math into catalog tables —
     # one oracle text verifies both the recompute and the storage path
     "incremental_neardup_idx": incremental_neardup_oracle(),
+    "bm25_topk": bm25_oracle_sql(BM25_QUERIES, k=BM25_K),
     "repetition_signals": repetition_signals_oracle(),
     "mixture_weights": mixture_weights_oracle(),
     "embedding_quantize": EMBEDDING_QUANTIZE_ORACLE,
