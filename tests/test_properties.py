@@ -255,3 +255,30 @@ def test_shuffle_positions_rejects_null_keys(spark_global):
     df = spark_global.createDataFrame([(1,), (None,)], "k bigint")
     with _pytest.raises(Exception, match="must be non-null"):
         shuffle_positions(df, "k").collect()
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab cd", min_size=0, max_size=24),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_bpe_train_matches_reference_on_random_corpora(spark_global, texts, k):
+    """Random tiny-alphabet corpora maximize merge collisions (repeated
+    symbols, overlapping runs, merges-of-merges) — the learned merge
+    sequence must match the pure-Python greedy reference exactly."""
+    from simple_map_reduce_spark.operators.bpe import bpe_train
+    from tests.test_bpe import _py_bpe
+
+    df = spark_global.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = [
+        (r.merge_rank, r.left_sym, r.right_sym, r.pair_cnt)
+        for r in bpe_train(df, "text", num_merges=k).orderBy("merge_rank").collect()
+    ]
+    want, _ = _py_bpe(texts, k)
+    assert got == want, (texts, k, got, want)
