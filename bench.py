@@ -112,6 +112,8 @@ EXTENDED_QUERIES = [
     "incremental_neardup_idx",
     "similarity_topk_ivf_idx",
     "bm25_topk",
+    # r5: cluster-then-prune semantic dedup
+    "semdedup_prune",
 ]
 
 

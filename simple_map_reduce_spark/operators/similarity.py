@@ -522,6 +522,97 @@ def kmeans_refine(
     return centroids
 
 
+def semdedup_prune(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 2,
+    tau: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication — cluster the embedding space with the deterministic
+    spherical k-means quantizer (:func:`kmeans_refine`), then prune
+    within-cluster near-duplicates by pairwise cosine. The semantic
+    counterpart of the lexical MinHash tier: catches paraphrases and
+    re-encodings that share no shingles.
+
+    Prune rule (deterministic, one pass — no transitive closure, per the
+    paper's per-cluster formulation): vector ``i`` is pruned when some
+    ``j < i`` in the same cluster has ``cos(i, j) >= tau``; its exemplar
+    ``kept_id`` is the smallest such ``j``. Matches the repo's min-id
+    representative convention (``dedup.py`` exact tier).
+
+    Determinism: final-centroid assignment reuses ``kmeans_refine``'s
+    contract (cosine rounded to 6 decimals, centroid_id tiebreak); pair
+    cosines round the same way; the exemplar is picked by ``min(struct)``
+    on the unique ``j`` id, so every emitted double is bit-stable.
+
+    Scale shape: ONE broadcast-centroid assignment pass over the corpus,
+    then ONE shuffle on centroid_id for the within-cluster self-join.
+    The pairwise work is quadratic ONLY within a cluster — the paper's
+    core trade; k grows with the corpus (they use ~50k clusters for
+    LAION) so cluster populations stay bounded, and the training pass is
+    k·d-keyed regardless of corpus size. Corpus rows are never compared
+    across clusters.
+
+    Returns one row per PRUNED vector: (vec_id, centroid_id, kept_id,
+    sim) with sim = cos(vec_id, kept_id) rounded to 6 decimals.
+    """
+    cents = (
+        centroids
+        if centroids is not None
+        else kmeans_refine(emb, n_centroids, iters, id_col, vec_col)
+    )
+    corpus = _prep(emb, id_col, vec_col, "id", "vec", "vn")
+    wa = Window.partitionBy("id").orderBy(F.col("csim").desc(), F.col("centroid_id"))
+    assigned = (
+        corpus.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "csim",
+            F.round(dot(F.col("vec"), F.col("cvec")) / (F.col("vn") * F.col("cn")), 6),
+        )
+        .withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("id", "centroid_id", "vec", "vn")
+    )
+    left = assigned.select(
+        F.col("id").alias("vec_id"),
+        "centroid_id",
+        F.col("vec").alias("avec"),
+        F.col("vn").alias("an"),
+    )
+    right = assigned.select(
+        F.col("id").alias("j_id"),
+        F.col("centroid_id").alias("j_centroid"),
+        F.col("vec").alias("bvec"),
+        F.col("vn").alias("bn"),
+    )
+    pairs = (
+        left.join(
+            right,
+            (F.col("centroid_id") == F.col("j_centroid"))
+            & (F.col("j_id") < F.col("vec_id")),
+        )
+        .withColumn(
+            "psim",
+            F.round(
+                dot(F.col("avec"), F.col("bvec")) / (F.col("an") * F.col("bn")), 6
+            ),
+        )
+        .filter(F.col("psim") >= F.lit(tau))
+    )
+    exemplar = F.min(
+        F.struct(F.col("j_id").alias("kept_id"), F.col("psim").alias("sim"))
+    ).alias("m")
+    return (
+        pairs.groupBy("vec_id", "centroid_id")
+        .agg(exemplar)
+        .select("vec_id", "centroid_id", F.col("m.kept_id"), F.col("m.sim"))
+    )
+
+
 def cosine_topk_lsh(
     emb: DataFrame,
     query_ids: list[int],

@@ -249,11 +249,12 @@ QUERIES: dict[str, QueryFn] = {
 #
 # Round 5 window = everything whose behavior OR implementation changed
 # this round (the new BPE-training pair, the catalog-backed bucketed
-# incremental-check query, the streaming_hourly_users event-time-dedup
-# restructure, the pipelines-delegation refactor of the pair-set
-# consumers, the shared _asymmetric_neardup_check sizes parameter) + the
-# remaining 32 r2-dated rows (closing the freshness rotation round 4
-# started) + the 9 alphabetically-first r3-dated rows.
+# incremental-check query, the new SemDeDup / q2-shape / q11-shape
+# queries, the streaming_hourly_users event-time-dedup restructure, the
+# pipelines-delegation refactor of the pair-set consumers, the shared
+# _asymmetric_neardup_check sizes parameter) + the remaining 32 r2-dated
+# rows (closing the freshness rotation round 4 started) + the 5
+# alphabetically-first r3-dated rows.
 _CHANGED_THIS_ROUND = [
     # r5: NEW queries ship their behavior this round
     "bpe_train",
@@ -261,6 +262,9 @@ _CHANGED_THIS_ROUND = [
     "incremental_neardup_idx",
     "similarity_topk_ivf_idx",
     "bm25_topk",
+    "semdedup_prune",
+    "min_cost_supplier",
+    "top_value_parts",
     # r5: dedup key restructured onto the event-time window column
     # (state now watermark-evicted; single event-time column)
     "streaming_hourly_users",
@@ -313,9 +317,6 @@ _ROTATION_FRONT = [
     "column_filter",
     "corpus_prep",
     "dedup_exact",
-    "distinct_tokens",
-    "doc_fingerprint",
-    "equi_join",
 ]
 assert len(_ROTATION_FRONT) == 50
 assert set(_ROTATION_FRONT) <= set(QUERIES)

@@ -340,6 +340,105 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q2 shape: the minimum-cost supplier for every part in a
+    type/size bracket — the classic correlated MIN subquery, decorrelated
+    into a per-part aggregate joined back on (part, cost). The schema has
+    no partsupp, so lineitem plays the supply relation with unit cost
+    ``l_extendedprice / l_quantity`` (double division — identical IEEE
+    quotient on both engines).
+
+    Scale shape: the part filter broadcasts (small after pruning) and
+    prunes lineitem BEFORE the per-part min, so the aggregate and the
+    join-back both run on the bracket's supply rows only; the min and the
+    join-back share the l_partkey key (one co-partitioned exchange chain
+    under AQE); supplier/nation dims broadcast. The final sort feeds a
+    TakeOrderedAndProject, never a global sort.
+    """
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "PROMO") & (F.col("p_size") < 10)
+    ).select("p_partkey", "p_brand")
+    supply = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            (
+                F.col("l_extendedprice").cast("double")
+                / F.col("l_quantity").cast("double")
+            ).alias("unit_cost"),
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    mc = supply.groupBy(F.col("l_partkey").alias("mk")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    best = (
+        supply.join(
+            mc,
+            (F.col("l_partkey") == F.col("mk"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .select("p_partkey", "p_brand", "l_suppkey", "unit_cost")
+        .distinct()
+    )
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    nat = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        best.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            "n_name",
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            "unit_cost",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+def q_top_value_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q11 shape: parts whose total sale value exceeds 1.2× the
+    average part value — two-level aggregation with a scalar-subquery
+    threshold. (Spec q11's fraction is 0.0001/SF, i.e. deliberately
+    scale-dependent; relative-to-average keeps the filter selective at
+    every SF without a tuning knob.)
+
+    The threshold compare is exact: both sums stay DECIMAL and the
+    average is cross-multiplied away (``pv·n_parts·10 > tot·12``) — exact
+    integer×decimal arithmetic, so neither engine ever rounds a float to
+    decide membership; doubles appear only in the emitted columns. The
+    one-row total broadcasts back over the per-part frame (no driver
+    ``first()``); the per-part sum is one map-side-combined shuffle on
+    l_partkey.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", F.col("l_extendedprice").cast(_D12).alias("ep")
+    )
+    pv = li.groupBy("l_partkey").agg(F.sum("ep").alias("pv"))
+    pv = tracked_persist(pv)
+    tot = pv.agg(F.sum("pv").alias("tot"), F.count("*").alias("np"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("pv") * F.col("np") * F.lit(10) > F.col("tot") * F.lit(12)
+        )
+        .select(
+            "l_partkey",
+            F.col("pv").cast("double").alias("part_value"),
+            (F.col("pv").cast("double") / F.col("tot").cast("double")).alias(
+                "share"
+            ),
+        )
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Corpus mixing: per-language deterministic keep rates over the
     documents table (all of en, half of zh/es, a quarter of de, 10% of
@@ -368,6 +467,8 @@ ANALYTICS6_QUERIES = {
     "supplier_variety": q_supplier_variety,
     "dominant_suppliers": q_dominant_suppliers,
     "waiting_suppliers": q_waiting_suppliers,
+    "min_cost_supplier": q_min_cost_supplier,
+    "top_value_parts": q_top_value_parts,
     "stratified_sample": q_stratified_sample,
 }
 
@@ -522,5 +623,44 @@ ANALYTICS6_ORACLES = {
         FROM per_supp
         JOIN supplier ON l_suppkey = s_suppkey
         WHERE total_revenue_d = (SELECT max(total_revenue_d) FROM per_supp)
+    """,
+    "min_cost_supplier": """
+        WITH supply AS (
+            SELECT p_partkey, p_brand, l_suppkey,
+                   CAST(l_extendedprice AS DOUBLE)
+                       / CAST(l_quantity AS DOUBLE) AS unit_cost
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_type = 'PROMO' AND p_size < 10
+        ), mc AS (
+            SELECT p_partkey AS mk, min(unit_cost) AS min_cost
+            FROM supply GROUP BY 1
+        ), best AS (
+            SELECT DISTINCT p_partkey, p_brand, l_suppkey, unit_cost
+            FROM supply JOIN mc
+              ON p_partkey = mk AND unit_cost = min_cost
+        )
+        SELECT p_partkey, p_brand, s_name, n_name,
+               CAST(s_acctbal AS DOUBLE) AS s_acctbal, unit_cost
+        FROM best
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """,
+    "top_value_parts": """
+        WITH pv AS (
+            SELECT l_partkey,
+                   sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS pv
+            FROM lineitem GROUP BY 1
+        ), tot AS (
+            SELECT sum(pv) AS tot, count(*) AS np FROM pv
+        )
+        SELECT l_partkey,
+               CAST(pv AS DOUBLE) AS part_value,
+               CAST(pv AS DOUBLE) / CAST(tot AS DOUBLE) AS share
+        FROM pv, tot
+        WHERE pv * np * 10 > tot * 12
+        ORDER BY part_value DESC, l_partkey
     """,
 }

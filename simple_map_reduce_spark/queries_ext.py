@@ -63,6 +63,15 @@ SIM_IVF_NPROBE = 4
 # the oracle unrolls exactly this many assignment/mean rounds in SQL
 IVF_REFINE_K = 8
 IVF_REFINE_ITERS = 2
+# SemDeDup within-cluster cosine threshold — matches the embedding
+# near-dup tier's EMB_NEARDUP_THRESHOLD for this synthetic corpus (real
+# web-text runs sit near 0.95; the paper tunes eps = 1 - cos per corpus).
+# k is larger than the IVF quantizer's: cluster population bounds the
+# quadratic within-cluster work, so k grows with the corpus (the paper's
+# ~50k-cluster regime) — 32 keeps sf0.1 clusters a few hundred vectors.
+SEMDEDUP_TAU = 0.35
+SEMDEDUP_K = 32
+SEMDEDUP_ITERS = 2
 # the centroid quantization scale, single-sourced from the operator so
 # the oracle SQL can never silently desynchronize from the Spark side
 _LC_S = f"{float(LC_SCALE):.1f}"
@@ -328,6 +337,26 @@ def q_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf(
         emb, SIM_QUERY_IDS, k=SIM_K, nprobe=SIM_IVF_NPROBE, centroids=cents
     )
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/similarity.py::semdedup_prune): semantic
+    dedup over the embeddings table — the k-means-refined quantizer
+    clusters the space, then within-cluster pairwise cosine prunes
+    near-duplicates (exemplar = smallest same-cluster id above
+    SEMDEDUP_TAU). The oracle unrolls the same Lloyd rounds in SQL
+    (shared ``_kmeans_ctes``) and replays the assignment + self-join, so
+    the whole cluster-then-prune pipeline is verified bit-for-bit."""
+    from .operators.similarity import semdedup_prune
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = semdedup_prune(
+        emb,
+        n_centroids=SEMDEDUP_K,
+        iters=SEMDEDUP_ITERS,
+        tau=SEMDEDUP_TAU,
+    )
+    return out.orderBy("vec_id")
 
 
 def q_simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1756,6 +1785,45 @@ def ivf_refined_topk_oracle(
     """
 
 
+def semdedup_oracle(
+    k: int = SEMDEDUP_K,
+    iters: int = SEMDEDUP_ITERS,
+    tau: float = SEMDEDUP_TAU,
+) -> str:
+    """DuckDB twin of ``semdedup_prune``: the shared unrolled-Lloyd CTEs
+    feed the same final-centroid assignment, then a within-cluster
+    self-join on (cluster, j < i) with the same rounded cosine; the
+    exemplar is min(j) and its cosine ``arg_min(psim, j_id)`` — unique
+    j ids, so both aggregates are deterministic."""
+    ctes, cent = _kmeans_ctes(k, iters)
+    sim = _carried_cos_sql("v", "c")
+    return f"""
+        WITH {ctes},
+        asg AS (
+            SELECT id, centroid_id, vec, vn FROM (
+                SELECT v.vec_id AS id, c.centroid_id, v.vec, v.vn,
+                       row_number() OVER (PARTITION BY v.vec_id
+                                          ORDER BY {sim} DESC, c.centroid_id)
+                           AS rn
+                FROM v, {cent} c)
+            WHERE rn = 1),
+        pairs AS (
+            SELECT a.id AS vec_id, a.centroid_id, b.id AS j_id,
+                   round(list_sum(list_transform(list_zip(a.vec, b.vec),
+                                                 p -> p[1] * p[2]))
+                         / (a.vn * b.vn), 6) AS psim
+            FROM asg a JOIN asg b
+              ON a.centroid_id = b.centroid_id AND b.id < a.id)
+        SELECT vec_id, centroid_id,
+               min(j_id) AS kept_id,
+               arg_min(psim, j_id) AS sim
+        FROM pairs
+        WHERE psim >= {tau}
+        GROUP BY 1, 2
+        ORDER BY vec_id
+    """
+
+
 def label_confusion_oracle() -> str:
     """DuckDB twin of ``nearest_centroid_confusion``: same integer-
     quantized component means (floor(x·1e6 + 0.5), exact bigint sums),
@@ -2382,6 +2450,7 @@ EXT_QUERIES = {
     "label_confusion": q_label_confusion,
     "ivf_refined_centroids": q_ivf_refined_centroids,
     "ivf_refined_topk": q_ivf_refined_topk,
+    "semdedup_prune": q_semdedup,
     "quality_filter": q_quality_filter,
     "streaming_hourly_users": q_streaming_hourly_users,
     "pretraining_manifest": q_pretraining_manifest,
@@ -2479,6 +2548,7 @@ EXT_ORACLES = {
     "label_confusion": label_confusion_oracle(),
     "ivf_refined_centroids": ivf_refined_centroids_oracle(),
     "ivf_refined_topk": ivf_refined_topk_oracle(),
+    "semdedup_prune": semdedup_oracle(),
     "quality_filter": quality_filter_oracle(),
     "pretraining_manifest": pretraining_manifest_oracle(),
     # chained dedup → window agg must converge to the batch distinct count

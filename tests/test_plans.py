@@ -390,3 +390,33 @@ def test_source_overlap_is_pair_sided(spark):
     # the final matrix aggregate partial-combines before its exchange
     assert "Exchange hashpartitioning(source_a" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_semdedup_broadcasts_centroids_and_hash_joins_clusters(spark):
+    """SemDeDup: the assignment pass broadcasts the k-row centroid frame
+    over the corpus, and the within-cluster self-join is a HASH join on
+    centroid_id — never a CartesianProduct of corpus rows (the quadratic
+    work is bounded inside clusters by the join key)."""
+    plan = _plan(spark, "semdedup_prune")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "centroid_id" in plan
+
+
+def test_min_cost_supplier_broadcasts_part_and_takeordered(spark):
+    """q2 shape: the filtered part bracket broadcasts (lineitem is pruned
+    before the per-part min), dims broadcast, and the final top-100 is a
+    TakeOrderedAndProject — never a global sort."""
+    plan = _plan(spark, "min_cost_supplier")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_top_value_parts_broadcasts_scalar_total(spark):
+    """q11 shape: the 1-row global total joins back via broadcast (no
+    driver collect, no cartesian of real data); the per-part sum is
+    map-side combined."""
+    plan = _plan(spark, "top_value_parts")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert plan.count("HashAggregate") >= 2

@@ -366,3 +366,36 @@ def test_ivf_index_search_corpus_side_no_exchange(spark, tmp_path):
         assert joined < shuffled, "\n".join(chain[: shuffled + 1])
     vec_scans = [l for l in plan.splitlines() if "FileScan" in l and "__vectors" in l]
     assert any("Bucketed: true" in l for l in vec_scans), vec_scans
+
+
+def test_semdedup_prunes_within_clusters_to_min_id_exemplar(spark):
+    """Two tight clusters: every member except the smallest id in each is
+    pruned against that exemplar; no cross-cluster pair is ever emitted."""
+    from simple_map_reduce_spark.operators.similarity import semdedup_prune
+
+    out = semdedup_prune(
+        _clustered_emb(spark), n_centroids=2, iters=2, tau=0.9
+    ).collect()
+    pruned = {r.vec_id: r.kept_id for r in out}
+    # x-axis cluster {0,2,3,6} keeps 0; y-axis cluster {1,4,5,7} keeps 1
+    assert pruned == {2: 0, 3: 0, 6: 0, 4: 1, 5: 1, 7: 1}
+    for r in out:
+        assert 0.9 <= r.sim <= 1.0
+
+
+def test_semdedup_empty_above_max_cosine(spark):
+    from simple_map_reduce_spark.operators.similarity import semdedup_prune
+
+    assert (
+        semdedup_prune(_clustered_emb(spark), n_centroids=2, iters=1, tau=1.01).count()
+        == 0
+    )
+
+
+def test_semdedup_deterministic_under_repartition(spark):
+    from simple_map_reduce_spark.operators.similarity import semdedup_prune
+
+    emb = _clustered_emb(spark)
+    a = sorted(map(tuple, semdedup_prune(emb, 2, 2, 0.9).collect()))
+    b = sorted(map(tuple, semdedup_prune(emb.repartition(5), 2, 2, 0.9).collect()))
+    assert a == b and len(a) == 6
