@@ -282,3 +282,67 @@ def test_bpe_train_matches_reference_on_random_corpora(spark_global, texts, k):
     ]
     want, _ = _py_bpe(texts, k)
     assert got == want, (texts, k, got, want)
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=-3, max_value=3), min_size=3, max_size=3),
+        min_size=3,
+        max_size=10,
+    ),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_semdedup_matches_python_reference(spark_global, vecs):
+    """Prune set ≡ a pure-Python cluster-then-prune reference on random
+    small-integer vectors. Examples whose cosines sit within 1e-6 of the
+    threshold or of an assignment tie are discarded (rounding at the 6th
+    decimal is the engines' contract; the reference does not replicate
+    Spark's HALF_UP repr rounding)."""
+    import math
+
+    from hypothesis import assume
+
+    from simple_map_reduce_spark.operators.similarity import (
+        kmeans_refine,
+        semdedup_prune,
+    )
+
+    vecs = [v for v in vecs if any(x != 0 for x in v)]
+    assume(len(vecs) >= 3)
+    tau, k = 0.9, 2
+    norms = [math.sqrt(sum(x * x for x in v)) for v in vecs]
+
+    def cos(i, j):
+        d = sum(a * b for a, b in zip(vecs[i], vecs[j]))
+        return d / (norms[i] * norms[j])
+
+    # seeds = first k ids; assignment by max cosine, centroid-id tiebreak
+    seeds = list(range(k))
+    assign = {}
+    for i in range(len(vecs)):
+        sims = [cos(i, s) for s in seeds]
+        best = max(sims)
+        assume(sum(1 for s in sims if abs(s - best) < 1e-6) == 1)
+        assign[i] = sims.index(best)
+    for i in range(len(vecs)):
+        for j in range(i):
+            if assign[i] == assign[j]:
+                assume(abs(cos(i, j) - tau) > 1e-6)
+    want = {}
+    for i in range(len(vecs)):
+        js = [
+            j for j in range(i) if assign[j] == assign[i] and cos(i, j) >= tau
+        ]
+        if js:
+            want[i] = min(js)
+
+    emb = spark_global.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        ["vec_id", "embedding"],
+    )
+    cents = kmeans_refine(emb, n_centroids=k, iters=0)
+    got = {
+        r.vec_id: r.kept_id
+        for r in semdedup_prune(emb, tau=tau, centroids=cents).collect()
+    }
+    assert got == want, (vecs, assign, got, want)
