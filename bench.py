@@ -112,8 +112,9 @@ EXTENDED_QUERIES = [
     "incremental_neardup_idx",
     "similarity_topk_ivf_idx",
     "bm25_topk",
-    # r5: cluster-then-prune semantic dedup
+    # r5: cluster-then-prune semantic dedup + the pipeline composing it
     "semdedup_prune",
+    "pretraining_manifest_sem",
 ]
 
 

@@ -174,6 +174,10 @@ def pretraining_manifest(
     chunk_tokens: int = 512,
     span: int = 1_000_000,
     pairs: DataFrame | None = None,
+    emb: DataFrame | None = None,
+    sem_k: int = 32,
+    sem_iters: int = 2,
+    sem_tau: float = 0.35,
 ) -> DataFrame:
     """The WHOLE pretraining data-prep pipeline as one DataFrame program:
 
@@ -182,6 +186,14 @@ def pretraining_manifest(
     2. **near-dup prune** — MinHash-LSH pairs over the *surviving* docs
        → two-star connected components → one representative per cluster
        (``id == component``);
+    2b. **semantic prune** (optional, when ``emb`` supplies a
+       ``(vec_id, embedding)`` table keyed like ``id_col``) — SemDeDup
+       over the embeddings of the lexical survivors
+       (``operators.similarity.semdedup_prune``: k-means clusters
+       seeded/trained on the survivor set, within-cluster cosine prune),
+       dropping the pruned ids. Lexical first, semantic second: the
+       cheap shingle-based prune shrinks the corpus the quadratic
+       within-cluster stage prices;
     3. **split assignment** — deterministic frozen-eval-set
        train/val/test (``operators.sampling.split_assign``);
     4. **packing layout** — range-sharded concatenate-and-chunk per
@@ -223,6 +235,24 @@ def pretraining_manifest(
         ),
         id_col,
     )
+    if emb is not None:
+        from .cache import tracked_persist
+        from .operators.similarity import semdedup_prune
+
+        # checkpoint the survivor set once: the Lloyd loop inside
+        # semdedup_prune localCheckpoints per round, which would
+        # otherwise re-evaluate the whole filter→pairs→CC chain per
+        # iteration (and again for the pairwise stage)
+        survivors = tracked_persist(survivors)
+        surv_emb = emb.join(
+            survivors.select(F.col(id_col).alias("vec_id")), "vec_id"
+        )
+        sem_pruned = semdedup_prune(
+            surv_emb, n_centroids=sem_k, iters=sem_iters, tau=sem_tau
+        )
+        survivors = survivors.join(
+            sem_pruned.select(F.col("vec_id").alias(id_col)), id_col, "anti"
+        )
     sized = split_assign(survivors, id_col, splits).select(
         id_col, lang_col, "split", token_count(text_col).alias("n_tokens")
     )

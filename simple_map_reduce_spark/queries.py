@@ -253,7 +253,7 @@ QUERIES: dict[str, QueryFn] = {
 # queries, the streaming_hourly_users event-time-dedup restructure, the
 # pipelines-delegation refactor of the pair-set consumers, the shared
 # _asymmetric_neardup_check sizes parameter) + the remaining 32 r2-dated
-# rows (closing the freshness rotation round 4 started) + the 5
+# rows (closing the freshness rotation round 4 started) + the 4
 # alphabetically-first r3-dated rows.
 _CHANGED_THIS_ROUND = [
     # r5: NEW queries ship their behavior this round
@@ -265,6 +265,7 @@ _CHANGED_THIS_ROUND = [
     "semdedup_prune",
     "min_cost_supplier",
     "top_value_parts",
+    "pretraining_manifest_sem",
     # r5: dedup key restructured onto the event-time window column
     # (state now watermark-evicted; single event-time column)
     "streaming_hourly_users",
@@ -316,7 +317,6 @@ _ROTATION_FRONT = [
     "big_orders",
     "column_filter",
     "corpus_prep",
-    "dedup_exact",
 ]
 assert len(_ROTATION_FRONT) == 50
 assert set(_ROTATION_FRONT) <= set(QUERIES)

@@ -1298,6 +1298,87 @@ def pretraining_manifest_oracle() -> str:
     """
 
 
+def q_pretraining_manifest_sem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pretraining pipeline WITH the semantic stage: Gopher filter →
+    lexical MinHash-LSH prune → SemDeDup over the survivors' embeddings
+    (clusters trained on the survivor set) → splits → sharded packing.
+    Lexical first, semantic second — the cheap shingle prune shrinks the
+    corpus the within-cluster quadratic stage prices. The oracle splices
+    the unrolled Lloyd + prune CTEs (survivor-restricted vector source)
+    into the recomposed manifest SQL, so the five-stage program is checked
+    bit-for-bit end to end."""
+    from .pipelines import pretraining_manifest
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pretraining_manifest(
+        docs,
+        SPLIT_FRACTIONS,
+        neardup_threshold=MINHASH_THRESHOLD,
+        max_bucket=SKEW_CAP,
+        span=100,
+        emb=emb,
+        sem_k=SEMDEDUP_K,
+        sem_iters=SEMDEDUP_ITERS,
+        sem_tau=SEMDEDUP_TAU,
+    )
+
+
+def pretraining_manifest_sem_oracle() -> str:
+    """Manifest oracle + the SemDeDup CTE chain over the survivor-
+    restricted embedding set; the packing stages run on the doubly-
+    pruned corpus."""
+    from .functions.hashes import duckdb_md5_long60
+
+    pre = f"""base AS (
+            SELECT doc_id, lang, text
+            FROM ({_qf_counts_sql("doc_id, lang, text")})
+            WHERE {_qf_pass_where()}),
+        """
+    bucket = f"{duckdb_md5_long60('CAST(doc_id AS VARCHAR)')} % 10000"
+    items = list(SPLIT_FRACTIONS.items())
+    acc, whens = 0.0, []
+    for label, frac in items[:-1]:
+        acc += frac
+        whens.append(f"WHEN {bucket} < {int(round(acc * 10000))} THEN '{label}'")
+    split_case = f"CASE {' '.join(whens)} ELSE '{items[-1][0]}' END"
+    sem_ctes, sem_pruned = _semdedup_ctes(
+        SEMDEDUP_K,
+        SEMDEDUP_ITERS,
+        SEMDEDUP_TAU,
+        vsrc="(SELECT e.vec_id, e.embedding FROM embeddings e "
+        "JOIN surv ON e.vec_id = surv.doc_id)",
+    )
+    return f"""
+        {_dedup_reach_cte("base", pre)},
+        surv AS MATERIALIZED (
+            SELECT b.doc_id, b.lang, b.text
+            FROM base b JOIN groups g USING (doc_id)
+            WHERE g.group_id = b.doc_id),
+        {sem_ctes},
+        surv2 AS (
+            SELECT s.doc_id, s.lang, s.text
+            FROM surv s
+            WHERE NOT EXISTS (SELECT 1 FROM {sem_pruned} p
+                              WHERE p.vec_id = s.doc_id)),
+        labeled AS (
+            SELECT doc_id, lang, {split_case} AS split,
+                   CAST(len({_TOK}) AS BIGINT) AS n_tokens
+            FROM surv2),
+        s AS (
+            SELECT doc_id, lang, split, n_tokens,
+                   coalesce(sum(n_tokens) OVER (
+                       PARTITION BY lang, split ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS start
+            FROM labeled)
+        SELECT doc_id, lang, split, n_tokens,
+               CAST(start // 512 AS BIGINT) AS chunk_id,
+               CAST(start % 512 AS BIGINT) AS chunk_offset
+        FROM s
+    """
+
+
 def q_streaming_hourly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHAINED stateful streaming: watermarked per-(user, hour) dedup
     feeding a windowed count — the streaming form of hourly distinct
@@ -1664,21 +1745,26 @@ def minhash_pairs_oracle() -> str:
     """
 
 
-def _kmeans_ctes(k: int, iters: int) -> tuple[str, str]:
+def _kmeans_ctes(k: int, iters: int, vsrc: str = "embeddings") -> tuple[str, str]:
     """The unrolled Lloyd chain as DuckDB CTEs: one (assignment,
     quantized-mean, empty-cluster-keep) block per round, generated from
     the same parameters the Spark queries pass. Same rounded-cosine
     assignment (centroid_id tiebreak), same floor(x·1e6 + 0.5)
     integer-quantized exact component means as ``kmeans_refine``.
     Returns (joined_cte_sql, final_centroid_cte_name); the ``v`` CTE
-    (vec_id, vec, vn) is included."""
+    (vec_id, vec, vn) is included, reading from ``vsrc`` (a table name
+    or parenthesized subquery exposing vec_id + embedding — the composed
+    pipeline oracle passes the survivor-restricted embedding set)."""
     sim = _carried_cos_sql("v", "c")
+    # MATERIALIZED: v is referenced by every unrolled round; DuckDB
+    # inlines plain CTEs, which re-evaluates vsrc per reference — fatal
+    # when vsrc embeds the recursive dedup chain (composed pipeline)
     ctes = [
-        f"""v AS (
+        f"""v AS MATERIALIZED (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
                    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
                                                 x -> x * x))) AS vn
-            FROM embeddings)""",
+            FROM {vsrc})""",
         f"""cent0 AS (
             SELECT vec_id AS centroid_id, vec AS cvec, vn AS cn
             FROM v ORDER BY vec_id LIMIT {k})""",
@@ -1785,21 +1871,19 @@ def ivf_refined_topk_oracle(
     """
 
 
-def semdedup_oracle(
-    k: int = SEMDEDUP_K,
-    iters: int = SEMDEDUP_ITERS,
-    tau: float = SEMDEDUP_TAU,
-) -> str:
-    """DuckDB twin of ``semdedup_prune``: the shared unrolled-Lloyd CTEs
-    feed the same final-centroid assignment, then a within-cluster
-    self-join on (cluster, j < i) with the same rounded cosine; the
-    exemplar is min(j) and its cosine ``arg_min(psim, j_id)`` — unique
-    j ids, so both aggregates are deterministic."""
-    ctes, cent = _kmeans_ctes(k, iters)
+def _semdedup_ctes(
+    k: int, iters: int, tau: float, vsrc: str = "embeddings"
+) -> tuple[str, str]:
+    """SemDeDup as a spliceable CTE chain: the unrolled-Lloyd CTEs feed
+    the final-centroid assignment, then a within-cluster self-join on
+    (cluster, j < i) with the same rounded cosine; the exemplar is
+    min(j) and its cosine ``arg_min(psim, j_id)`` — unique j ids, so
+    both aggregates are deterministic. Returns (joined_cte_sql,
+    final_cte_name) where the final CTE emits (vec_id, centroid_id,
+    kept_id, sim) — one row per pruned vector."""
+    ctes, cent = _kmeans_ctes(k, iters, vsrc)
     sim = _carried_cos_sql("v", "c")
-    return f"""
-        WITH {ctes},
-        asg AS (
+    more = f"""sem_asg AS (
             SELECT id, centroid_id, vec, vn FROM (
                 SELECT v.vec_id AS id, c.centroid_id, v.vec, v.vn,
                        row_number() OVER (PARTITION BY v.vec_id
@@ -1807,19 +1891,34 @@ def semdedup_oracle(
                            AS rn
                 FROM v, {cent} c)
             WHERE rn = 1),
-        pairs AS (
+        sem_pairs AS (
             SELECT a.id AS vec_id, a.centroid_id, b.id AS j_id,
                    round(list_sum(list_transform(list_zip(a.vec, b.vec),
                                                  p -> p[1] * p[2]))
                          / (a.vn * b.vn), 6) AS psim
-            FROM asg a JOIN asg b
-              ON a.centroid_id = b.centroid_id AND b.id < a.id)
-        SELECT vec_id, centroid_id,
-               min(j_id) AS kept_id,
-               arg_min(psim, j_id) AS sim
-        FROM pairs
-        WHERE psim >= {tau}
-        GROUP BY 1, 2
+            FROM sem_asg a JOIN sem_asg b
+              ON a.centroid_id = b.centroid_id AND b.id < a.id),
+        sem_pruned AS (
+            SELECT vec_id, centroid_id,
+                   min(j_id) AS kept_id,
+                   arg_min(psim, j_id) AS sim
+            FROM sem_pairs
+            WHERE psim >= {tau}
+            GROUP BY 1, 2)"""
+    return f"{ctes},\n        {more}", "sem_pruned"
+
+
+def semdedup_oracle(
+    k: int = SEMDEDUP_K,
+    iters: int = SEMDEDUP_ITERS,
+    tau: float = SEMDEDUP_TAU,
+) -> str:
+    """DuckDB twin of ``semdedup_prune`` (see :func:`_semdedup_ctes`)."""
+    ctes, pruned = _semdedup_ctes(k, iters, tau)
+    return f"""
+        WITH {ctes}
+        SELECT vec_id, centroid_id, kept_id, sim
+        FROM {pruned}
         ORDER BY vec_id
     """
 
@@ -2454,6 +2553,7 @@ EXT_QUERIES = {
     "quality_filter": q_quality_filter,
     "streaming_hourly_users": q_streaming_hourly_users,
     "pretraining_manifest": q_pretraining_manifest,
+    "pretraining_manifest_sem": q_pretraining_manifest_sem,
 }
 
 EXT_ORACLES = {
@@ -2551,6 +2651,7 @@ EXT_ORACLES = {
     "semdedup_prune": semdedup_oracle(),
     "quality_filter": quality_filter_oracle(),
     "pretraining_manifest": pretraining_manifest_oracle(),
+    "pretraining_manifest_sem": pretraining_manifest_sem_oracle(),
     # chained dedup → window agg must converge to the batch distinct count
     "streaming_hourly_users": """
         SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,

@@ -110,3 +110,45 @@ def test_suite_shares_one_pair_set(spark):
     assert man_all.count() == kept.count()  # nothing pruned
     # ...while the self-contained forms DO find and drop duplicates
     assert any(r.n_dropped > 0 for r in neardup_prune_summary(kept, threshold=0.3).collect())
+
+
+def test_sem_manifest_is_base_minus_semantic_prunes(spark):
+    """The semantic-stage manifest contains exactly the base (lexical)
+    manifest's documents minus SemDeDup's pruned ids over the survivor-
+    restricted embedding set — the composition adds the one stage and
+    changes nothing else."""
+    from simple_map_reduce_spark.operators.similarity import semdedup_prune
+    from simple_map_reduce_spark.queries import QUERIES
+    from simple_map_reduce_spark.queries_ext import (
+        SEMDEDUP_ITERS,
+        SEMDEDUP_K,
+        SEMDEDUP_TAU,
+    )
+    from simple_map_reduce_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    base_ids = {
+        r.doc_id
+        for r in QUERIES["pretraining_manifest"](spark, SF_SMOKE)
+        .select("doc_id")
+        .collect()
+    }
+    sem_ids = {
+        r.doc_id
+        for r in QUERIES["pretraining_manifest_sem"](spark, SF_SMOKE)
+        .select("doc_id")
+        .collect()
+    }
+    assert sem_ids <= base_ids
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    surv_emb = emb.filter(F.col("vec_id").isin(list(base_ids)))
+    pruned = {
+        r.vec_id
+        for r in semdedup_prune(
+            surv_emb,
+            n_centroids=SEMDEDUP_K,
+            iters=SEMDEDUP_ITERS,
+            tau=SEMDEDUP_TAU,
+        ).collect()
+    }
+    assert base_ids - sem_ids == pruned
