@@ -420,3 +420,13 @@ def test_top_value_parts_broadcasts_scalar_total(spark):
     plan = _plan(spark, "top_value_parts")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_sem_manifest_reuses_persisted_survivors(spark):
+    """The composed semantic pipeline must read the lexical-survivor set
+    from the persisted intermediate (one filter→pairs→CC evaluation
+    feeds the kmeans loop, the pairwise stage, AND the final anti-join)
+    and never plan a cartesian of corpus rows."""
+    plan = _plan(spark, "pretraining_manifest_sem")
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
