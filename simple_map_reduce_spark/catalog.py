@@ -111,19 +111,43 @@ class Catalog:
     def exists(self, name: str) -> bool:
         return os.path.isdir(self._path(name))
 
+    def _session_entry_is_ours(self, name: str) -> bool | None:
+        """Does the session catalog hold a non-temp entry for ``name``
+        whose storage location is THIS catalog's path for ``name``?
+        ``None`` = no such entry. Name match alone is not enough: an
+        unrelated managed table (or a second Catalog's table) may share
+        the lowercased identifier, and acting on it would destroy or
+        block someone else's data."""
+        if not any(
+            t.name == name.lower() and not t.isTemporary
+            for t in self.spark.catalog.listTables()
+        ):
+            return None
+        loc = None
+        for r in self.spark.sql(
+            f"DESCRIBE TABLE EXTENDED `{name.lower()}`"
+        ).collect():
+            if r.col_name == "Location":
+                loc = r.data_type
+                break
+        if not loc:
+            return False
+        if loc.startswith("file:"):
+            loc = loc[len("file:"):]
+        return os.path.realpath(loc) == os.path.realpath(self._path(name))
+
     # -- delete (S7) ---------------------------------------------------------
     def delete(self, name: str) -> bool:
         path = self._path(name)
         if not os.path.isdir(path):
             return False
         # a bucketed table also has session-catalog metadata; leaving it
-        # behind would make a later get_bucketed() read a dangling entry
-        # (same lowercase/temp-view matching rule as compact's guard)
+        # behind would make a later get_bucketed() read a dangling entry.
+        # Drop ONLY if the entry's location is this table's path — a
+        # name-only match may be an unrelated (even managed) table whose
+        # data a DROP would destroy.
         try:
-            if any(
-                t.name == name.lower() and not t.isTemporary
-                for t in self.spark.catalog.listTables()
-            ):
+            if self._session_entry_is_ours(name):
                 self.spark.sql(f"DROP TABLE IF EXISTS `{name.lower()}`")
         except Exception:
             pass  # no usable session catalog — path-only table
@@ -151,16 +175,13 @@ class Catalog:
         if target_file_bytes <= 0:
             raise ValueError(f"target_file_bytes must be > 0, got {target_file_bytes}")
         try:
-            # a session-catalog table with bucket metadata must not be
-            # rewritten as plain parquet: the catalog would still claim
-            # bucketed filenames and every later read would fail. Spark
-            # lowercases catalog identifiers, so compare lowercased; temp
-            # views carry no storage layout and must not block a
-            # path-only table that merely shares a name.
-            if any(
-                t.name == name.lower() and not t.isTemporary
-                for t in self.spark.catalog.listTables()
-            ):
+            # a session-catalog table with bucket metadata over THIS path
+            # must not be rewritten as plain parquet: the catalog would
+            # still claim bucketed filenames and every later read would
+            # fail. Location-checked (same rule as delete): an unrelated
+            # table that merely shares the lowercased name must not block
+            # compaction of a path-only table.
+            if self._session_entry_is_ours(name):
                 raise ValueError(
                     f"{name!r} is registered in the session catalog (bucketed "
                     "tables keep their layout metadata there) — compact would "

@@ -436,8 +436,11 @@ class NearDupIndex:
         self.catalog.put_bucketed(
             bk, self.buckets_table, self._BUCKET_KEYS, self.num_buckets
         )
-        self.catalog.put(
-            sh.groupBy("id").agg(F.count("*").alias("sz")), self.sizes_table
+        self.catalog.put_bucketed(
+            sh.groupBy("id").agg(F.count("*").alias("sz")),
+            self.sizes_table,
+            "id",
+            self.num_buckets,
         )
         untrack(sh)
 
@@ -459,7 +462,10 @@ class NearDupIndex:
         return self.catalog.get_bucketed(self.shingles_table)
 
     def _corpus_sizes(self) -> DataFrame:
-        return self.catalog.get(self.sizes_table)
+        """(id, sz) shingle-set sizes, BUCKETED on id — the Jaccard
+        denominator join and the retry have-set probe both key on id, so
+        neither re-shuffles the corpus-cardinality size table."""
+        return self.catalog.get_bucketed(self.sizes_table)
 
     def check(self, new_df: DataFrame) -> DataFrame:
         """Near-dup pairs (id_new, id_corpus, jaccard ≥ threshold) of a
@@ -572,9 +578,27 @@ class NearDupIndex:
             .localCheckpoint(eager=True)
         )
         dup_ids = pairs.select(F.col("id_new").alias("id")).distinct()
-        have_bk = bc.select("id").distinct()
-        have_sz = self._corpus_sizes().select("id").distinct()
-        have_sh = self._corpus_shingles().select("id").distinct()
+        # retry-idempotence have-sets: each anti-join only ever asks
+        # about BATCH ids, so restrict each corpus table to the batch's
+        # ids FIRST (broadcast semi-join — no Exchange above the corpus
+        # scan) instead of distinct-aggregating corpus-cardinality id
+        # sets per ingest. distinct() runs on ≤|batch| rows after the
+        # semi-join; sizes is one row per id already.
+        batch_ids = shn.select("id").distinct()
+        have_bk = (
+            bc.join(F.broadcast(batch_ids), "id", "left_semi")
+            .select("id")
+            .distinct()
+        )
+        have_sz = self._corpus_sizes().join(
+            F.broadcast(batch_ids), "id", "left_semi"
+        ).select("id")
+        have_sh = (
+            self._corpus_shingles()
+            .join(F.broadcast(batch_ids), "id", "left_semi")
+            .select("id")
+            .distinct()
+        )
         accepted_sh = shn.join(dup_ids, "id", "left_anti")
         self.catalog.append_bucketed(
             bn.join(dup_ids, "id", "left_anti").join(have_bk, "id", "left_anti"),
@@ -582,11 +606,13 @@ class NearDupIndex:
             self._BUCKET_KEYS,
             self.num_buckets,
         )
-        self.catalog.append(
+        self.catalog.append_bucketed(
             accepted_sh.groupBy("id")
             .agg(F.count("*").alias("sz"))
             .join(have_sz, "id", "left_anti"),
             self.sizes_table,
+            "id",
+            self.num_buckets,
         )
         self.catalog.append_bucketed(
             accepted_sh.join(have_sh, "id", "left_anti"),
@@ -614,10 +640,17 @@ class NearDupIndex:
         :meth:`ingest` and after the report append) — report rows alone
         cannot serve as the marker, because a batch that finds zero
         duplicate pairs appends zero report rows. A replayed epoch whose
-        marker exists is skipped entirely (idempotent); a replay of a
-        partially-applied epoch re-runs :meth:`ingest`, whose anti-joins
-        and self-pair filter heal the state tables without duplicating
-        or self-matching."""
+        marker exists is skipped entirely (idempotent). A replay that
+        finds report rows for the epoch but no marker crashed BETWEEN
+        the report append and the marker: everything in ingest's write
+        order (state tables → report) landed, so the replay writes only
+        the missing marker — re-running ingest there would duplicate the
+        epoch's report rows, and with the batch already in the corpus
+        the re-derived rows would even differ (intra-batch pairs
+        re-detect as corpus matches). Only a replay with NEITHER marker
+        nor report rows re-runs :meth:`ingest`, whose anti-joins and
+        self-pair filter heal the state tables without duplicating or
+        self-matching."""
 
         def _ingest_batch(batch_df: DataFrame, epoch_id: int) -> None:
             spark = batch_df.sparkSession
@@ -630,6 +663,24 @@ class NearDupIndex:
                 )
                 if done:
                     return  # epoch fully committed before the crash
+            marker = spark.createDataFrame(
+                [(int(epoch_id),)], "epoch_id bigint"
+            )
+            if self.catalog.exists(self.reports_table):
+                applied = (
+                    self.catalog.get(self.reports_table)
+                    .filter(F.col("epoch_id") == int(epoch_id))
+                    .limit(1)
+                    .count()
+                )
+                if applied:
+                    # state + report landed; only the marker is missing —
+                    # finish the commit instead of re-running the ingest
+                    if self.catalog.exists(self.epochs_table):
+                        self.catalog.append(marker, self.epochs_table)
+                    else:
+                        self.catalog.put(marker, self.epochs_table)
+                    return
             report = self.ingest(batch_df).withColumn(
                 "epoch_id", F.lit(epoch_id).cast("bigint")
             )
@@ -637,9 +688,6 @@ class NearDupIndex:
                 self.catalog.append(report, self.reports_table)
             else:
                 self.catalog.put(report, self.reports_table)
-            marker = spark.createDataFrame(
-                [(int(epoch_id),)], "epoch_id bigint"
-            )
             if self.catalog.exists(self.epochs_table):
                 self.catalog.append(marker, self.epochs_table)
             else:

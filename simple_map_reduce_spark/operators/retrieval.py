@@ -63,7 +63,13 @@ def bm25_topk(
     )
     all_terms = sorted({t for _, terms in queries for t in terms})
 
-    lengths = docs.select(F.col(id_col).alias("doc_id"), token_count(text_col).alias("dl"))
+    from ..cache import tracked_persist
+
+    # persisted: the stats aggregate AND the contribution join both read
+    # the per-doc lengths — one tokenization pass, not two
+    lengths = tracked_persist(
+        docs.select(F.col(id_col).alias("doc_id"), token_count(text_col).alias("dl"))
+    )
     stats = lengths.agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("sum_dl"),
@@ -72,8 +78,6 @@ def bm25_topk(
     # consume the posting lists — without the persist the corpus token
     # stream is exploded and filtered twice (released by the harness via
     # cache.release_tracked)
-    from ..cache import tracked_persist
-
     tf = tracked_persist(
         docs.select(
             F.col(id_col).alias("doc_id"), F.explode(tokenize(text_col)).alias("tok")
@@ -138,7 +142,14 @@ def bm25_oracle_sql(
     b: float = BM25_B,
 ) -> str:
     """DuckDB twin of :func:`bm25_topk` — same tokenizer, same idf/tf
-    expression tree, same integer quantization, same tiebreaks."""
+    expression tree, same integer quantization, same tiebreaks.
+
+    The ``k1+1`` factor is CAST to DOUBLE: a bare ``2.2`` literal types
+    as DECIMAL(2,1) in DuckDB, making ``tf·(k1+1)`` exact decimal where
+    Spark computes ``bigint·double`` (``3·2.2`` differs in the last bit)
+    — a latent quantization-boundary parity flake. Ratios are safe
+    as-is: DuckDB DECIMAL÷DECIMAL promotes to DOUBLE over exactly
+    representable x.5 operands, matching Spark's double division."""
     qvals = ", ".join(
         f"({qid}, '{t}')"
         for qid, terms in queries
@@ -167,7 +178,7 @@ def bm25_oracle_sql(
             SELECT tf.doc_id, tf.tok,
                    CAST(floor(
                        ln((s.n_docs - df_t.df + 0.5) / (df_t.df + 0.5) + 1.0)
-                       * (tf.tf * {k1 + 1.0!r})
+                       * (tf.tf * CAST({k1 + 1.0!r} AS DOUBLE))
                        / (tf.tf + {k1!r} * ({1.0 - b!r} + {b!r} * l.dl
                                             / (s.sum_dl / CAST(s.n_docs AS DOUBLE))))
                        * {BM25_SCALE} + 0.5) AS BIGINT) AS ci

@@ -567,7 +567,11 @@ def semdedup_prune(
     )
     corpus = _prep(emb, id_col, vec_col, "id", "vec", "vn")
     wa = Window.partitionBy("id").orderBy(F.col("csim").desc(), F.col("centroid_id"))
-    assigned = (
+    from ..cache import tracked_persist
+
+    # persisted: BOTH sides of the within-cluster self-join read the
+    # assignment — one broadcast-centroid pass over the corpus, not two
+    assigned = tracked_persist(
         corpus.crossJoin(F.broadcast(cents))
         .withColumn(
             "csim",

@@ -103,6 +103,23 @@ DECON_MOD = 20
 DECON_MIN_SHARED = 3
 # incremental ingest: every 10th doc plays "today's batch", the rest the corpus
 INCR_MOD = 10
+
+# one scratch catalog root per (index, sf input) per process: the
+# index-backed registry queries rebuild their tables on every call
+# (bench warmup + reps, driver re-runs) — rebuilding into the SAME root
+# overwrites in place (put_bucketed re-points the session entry cleanly),
+# so repeated invocations keep ONE corpus-sized copy on disk instead of
+# leaking a fresh mkdtemp per run
+_IDX_ROOTS: dict[tuple[str, str], str] = {}
+
+
+def _idx_root(prefix: str, sf_dir: str) -> str:
+    import tempfile
+
+    key = (prefix, sf_dir)
+    if key not in _IDX_ROOTS:
+        _IDX_ROOTS[key] = tempfile.mkdtemp(prefix=prefix)
+    return _IDX_ROOTS[key]
 # hot-bucket / posting-list skew cap, shared by the Spark queries AND the
 # oracle SQL (an oracle hardcoding what the query takes as a parameter is
 # the silent-divergence class flagged in round 3's advice)
@@ -413,13 +430,11 @@ def q_similarity_topk_ivf_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
     never re-assigns or re-norms (or shuffles) the corpus. Shares the
     recompute path's oracle: the index tables are materialized
     intermediates of identical math."""
-    import tempfile
-
     from .catalog import Catalog
     from .operators.similarity import IvfIndex
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cat = Catalog(spark, tempfile.mkdtemp(prefix="ivf_idx_reg_"))
+    cat = Catalog(spark, _idx_root("ivf_idx_reg_", sf_dir))
     idx = IvfIndex(
         cat,
         "ivf_idx_reg",
@@ -624,15 +639,13 @@ def q_incremental_neardup_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is byte-identical to ``incremental_neardup``'s: the index
     tables are just materialized intermediates of the same math, so this
     driver row verifies the production storage path end to end."""
-    import tempfile
-
     from .catalog import Catalog
     from .operators.dedup import NearDupIndex
 
     docs = load_table(spark, sf_dir, "documents")
     new = docs.filter(F.col("doc_id") % INCR_MOD == 0)
     corpus = docs.filter(F.col("doc_id") % INCR_MOD != 0)
-    cat = Catalog(spark, tempfile.mkdtemp(prefix="neardup_idx_reg_"))
+    cat = Catalog(spark, _idx_root("neardup_idx_reg_", sf_dir))
     idx = NearDupIndex(
         cat,
         "neardup_idx_reg",
@@ -1259,7 +1272,13 @@ def q_pretraining_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def pretraining_manifest_oracle() -> str:
+def pretraining_manifest_oracle(sem: bool = False) -> str:
+    """One builder for BOTH manifest oracles: the lexical-only pipeline
+    and (``sem=True``) the variant with the SemDeDup stage spliced
+    between the survivor CTE and the packing stages. A single source
+    keeps the split-bucket CASE, the token count, and the prefix-sum /
+    chunk SQL provably in lockstep between the two registered queries —
+    the only delta is the sem CTE chain + the surv2 NOT EXISTS filter."""
     from .functions.hashes import duckdb_md5_long60
 
     pre = f"""base AS (
@@ -1274,16 +1293,35 @@ def pretraining_manifest_oracle() -> str:
         acc += frac
         whens.append(f"WHEN {bucket} < {int(round(acc * 10000))} THEN '{label}'")
     split_case = f"CASE {' '.join(whens)} ELSE '{items[-1][0]}' END"
+    if sem:
+        sem_ctes, sem_pruned = _semdedup_ctes(
+            SEMDEDUP_K,
+            SEMDEDUP_ITERS,
+            SEMDEDUP_TAU,
+            vsrc="(SELECT e.vec_id, e.embedding FROM embeddings e "
+            "JOIN surv ON e.vec_id = surv.doc_id)",
+        )
+        sem_block = f"""{sem_ctes},
+        surv2 AS (
+            SELECT s.doc_id, s.lang, s.text
+            FROM surv s
+            WHERE NOT EXISTS (SELECT 1 FROM {sem_pruned} p
+                              WHERE p.vec_id = s.doc_id)),
+        """
+        final_surv = "surv2"
+    else:
+        sem_block = ""
+        final_surv = "surv"
     return f"""
         {_dedup_reach_cte("base", pre)},
-        surv AS (
+        surv AS MATERIALIZED (
             SELECT b.doc_id, b.lang, b.text
             FROM base b JOIN groups g USING (doc_id)
             WHERE g.group_id = b.doc_id),
-        labeled AS (
+        {sem_block}labeled AS (
             SELECT doc_id, lang, {split_case} AS split,
                    CAST(len({_TOK}) AS BIGINT) AS n_tokens
-            FROM surv),
+            FROM {final_surv}),
         s AS (
             SELECT doc_id, lang, split, n_tokens,
                    coalesce(sum(n_tokens) OVER (
@@ -1326,57 +1364,8 @@ def q_pretraining_manifest_sem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def pretraining_manifest_sem_oracle() -> str:
     """Manifest oracle + the SemDeDup CTE chain over the survivor-
-    restricted embedding set; the packing stages run on the doubly-
-    pruned corpus."""
-    from .functions.hashes import duckdb_md5_long60
-
-    pre = f"""base AS (
-            SELECT doc_id, lang, text
-            FROM ({_qf_counts_sql("doc_id, lang, text")})
-            WHERE {_qf_pass_where()}),
-        """
-    bucket = f"{duckdb_md5_long60('CAST(doc_id AS VARCHAR)')} % 10000"
-    items = list(SPLIT_FRACTIONS.items())
-    acc, whens = 0.0, []
-    for label, frac in items[:-1]:
-        acc += frac
-        whens.append(f"WHEN {bucket} < {int(round(acc * 10000))} THEN '{label}'")
-    split_case = f"CASE {' '.join(whens)} ELSE '{items[-1][0]}' END"
-    sem_ctes, sem_pruned = _semdedup_ctes(
-        SEMDEDUP_K,
-        SEMDEDUP_ITERS,
-        SEMDEDUP_TAU,
-        vsrc="(SELECT e.vec_id, e.embedding FROM embeddings e "
-        "JOIN surv ON e.vec_id = surv.doc_id)",
-    )
-    return f"""
-        {_dedup_reach_cte("base", pre)},
-        surv AS MATERIALIZED (
-            SELECT b.doc_id, b.lang, b.text
-            FROM base b JOIN groups g USING (doc_id)
-            WHERE g.group_id = b.doc_id),
-        {sem_ctes},
-        surv2 AS (
-            SELECT s.doc_id, s.lang, s.text
-            FROM surv s
-            WHERE NOT EXISTS (SELECT 1 FROM {sem_pruned} p
-                              WHERE p.vec_id = s.doc_id)),
-        labeled AS (
-            SELECT doc_id, lang, {split_case} AS split,
-                   CAST(len({_TOK}) AS BIGINT) AS n_tokens
-            FROM surv2),
-        s AS (
-            SELECT doc_id, lang, split, n_tokens,
-                   coalesce(sum(n_tokens) OVER (
-                       PARTITION BY lang, split ORDER BY doc_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                       AS start
-            FROM labeled)
-        SELECT doc_id, lang, split, n_tokens,
-               CAST(start // 512 AS BIGINT) AS chunk_id,
-               CAST(start % 512 AS BIGINT) AS chunk_offset
-        FROM s
-    """
+    restricted embedding set (see :func:`pretraining_manifest_oracle`)."""
+    return pretraining_manifest_oracle(sem=True)
 
 
 def q_streaming_hourly_users(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -150,3 +150,38 @@ def test_delete_drops_bucketed_metadata(cat, spark):
     )
     with _pytest.raises(Exception):
         cat.get_bucketed("bktdel").count()
+
+
+def test_delete_spares_unrelated_table_sharing_the_name(cat, spark, tmp_path):
+    """A session-catalog table that merely shares the lowercased name —
+    registered by someone else, data elsewhere — must survive delete():
+    the DROP is location-checked, not name-matched (a name-only match
+    would destroy the unrelated table's data)."""
+    other_dir = str(tmp_path / "elsewhere" / "clash_t")
+    spark.createDataFrame([(1,)], ["v"]).write.mode("overwrite").option(
+        "path", other_dir
+    ).format("parquet").saveAsTable("clash_t")
+    try:
+        cat.put(spark.createDataFrame([(2,)], ["v"]), "clash_t")
+        assert cat.delete("clash_t") is True
+        # our path-only copy is gone; the unrelated table is untouched
+        assert not cat.exists("clash_t")
+        assert [r.v for r in spark.table("clash_t").collect()] == [1]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS clash_t")
+
+
+def test_compact_proceeds_past_unrelated_name_clash(cat, spark, tmp_path):
+    """compact() of a path-only table must not be blocked by an
+    unrelated session-catalog table sharing the name (the guard is for
+    OUR bucketed layout, which lives at this catalog's path)."""
+    other_dir = str(tmp_path / "elsewhere" / "clash_c")
+    spark.createDataFrame([(1,)], ["v"]).write.mode("overwrite").option(
+        "path", other_dir
+    ).format("parquet").saveAsTable("clash_c")
+    try:
+        cat.put(spark.createDataFrame([(2,)], ["v"]), "clash_c")
+        assert cat.compact("clash_c") >= 1
+        assert [r.v for r in cat.get("clash_c").collect()] == [2]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS clash_c")

@@ -411,3 +411,43 @@ def test_neardup_index_stream_marks_clean_epochs(spark, tmp_path):
     assert marked == {0, 1}  # BOTH epochs committed, the clean one too
     reported = {r.epoch_id for r in cat.get(idx.reports_table).collect()}
     assert len(reported) == 1  # only the duplicate-bearing batch reported
+
+
+def test_neardup_index_stream_replay_after_report_before_marker(spark, tmp_path):
+    """Crash window between the report append and the marker write: the
+    replayed epoch must finish the commit (write the marker) WITHOUT
+    re-running the ingest — a re-run would duplicate the epoch's report
+    rows, and with the batch already in the corpus the re-derived rows
+    would even differ (intra-batch pairs re-detect as corpus matches)."""
+    import shutil
+
+    from simple_map_reduce_spark.catalog import Catalog
+    from simple_map_reduce_spark.operators.dedup import NearDupIndex
+
+    cat = Catalog(spark, str(tmp_path / "wh6"))
+    idx = NearDupIndex(cat, "replayix", threshold=0.3)
+    idx.build(spark.createDataFrame([(1, BASE)], "doc_id bigint, text string"))
+
+    batch_rows = [(10, BASE), (11, "wholly novel words that match nothing")]
+    batch = spark.createDataFrame(batch_rows, "doc_id bigint, text string")
+    # replicate _ingest_batch up to (and including) the report append for
+    # epoch 0, then "crash" before the marker write
+    report = idx.ingest(batch).withColumn(
+        "epoch_id", F.lit(0).cast("bigint")
+    )
+    cat.put(report, idx.reports_table)
+    pre_report = sorted(map(tuple, cat.get(idx.reports_table).collect()))
+    assert pre_report  # the dup-bearing batch produced report rows
+
+    src = tmp_path / "stream-src3"
+    src.mkdir()
+    out = tmp_path / "stage3-a"
+    batch.coalesce(1).write.parquet(str(out))
+    part = next(p for p in out.iterdir() if p.name.endswith(".parquet"))
+    shutil.move(str(part), str(src / "a.parquet"))
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(str(src))
+    idx.ingest_stream(stream, str(tmp_path / "ckpt3"))  # replays epoch 0
+
+    post_report = sorted(map(tuple, cat.get(idx.reports_table).collect()))
+    assert post_report == pre_report  # no duplicated / mutated rows
+    assert {r.epoch_id for r in cat.get(idx.epochs_table).collect()} == {0}
