@@ -113,8 +113,10 @@ EXTENDED_QUERIES = [
     "similarity_topk_ivf_idx",
     "bm25_topk",
     # r5: cluster-then-prune semantic dedup + the pipeline composing it
+    # + the index-backed incremental semantic check
     "semdedup_prune",
     "pretraining_manifest_sem",
+    "embedding_neardup_idx",
 ]
 
 

@@ -795,3 +795,76 @@ class IvfIndex:
                 F.col("rank").cast("bigint").alias("rank"),
             )
         )
+
+    def neardup_check(self, batch_emb: DataFrame, tau: float) -> DataFrame:
+        """Incremental SEMANTIC near-dup check of a new batch against the
+        standing index — the SemDeDup counterpart of
+        :meth:`~..dedup.NearDupIndex.check`: each batch vector is
+        assigned to its nearest stored centroid (broadcast, k rows) and
+        compared against ONLY that cluster's stored members.
+
+        Candidate funnel mirrors :meth:`search_ids`: the bucketed
+        assignment table supplies the cluster posting lists with no
+        Exchange above the corpus scan (the batch side broadcasts onto
+        it), and the exact-cosine verify joins the bucketed vector table
+        on the candidate side only — per-check cost ∝ |batch| × cluster
+        population, never |corpus|²; the corpus is never re-assigned,
+        re-normed, or shuffled.
+
+        Returns (vec_id, centroid_id, kept_id, sim): one row per batch
+        vector with a same-cluster corpus neighbor at cos ≥ ``tau``;
+        ``kept_id`` is the smallest such corpus id (the repo's min-id
+        exemplar convention), ``sim`` its 6-decimal-rounded cosine.
+        """
+        cents = F.broadcast(self.catalog.get(self.centroids_table))
+        vectors = self.catalog.get_bucketed(self.vectors_table)
+        assign = self.catalog.get_bucketed(self.assign_table)
+        batch = _prep(
+            batch_emb, self.id_col, self.vec_col, "vec_id", "bvec", "bn",
+            spread=False,
+        )
+        wa = Window.partitionBy("vec_id").orderBy(
+            F.col("csim").desc(), F.col("centroid_id")
+        )
+        bassign = (
+            batch.crossJoin(cents)
+            .withColumn(
+                "csim",
+                F.round(
+                    dot(F.col("bvec"), F.col("cvec")) / (F.col("bn") * F.col("cn")),
+                    6,
+                ),
+            )
+            .withColumn("rn", F.row_number().over(wa))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "bvec", "bn", "centroid_id")
+        )
+        cand = (
+            assign.join(F.broadcast(bassign), "centroid_id")
+            .withColumnRenamed("id", "cid")
+            .filter(F.col("cid") != F.col("vec_id"))
+        )
+        nb = vectors.select(
+            F.col("id").alias("cid"),
+            F.col("vec").alias("nvec"),
+            F.col("vn").alias("nn"),
+        )
+        scored = (
+            cand.join(nb, "cid")
+            .withColumn(
+                "sim",
+                F.round(
+                    dot(F.col("bvec"), F.col("nvec")) / (F.col("bn") * F.col("nn")),
+                    6,
+                ),
+            )
+            .filter(F.col("sim") >= F.lit(tau))
+        )
+        exemplar = F.min(
+            F.struct(F.col("cid").alias("kept_id"), F.col("sim").alias("sim"))
+        ).alias("m")
+        return (
+            scored.groupBy("vec_id", "centroid_id")
+            .agg(exemplar)
+            .select("vec_id", "centroid_id", F.col("m.kept_id"), F.col("m.sim"))
+        )

@@ -249,12 +249,13 @@ QUERIES: dict[str, QueryFn] = {
 #
 # Round 5 window = everything whose behavior OR implementation changed
 # this round (the new BPE-training pair, the catalog-backed bucketed
-# incremental-check query, the new SemDeDup / q2-shape / q11-shape
-# queries, the streaming_hourly_users event-time-dedup restructure, the
+# incremental-check query, the new SemDeDup / semantic-manifest /
+# index-backed-semantic-check / q2-shape / q11-shape / BM25 queries, the
+# streaming_hourly_users event-time-dedup restructure, the
 # pipelines-delegation refactor of the pair-set consumers, the shared
 # _asymmetric_neardup_check sizes parameter) + the remaining 32 r2-dated
-# rows (closing the freshness rotation round 4 started) + the 4
-# alphabetically-first r3-dated rows.
+# rows (closing the freshness rotation round 4 started) + the 3
+# alphabetically-first r3-dated rows (the rest rotate in r6).
 _CHANGED_THIS_ROUND = [
     # r5: NEW queries ship their behavior this round
     "bpe_train",
@@ -263,6 +264,7 @@ _CHANGED_THIS_ROUND = [
     "similarity_topk_ivf_idx",
     "bm25_topk",
     "semdedup_prune",
+    "embedding_neardup_idx",
     "min_cost_supplier",
     "top_value_parts",
     "pretraining_manifest_sem",
@@ -316,7 +318,6 @@ _ROTATION_FRONT = [
     "audio_features",
     "big_orders",
     "column_filter",
-    "corpus_prep",
 ]
 assert len(_ROTATION_FRONT) == 50
 assert set(_ROTATION_FRONT) <= set(QUERIES)

@@ -445,6 +445,28 @@ def q_similarity_topk_ivf_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.search_ids(SIM_QUERY_IDS, k=SIM_K)
 
 
+def q_embedding_neardup_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SEMANTIC near-dup check against the standing IVF index
+    (operators.similarity.IvfIndex.neardup_check) — the embedding-space
+    twin of ``incremental_neardup_idx``: the same 1-in-10 batch/corpus
+    split, the corpus held as the catalog-persisted bucketed index
+    (centroids broadcast, cluster posting lists read pre-partitioned, the
+    batch side broadcast into them), each batch vector compared against
+    ONLY its nearest cluster's members. The oracle recomputes the
+    seed-centroid assignment + within-cluster compare in SQL — the index
+    tables are materialized intermediates of identical math."""
+    from .catalog import Catalog
+    from .operators.similarity import IvfIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    new = emb.filter(F.col("vec_id") % INCR_MOD == 0)
+    corpus = emb.filter(F.col("vec_id") % INCR_MOD != 0)
+    cat = Catalog(spark, _idx_root("semdup_idx_reg_", sf_dir))
+    idx = IvfIndex(cat, "semdup_idx_reg", n_centroids=SEMDEDUP_K)
+    idx.build(corpus)
+    return idx.neardup_check(new, SEMDEDUP_TAU).orderBy("vec_id")
+
+
 def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RHP-LSH ANN tier (the other scale path besides IVF): candidates
     from signature hamming balls, exact rescoring on candidates only.
@@ -2301,6 +2323,54 @@ def similarity_topk_ivf_oracle() -> str:
     """
 
 
+def embedding_neardup_idx_oracle(
+    k: int = SEMDEDUP_K, tau: float = SEMDEDUP_TAU
+) -> str:
+    """DuckDB twin of ``IvfIndex.neardup_check`` over the 1-in-10 split:
+    id-ordered seed centroids FROM THE CORPUS SUBSET, rounded-sim
+    assignment of corpus and batch (centroid_id tiebreak), within-cluster
+    exact compare, min-id exemplar (``arg_min`` carries its cosine)."""
+    return f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        corp AS (SELECT * FROM v WHERE vec_id % {INCR_MOD} != 0),
+        bat AS (SELECT * FROM v WHERE vec_id % {INCR_MOD} = 0),
+        cent AS (SELECT vec_id AS centroid_id, vec AS cvec
+                 FROM corp ORDER BY vec_id LIMIT {k}),
+        asgc AS (
+            SELECT id, centroid_id FROM (
+                SELECT c2.vec_id AS id, centroid_id,
+                       row_number() OVER (
+                           PARTITION BY c2.vec_id
+                           ORDER BY {_cos_sql('c2.vec', 'cvec')} DESC, centroid_id)
+                           AS rn
+                FROM corp c2, cent)
+            WHERE rn = 1),
+        asgb AS (
+            SELECT vec_id, centroid_id FROM (
+                SELECT b.vec_id, centroid_id,
+                       row_number() OVER (
+                           PARTITION BY b.vec_id
+                           ORDER BY {_cos_sql('b.vec', 'cvec')} DESC, centroid_id)
+                           AS rn
+                FROM bat b, cent)
+            WHERE rn = 1),
+        scored AS (
+            SELECT b.vec_id, b.centroid_id, a.id AS cid,
+                   {_cos_sql('q.vec', 'c.vec')} AS sim
+            FROM asgb b
+            JOIN asgc a ON b.centroid_id = a.centroid_id
+            JOIN v q ON b.vec_id = q.vec_id
+            JOIN v c ON a.id = c.vec_id)
+        SELECT vec_id, centroid_id,
+               min(cid) AS kept_id,
+               arg_min(sim, cid) AS sim
+        FROM scored
+        WHERE sim >= {tau}
+        GROUP BY 1, 2
+        ORDER BY vec_id
+    """
+
+
 def repetition_signals_oracle() -> str:
     """Same gram positions (1-indexed ranges), same distinct/mode math."""
     return rf"""
@@ -2539,6 +2609,7 @@ EXT_QUERIES = {
     "ivf_refined_centroids": q_ivf_refined_centroids,
     "ivf_refined_topk": q_ivf_refined_topk,
     "semdedup_prune": q_semdedup,
+    "embedding_neardup_idx": q_embedding_neardup_idx,
     "quality_filter": q_quality_filter,
     "streaming_hourly_users": q_streaming_hourly_users,
     "pretraining_manifest": q_pretraining_manifest,
@@ -2638,6 +2709,7 @@ EXT_ORACLES = {
     "ivf_refined_centroids": ivf_refined_centroids_oracle(),
     "ivf_refined_topk": ivf_refined_topk_oracle(),
     "semdedup_prune": semdedup_oracle(),
+    "embedding_neardup_idx": embedding_neardup_idx_oracle(),
     "quality_filter": quality_filter_oracle(),
     "pretraining_manifest": pretraining_manifest_oracle(),
     "pretraining_manifest_sem": pretraining_manifest_sem_oracle(),

@@ -399,3 +399,82 @@ def test_semdedup_deterministic_under_repartition(spark):
     a = sorted(map(tuple, semdedup_prune(emb, 2, 2, 0.9).collect()))
     b = sorted(map(tuple, semdedup_prune(emb.repartition(5), 2, 2, 0.9).collect()))
     assert a == b and len(a) == 6
+
+
+def test_ivf_index_neardup_check_semantics(spark, tmp_path):
+    """Semantic incremental check against the standing index: batch
+    vectors match ONLY same-cluster corpus members at cos ≥ tau, with
+    the min-id corpus exemplar — and never match across clusters."""
+    from simple_map_reduce_spark.catalog import Catalog
+    from simple_map_reduce_spark.operators.similarity import IvfIndex
+
+    corpus = _clustered_emb(spark)  # ids 0..7, two tight clusters
+    batch = spark.createDataFrame(
+        [
+            (100, [0.96, 0.03, 0.0, 0.0]),  # x-cluster near-dup
+            (101, [0.03, 0.96, 0.0, 0.0]),  # y-cluster near-dup
+            (102, [0.0, 0.0, 1.0, 0.0]),    # orthogonal — matches nothing
+        ],
+        ["vec_id", "embedding"],
+    )
+    cat = Catalog(spark, str(tmp_path / "ndwh"))
+    idx = IvfIndex(cat, "nd_t", n_centroids=2)
+    idx.build(corpus)
+    out = {r.vec_id: (r.kept_id, r.sim) for r in idx.neardup_check(batch, 0.9).collect()}
+    assert set(out) == {100, 101}
+    # min-id exemplar within the matched cluster: x-cluster {0,2,3,6} → 0,
+    # y-cluster {1,4,5,7} → 1
+    assert out[100][0] == 0 and out[101][0] == 1
+    assert out[100][1] >= 0.9 and out[101][1] >= 0.9
+    # impossible threshold → empty
+    assert idx.neardup_check(batch, 1.01).count() == 0
+
+
+def test_ivf_index_neardup_check_corpus_side_no_exchange(spark, tmp_path):
+    """The stored-index guarantee extends to neardup_check: the batch
+    side broadcasts into the bucketed posting/vector scans — no Exchange
+    above any corpus-sized scan."""
+    from simple_map_reduce_spark.catalog import Catalog
+    from simple_map_reduce_spark.operators.similarity import IvfIndex
+    from simple_map_reduce_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+    from tests.test_dedup import _scan_ancestries
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cat = Catalog(spark, str(tmp_path / "ndwh2"))
+    idx = IvfIndex(cat, "nd_p", n_centroids=8)
+    idx.build(emb)
+    batch = emb.filter(F.col("vec_id") < 3).withColumn(
+        "vec_id", F.col("vec_id") + 1000
+    )
+    # disable auto-broadcast while PLANNING: at toy scale the planner
+    # would broadcast the (small) corpus tables themselves, which hides
+    # the bucketed layout this test pins; the explicit F.broadcast hint
+    # on the batch side survives the conf (same idiom as the search test)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            idx.neardup_check(batch, 0.3)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    for token in ("__assign", "__vectors"):
+        chains = _scan_ancestries(plan, token)
+        assert chains, f"no {token} scan in plan"
+        scans = [l for l in plan.splitlines() if "FileScan" in l and token in l]
+        assert all("Bucketed: true" in l for l in scans), scans
+        for chain in chains:
+            joined = next(
+                (k for k, l in enumerate(chain)
+                 if "Join" in l or "HashAggregate" in l),
+                len(chain),
+            )
+            shuffled = next(
+                (k for k, l in enumerate(chain) if "Exchange" in l), len(chain)
+            )
+            assert joined < shuffled, "\n".join(chain[: shuffled + 1])
