@@ -238,6 +238,58 @@ def duckdb_rhp_bucket(vec_expr: str, planes: int = 12, dims: int = 64) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def _nearest_centroid(
+    prepped: DataFrame,
+    centroids: DataFrame,
+    id_alias: str = "id",
+    vec_alias: str = "vec",
+    n_alias: str = "vn",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Broadcast nearest-centroid assignment over a prepped
+    (id, vec, norm) frame: cosine ROUNDED TO 6 DECIMALS, centroid_id
+    tiebreak, rank-1 row per vector. This is THE single definition of
+    the assignment contract — ivf_assign, kmeans_refine's Lloyd rounds,
+    semdedup_prune, and IvfIndex.neardup_check all call it, and every
+    centroid oracle replays exactly this expression — so the
+    determinism-critical rounding/tiebreak cannot desynchronize between
+    consumers. Returns (id, centroid_id, *keep)."""
+    w = Window.partitionBy(id_alias).orderBy(
+        F.col("__asim").desc(), F.col("centroid_id")
+    )
+    return (
+        prepped.crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "__asim",
+            F.round(
+                dot(F.col(vec_alias), F.col("cvec")) / (F.col(n_alias) * F.col("cn")),
+                6,
+            ),
+        )
+        .withColumn("__arn", F.row_number().over(w))
+        .filter(F.col("__arn") == 1)
+        .select(id_alias, "centroid_id", *keep)
+    )
+
+
+def _min_id_exemplar(
+    scored: DataFrame, out_id: str, kept_col: str, sim_col: str
+) -> DataFrame:
+    """(out_id, centroid_id, kept_id, sim): the smallest matching id per
+    (out_id, centroid_id) group with its cosine, via ``min(struct)`` —
+    ids are unique within a group, so the aggregate is deterministic.
+    Shared by semdedup_prune and IvfIndex.neardup_check (the oracles'
+    ``min``/``arg_min`` pair is its SQL twin)."""
+    m = F.min(
+        F.struct(F.col(kept_col).alias("kept_id"), F.col(sim_col).alias("sim"))
+    ).alias("m")
+    return (
+        scored.groupBy(out_id, "centroid_id")
+        .agg(m)
+        .select(out_id, "centroid_id", F.col("m.kept_id"), F.col("m.sim"))
+    )
+
+
 def ivf_assign(
     emb: DataFrame,
     n_centroids: int = 16,
@@ -259,22 +311,13 @@ def ivf_assign(
     ranking, so the assignment is bit-stable across engines — the oracle
     SQL reproduces it exactly.
     """
-    w = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
     if centroids is None:
         centroids = _prep(
             emb.orderBy(id_col).limit(n_centroids), id_col, vec_col,
             "centroid_id", "cvec", "cn", spread=False,
         )
-    assignment = (
-        _prep(emb, id_col, vec_col, "id", "vec", "vn")
-        .crossJoin(F.broadcast(centroids))
-        .withColumn(
-            "sim",
-            F.round(dot(F.col("vec"), F.col("cvec")) / (F.col("vn") * F.col("cn")), 6),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("id", "centroid_id")
+    assignment = _nearest_centroid(
+        _prep(emb, id_col, vec_col, "id", "vec", "vn"), centroids
     )
     return centroids.select("centroid_id", "cvec", "cn"), assignment
 
@@ -495,19 +538,9 @@ def kmeans_refine(
         emb.orderBy(id_col).limit(n_centroids), id_col, vec_col,
         "centroid_id", "cvec", "cn", spread=False,
     ).select("centroid_id", "cvec", "cn")
-    w = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
     for _ in range(iters):
-        assigned = (
-            corpus.crossJoin(F.broadcast(centroids))
-            .withColumn(
-                "sim",
-                F.round(
-                    dot(F.col("vec"), F.col("cvec")) / (F.col("vn") * F.col("cn")), 6
-                ),
-            )
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("centroid_id", "vec")
+        assigned = _nearest_centroid(corpus, centroids, keep=("vec",)).select(
+            "centroid_id", "vec"
         )
         comp = assigned.select(
             "centroid_id", F.posexplode("vec").alias("dim", "val")
@@ -566,20 +599,12 @@ def semdedup_prune(
         else kmeans_refine(emb, n_centroids, iters, id_col, vec_col)
     )
     corpus = _prep(emb, id_col, vec_col, "id", "vec", "vn")
-    wa = Window.partitionBy("id").orderBy(F.col("csim").desc(), F.col("centroid_id"))
     from ..cache import tracked_persist
 
     # persisted: BOTH sides of the within-cluster self-join read the
     # assignment — one broadcast-centroid pass over the corpus, not two
     assigned = tracked_persist(
-        corpus.crossJoin(F.broadcast(cents))
-        .withColumn(
-            "csim",
-            F.round(dot(F.col("vec"), F.col("cvec")) / (F.col("vn") * F.col("cn")), 6),
-        )
-        .withColumn("rn", F.row_number().over(wa))
-        .filter(F.col("rn") == 1)
-        .select("id", "centroid_id", "vec", "vn")
+        _nearest_centroid(corpus, cents, keep=("vec", "vn"))
     )
     left = assigned.select(
         F.col("id").alias("vec_id"),
@@ -607,14 +632,7 @@ def semdedup_prune(
         )
         .filter(F.col("psim") >= F.lit(tau))
     )
-    exemplar = F.min(
-        F.struct(F.col("j_id").alias("kept_id"), F.col("psim").alias("sim"))
-    ).alias("m")
-    return (
-        pairs.groupBy("vec_id", "centroid_id")
-        .agg(exemplar)
-        .select("vec_id", "centroid_id", F.col("m.kept_id"), F.col("m.sim"))
-    )
+    return _min_id_exemplar(pairs, "vec_id", "j_id", "psim")
 
 
 def cosine_topk_lsh(
@@ -816,28 +834,16 @@ class IvfIndex:
         ``kept_id`` is the smallest such corpus id (the repo's min-id
         exemplar convention), ``sim`` its 6-decimal-rounded cosine.
         """
-        cents = F.broadcast(self.catalog.get(self.centroids_table))
+        cents = self.catalog.get(self.centroids_table)
         vectors = self.catalog.get_bucketed(self.vectors_table)
         assign = self.catalog.get_bucketed(self.assign_table)
         batch = _prep(
             batch_emb, self.id_col, self.vec_col, "vec_id", "bvec", "bn",
             spread=False,
         )
-        wa = Window.partitionBy("vec_id").orderBy(
-            F.col("csim").desc(), F.col("centroid_id")
-        )
-        bassign = (
-            batch.crossJoin(cents)
-            .withColumn(
-                "csim",
-                F.round(
-                    dot(F.col("bvec"), F.col("cvec")) / (F.col("bn") * F.col("cn")),
-                    6,
-                ),
-            )
-            .withColumn("rn", F.row_number().over(wa))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "bvec", "bn", "centroid_id")
+        bassign = _nearest_centroid(
+            batch, cents, id_alias="vec_id", vec_alias="bvec", n_alias="bn",
+            keep=("bvec", "bn"),
         )
         cand = (
             assign.join(F.broadcast(bassign), "centroid_id")
@@ -860,11 +866,4 @@ class IvfIndex:
             )
             .filter(F.col("sim") >= F.lit(tau))
         )
-        exemplar = F.min(
-            F.struct(F.col("cid").alias("kept_id"), F.col("sim").alias("sim"))
-        ).alias("m")
-        return (
-            scored.groupBy("vec_id", "centroid_id")
-            .agg(exemplar)
-            .select("vec_id", "centroid_id", F.col("m.kept_id"), F.col("m.sim"))
-        )
+        return _min_id_exemplar(scored, "vec_id", "cid", "sim")
