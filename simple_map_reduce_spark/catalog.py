@@ -247,6 +247,10 @@ class Catalog:
             .option("path", self._path(name))
             .saveAsTable(name)
         )
+        # same cross-session staleness guard as append_bucketed: a
+        # rebuild executed from a cloned session must invalidate THIS
+        # session's cached relation too
+        self.spark.catalog.refreshTable(name)
 
     def append_bucketed(
         self,
@@ -271,6 +275,14 @@ class Catalog:
             .option("path", self._path(name))
             .saveAsTable(name)
         )
+        # the write may run through a DIFFERENT SparkSession than this
+        # catalog's (foreachBatch hands each micro-batch a CLONED
+        # session): the writer invalidates the WRITING session's relation
+        # cache only, so without this refresh the catalog session keeps
+        # serving the pre-append file listing — streaming ingest epoch
+        # N+1 would silently not see epoch N's admissions
+        # (tests/test_similarity.py::...cross_epoch, test_dedup twin).
+        self.spark.catalog.refreshTable(name)
 
     def get_bucketed(self, name: str) -> DataFrame:
         """Read a bucketed table through the session catalog (bucket

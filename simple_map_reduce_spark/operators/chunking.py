@@ -1,0 +1,105 @@
+"""Overlapping token-window chunking [EXT] — the RAG ingestion step
+(split every document into fixed-size, fixed-stride token windows for
+embedding + retrieval; LangChain/LlamaIndex call it a "token splitter").
+
+No reference counterpart (SURVEY.md §2.11): a retrieval pipeline over a
+100 TB corpus chunks BEFORE embedding, and the chunk table (not the doc
+table) is what the ANN tier indexes — this operator produces that table.
+
+Scale shape: entirely **scan-local** — the window arithmetic, slicing,
+and re-join are `transform`/`slice` over the bound token array; zero
+shuffles, zero UDFs, output rows ∝ input tokens / stride. The chunk
+count per doc is exact integer math (no float ceil): for n tokens,
+``1 + floor((n - size + stride - 1) / stride)`` windows when n > size,
+else one.
+
+Tokenizer: ``functions.text.ws_tokens`` (whitespace, case-preserving) —
+the exact-reassembly tokenizer span dedup uses, so a single-space rejoin
+of a chunk reproduces the original text run. One definition shared with
+the DuckDB oracle (``regexp_extract_all(text, '\\S+')``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import ws_tokens
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 16
+
+
+def token_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """Explode each document into overlapping token windows.
+
+    Returns (doc_id, chunk_id, n_tokens, chunk_text): ``chunk_id`` is
+    the 0-based window index, window *i* covers tokens
+    ``[i·stride, i·stride + chunk_tokens)``; the last window may be
+    short. Empty documents emit one empty chunk (chunk_id 0, n_tokens 0)
+    so every doc appears in the chunk table.
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    if stride > chunk_tokens:
+        raise ValueError("stride > chunk_tokens would drop tokens between windows")
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"), ws_tokens(text_col).alias("_toks")
+    ).withColumns(
+        {
+            "_n": F.size("_toks").cast("bigint"),
+            # bigint DIV, never double division (the ADVICE-r4 chunk-math
+            # fix class): floor(a/b) on a double quotient can round up
+            # across the integer boundary
+            "_nc": F.expr(
+                f"CASE WHEN _n <= {chunk_tokens} THEN CAST(1 AS BIGINT) "
+                f"ELSE 1 + (_n - {chunk_tokens} + {stride} - 1) DIV {stride} END"
+            ),
+        }
+    )
+    t = F.col("_toks")
+    n = F.col("_n")
+    w, s = F.lit(chunk_tokens), F.lit(stride)
+    chunks = F.transform(
+        F.sequence(F.lit(0), (F.col("_nc") - F.lit(1)).cast("int")),
+        lambda i: F.struct(
+            i.cast("bigint").alias("chunk_id"),
+            F.greatest(
+                F.lit(0), F.least(w, n - i * s)
+            ).cast("bigint").alias("n_tokens"),
+            F.concat_ws(" ", F.slice(t, i * s + F.lit(1), w)).alias("chunk_text"),
+        ),
+    )
+    return toked.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id", "c.chunk_id", "c.n_tokens", "c.chunk_text"
+    )
+
+
+def token_chunks_oracle_sql(
+    chunk_tokens: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE
+) -> str:
+    """DuckDB twin of :func:`token_chunks` — same tokenizer, same
+    integer window arithmetic, same inclusive 1-based slicing."""
+    w, s = chunk_tokens, stride
+    return rf"""
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(text, '\S+') AS t,
+                   CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n
+            FROM documents),
+        base AS (
+            SELECT doc_id, t, n,
+                   CASE WHEN n <= {w} THEN 1
+                        ELSE 1 + (n - {w} + {s} - 1) // {s} END AS nc
+            FROM toks)
+        SELECT doc_id,
+               CAST(i AS BIGINT) AS chunk_id,
+               CAST(greatest(0, least({w}, n - i * {s})) AS BIGINT) AS n_tokens,
+               array_to_string(t[i * {s} + 1 : i * {s} + {w}], ' ') AS chunk_text
+        FROM (SELECT doc_id, t, n, unnest(range(0, nc)) AS i FROM base)
+    """

@@ -633,73 +633,22 @@ class NearDupIndex:
         Uses Trigger.AvailableNow: processes what exists, then stops
         (drop the trigger for a long-running continuous ingest).
 
-        Replay safety: ``foreachBatch`` is at-least-once — a crash after
-        the batch commits but before the checkpoint does re-delivers the
-        same epoch. The commit marker is an explicit per-epoch row in
-        ``{name}__epochs``, written LAST (after the corpus appends inside
-        :meth:`ingest` and after the report append) — report rows alone
-        cannot serve as the marker, because a batch that finds zero
-        duplicate pairs appends zero report rows. A replayed epoch whose
-        marker exists is skipped entirely (idempotent). A replay that
-        finds report rows for the epoch but no marker crashed BETWEEN
-        the report append and the marker: everything in ingest's write
-        order (state tables → report) landed, so the replay writes only
-        the missing marker — re-running ingest there would duplicate the
-        epoch's report rows, and with the batch already in the corpus
-        the re-derived rows would even differ (intra-batch pairs
-        re-detect as corpus matches). Only a replay with NEITHER marker
-        nor report rows re-runs :meth:`ingest`, whose anti-joins and
-        self-pair filter heal the state tables without duplicating or
-        self-matching."""
+        Replay safety: the marker-last epoch-commit protocol, shared
+        with :meth:`~..similarity.IvfIndex.ingest_stream` — see
+        :mod:`..streaming.ingest` for the full at-least-once argument
+        (skip on marker, top-up marker on report-without-marker, re-run
+        only on neither; :meth:`ingest`'s anti-joins heal
+        partially-written state)."""
+        from ..streaming.ingest import run_epoch_idempotent_ingest
 
-        def _ingest_batch(batch_df: DataFrame, epoch_id: int) -> None:
-            spark = batch_df.sparkSession
-            if self.catalog.exists(self.epochs_table):
-                done = (
-                    self.catalog.get(self.epochs_table)
-                    .filter(F.col("epoch_id") == int(epoch_id))
-                    .limit(1)
-                    .count()
-                )
-                if done:
-                    return  # epoch fully committed before the crash
-            marker = spark.createDataFrame(
-                [(int(epoch_id),)], "epoch_id bigint"
-            )
-            if self.catalog.exists(self.reports_table):
-                applied = (
-                    self.catalog.get(self.reports_table)
-                    .filter(F.col("epoch_id") == int(epoch_id))
-                    .limit(1)
-                    .count()
-                )
-                if applied:
-                    # state + report landed; only the marker is missing —
-                    # finish the commit instead of re-running the ingest
-                    if self.catalog.exists(self.epochs_table):
-                        self.catalog.append(marker, self.epochs_table)
-                    else:
-                        self.catalog.put(marker, self.epochs_table)
-                    return
-            report = self.ingest(batch_df).withColumn(
-                "epoch_id", F.lit(epoch_id).cast("bigint")
-            )
-            if self.catalog.exists(self.reports_table):
-                self.catalog.append(report, self.reports_table)
-            else:
-                self.catalog.put(report, self.reports_table)
-            if self.catalog.exists(self.epochs_table):
-                self.catalog.append(marker, self.epochs_table)
-            else:
-                self.catalog.put(marker, self.epochs_table)
-
-        q = (
-            stream_df.writeStream.foreachBatch(_ingest_batch)
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
+        run_epoch_idempotent_ingest(
+            stream_df,
+            checkpoint_dir,
+            self.catalog,
+            self.reports_table,
+            self.epochs_table,
+            self.ingest,
         )
-        q.awaitTermination()
 
 
 # ---------------------------------------------------------------------------

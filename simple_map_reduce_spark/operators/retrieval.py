@@ -200,3 +200,203 @@ def bm25_oracle_sql(
             FROM scored)
         SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion + hard-negative mining
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # Cormack et al. SIGIR'09 smoothing constant
+
+
+def rrf_fuse(
+    run_a: DataFrame, run_b: DataFrame, k: int = 10, k_rrf: int = RRF_K
+) -> DataFrame:
+    """Reciprocal-rank fusion of two retriever result sets — the
+    standard hybrid-search merge of a RAG / retrieval pipeline
+    (canonically dense ANN + keyword BM25; any two ranked runs fuse the
+    same way — the operator is retriever-agnostic).
+
+    Inputs carry (query_id, doc_id, rank); ranks are 1-based within
+    query. ``rrf = Σ 1/(k_rrf + rank)`` over the lists that retrieved
+    the doc. Returns (query_id, doc_id, rank_a, rank_b,
+    rrf_score, fused_rank ≤ k); a list that missed the doc reports
+    rank 0 and contributes nothing.
+
+    Scale shape: both inputs are already top-k-bounded (|queries|·k
+    rows), so the full-outer merge join and the per-query ranking window
+    are bounded regardless of corpus size — fusion cost never touches
+    the corpus.
+
+    Determinism: each 1/(k_rrf + rank) is ONE correctly-rounded IEEE
+    division of exact integers, and the two-retriever sum is ONE
+    commutative double add — bit-identical in any engine and at any
+    parallelism (no quantization needed; contrast the BM25 sum above,
+    whose addend COUNT is unbounded). Ties (e.g. rank-i-dense-only vs
+    rank-i-sparse-only) break on doc_id.
+    """
+    d = run_a.select("query_id", "doc_id", F.col("rank").alias("rank_a"))
+    s = run_b.select("query_id", "doc_id", F.col("rank").alias("rank_b"))
+    fused = (
+        d.join(s, ["query_id", "doc_id"], "full_outer")
+        .withColumn(
+            "rrf_score",
+            F.coalesce(
+                F.lit(1.0) / (F.lit(k_rrf) + F.col("rank_a")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(k_rrf) + F.col("rank_b")), F.lit(0.0)
+            ),
+        )
+        .withColumn("rank_a", F.coalesce("rank_a", F.lit(0).cast("bigint")))
+        .withColumn("rank_b", F.coalesce("rank_b", F.lit(0).cast("bigint")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), "doc_id")
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            "rank_a",
+            "rank_b",
+            "rrf_score",
+            F.col("fused_rank").cast("bigint").alias("fused_rank"),
+        )
+    )
+
+
+def hard_negatives(dense: DataFrame, sparse: DataFrame) -> DataFrame:
+    """Semantically-near, lexically-unmatched candidates — the classic
+    hard-negative mining step for contrastive/embedding training:
+    documents the dense retriever ranks highly that the keyword
+    retriever did NOT surface for the same query.
+
+    ``dense``: (query_id, doc_id, score, rank); ``sparse``: (query_id,
+    doc_id, ...). Returns the dense rows whose (query_id, doc_id) is
+    absent from ``sparse``, dense order preserved. Both sides are
+    top-k-bounded, so the anti-join is bounded — corpus-size-free.
+    """
+    return dense.join(
+        sparse.select("query_id", "doc_id"), ["query_id", "doc_id"], "left_anti"
+    ).select("query_id", "doc_id", "score", "rank")
+
+
+def rrf_fusion_oracle_sql(
+    a_sql: str, b_sql: str, k: int = 10, k_rrf: int = RRF_K
+) -> str:
+    """DuckDB twin of :func:`rrf_fuse`, composed over the two
+    retrievers' own oracle SQL (the same composition the Spark side
+    performs over their DataFrames). ``a_sql`` must yield
+    (query_id, doc_id, rank); ``b_sql`` likewise."""
+    return f"""
+        WITH run_a AS MATERIALIZED (SELECT * FROM ({a_sql})),
+        run_b AS MATERIALIZED (SELECT * FROM ({b_sql})),
+        fused AS (
+            SELECT coalesce(d.query_id, s.query_id) AS query_id,
+                   coalesce(d.doc_id, s.doc_id) AS doc_id,
+                   coalesce(d.rank, 0) AS rank_a,
+                   coalesce(s.rank, 0) AS rank_b,
+                   coalesce(CAST(1 AS DOUBLE) / ({k_rrf} + d.rank), 0.0)
+                     + coalesce(CAST(1 AS DOUBLE) / ({k_rrf} + s.rank), 0.0)
+                       AS rrf_score
+            FROM run_a d
+            FULL OUTER JOIN run_b s
+              ON d.query_id = s.query_id AND d.doc_id = s.doc_id),
+        ranked AS (
+            SELECT query_id, doc_id, rank_a, rank_b, rrf_score,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS fused_rank
+            FROM fused)
+        SELECT * FROM ranked WHERE fused_rank <= {k}
+    """
+
+
+def hard_negatives_oracle_sql(dense_sql: str, sparse_sql: str) -> str:
+    """DuckDB twin of :func:`hard_negatives` (same anti-join over the
+    two retrievers' oracle SQL)."""
+    return f"""
+        WITH dense AS MATERIALIZED (SELECT * FROM ({dense_sql})),
+        sparse AS MATERIALIZED (SELECT * FROM ({sparse_sql}))
+        SELECT d.query_id, d.doc_id, d.score, d.rank
+        FROM dense d
+        ANTI JOIN sparse s
+          ON d.query_id = s.query_id AND d.doc_id = s.doc_id
+    """
+
+
+def tf_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, list[str]]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Raw term-frequency ranker: ``score = Σ_t tf(t, d)`` over the
+    query's terms — the blunt lexical baseline an ensemble fuses with
+    BM25 (their candidate sets coincide, their ORDERS disagree: tf has
+    no idf damping or length normalization, so rank fusion has real
+    work to do). Same scan-filtered posting-list shape as
+    :func:`bm25_topk`; scores are exact integers, so no quantization is
+    needed anywhere. Returns (query_id, doc_id, score, rank)."""
+    spark = docs.sparkSession
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, terms in queries for t in dict.fromkeys(terms)],
+        "query_id bigint, tok string",
+    )
+    all_terms = sorted({t for _, terms in queries for t in terms})
+    tf = (
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.explode(tokenize(text_col)).alias("tok")
+        )
+        .filter(F.col("tok").isin(all_terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "tok")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("tf").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "doc_id", "score", F.col("rank").cast("bigint").alias("rank")
+        )
+    )
+
+
+def tf_topk_oracle_sql(queries: list[tuple[int, list[str]]], k: int = 10) -> str:
+    """DuckDB twin of :func:`tf_topk`."""
+    qvals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, terms in queries
+        for t in dict.fromkeys(terms)
+    )
+    terms = sorted({t for _, ts in queries for t in ts})
+    termlist = ", ".join(f"'{t}'" for t in terms)
+    return rf"""
+        WITH tf AS (
+            SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id,
+                         unnest(regexp_extract_all(lower(text), '\w+')) AS tok
+                  FROM documents)
+            WHERE tok IN ({termlist})
+            GROUP BY doc_id, tok),
+        qterms(query_id, tok) AS (VALUES {qvals}),
+        scored AS (
+            SELECT CAST(q.query_id AS BIGINT) AS query_id, tf.doc_id,
+                   sum(tf.tf) AS score
+            FROM tf JOIN qterms q ON tf.tok = q.tok
+            GROUP BY q.query_id, tf.doc_id),
+        ranked AS (
+            SELECT query_id, doc_id, score,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+            FROM scored)
+        SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= {k}
+    """

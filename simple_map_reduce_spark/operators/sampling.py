@@ -92,6 +92,7 @@ def shuffle_positions(
     key_col: str,
     pos_col: str = "shuffle_pos",
     shard_hex_chars: int = 2,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Deterministic corpus shuffle: assign every row its 0-based
     position in the pseudo-random global order ``ORDER BY md5(key), key``
@@ -115,7 +116,15 @@ def shuffle_positions(
     (documented, not scanned for: duplicate keys tie on the full sort
     key, making their relative order partition-dependent — there is no
     deterministic order between indistinguishable rows).
+
+    ``group_cols`` restarts the position at 0 WITHIN each group (e.g. a
+    curriculum stage): the per-shard windows and the prefix-summed
+    offsets are simply keyed by (group, shard) instead of (shard) — the
+    offsets frame stays tiny (|groups|·|shards| rows) and broadcast, and
+    no partition ever holds more than one (group, shard)'s rows, so a
+    3-group corpus never degenerates into 3 giant sort partitions.
     """
+    groups = list(group_cols or [])
     keyed = df.withColumn(
         "_skey",
         md5_hex(
@@ -134,19 +143,21 @@ def shuffle_positions(
     keyed = keyed.withColumn(
         "_shard", F.conv(F.substring("_skey", 1, shard_hex_chars), 16, 10).cast("int")
     )
-    w_local = Window.partitionBy("_shard").orderBy("_skey", key_col)
+    w_local = Window.partitionBy(*groups, "_shard").orderBy("_skey", key_col)
     local = F.row_number().over(w_local) - F.lit(1)
-    counts = keyed.groupBy("_shard").agg(F.count("*").alias("_n"))
+    counts = keyed.groupBy(*groups, "_shard").agg(F.count("*").alias("_n"))
+    # |groups|·|shards| rows only — the offsets window is over KBs
     w_off = (
-        Window.orderBy("_shard").rowsBetween(Window.unboundedPreceding, -1)
-    )  # |shards| rows only — the single-partition window is over KBs
+        Window.partitionBy(*groups) if groups else Window
+    ).orderBy("_shard").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
+        *groups,
         "_shard",
         F.coalesce(F.sum("_n").over(w_off), F.lit(0)).cast("bigint").alias("_off"),
     )
     return (
         keyed.withColumn("_local", local)
-        .join(F.broadcast(offsets), "_shard")
+        .join(F.broadcast(offsets), [*groups, "_shard"])
         .withColumn(pos_col, (F.col("_off") + F.col("_local")).cast("bigint"))
         .drop("_skey", "_shard", "_local", "_off")
     )

@@ -867,3 +867,137 @@ class IvfIndex:
             .filter(F.col("sim") >= F.lit(tau))
         )
         return _min_id_exemplar(scored, "vec_id", "cid", "sim")
+
+    @property
+    def reports_table(self) -> str:
+        return f"{self.name}__reports"
+
+    @property
+    def epochs_table(self) -> str:
+        return f"{self.name}__epochs"
+
+    def ingest(self, batch_emb: DataFrame, tau: float) -> DataFrame:
+        """Admit a new batch into the standing index under a semantic
+        near-dup gate — the embedding-space twin of
+        :meth:`~..dedup.NearDupIndex.ingest`.
+
+        Each batch vector is assigned to its nearest FROZEN centroid
+        (standard IVF practice: the quantizer is trained once; re-train
+        = rebuild) and rejected if it has (a) a same-cluster CORPUS
+        neighbor at cos ≥ ``tau`` (:meth:`neardup_check`) or (b) a
+        same-cluster SMALLER-id batch neighbor at cos ≥ ``tau`` — a
+        batch routinely contains its own semantic duplicates, which a
+        corpus-only check would admit wholesale; the min id of a chain
+        survives, the NearDupIndex/dedup_groups convention. Accepted
+        vectors are appended to the assignment and vector tables.
+
+        Returns the pair report (vec_id, centroid_id, kept_id, sim,
+        matched_in ∈ {'corpus','batch'}), **eagerly localCheckpoint-ed
+        before any append** — it reads the very tables the appends grow,
+        so a lazy plan re-evaluated afterwards would see the batch's own
+        rows in the corpus (use ``checkpoint`` on a cluster for
+        executor-loss durability).
+
+        Crash safety mirrors NearDupIndex.ingest: the two appends
+        anti-join ids already present in THEIR table, so a retried
+        half-failed ingest tops up instead of duplicating. Write order
+        assign → vectors: an id present in assign but not yet vectors
+        surfaces as a candidate and silently drops out of the
+        exact-rescore inner join — a missed detection until the retry
+        heals it, never a wrong pair (the reverse order would hide the
+        id from the candidate funnel entirely, same exposure)."""
+        from ..cache import tracked_persist, untrack
+
+        cents = self.catalog.get(self.centroids_table)
+        batch = tracked_persist(
+            _prep(
+                batch_emb, self.id_col, self.vec_col, "vec_id", "bvec", "bn",
+                spread=False,
+            )
+        )
+        bassign = tracked_persist(
+            _nearest_centroid(
+                batch, cents, id_alias="vec_id", vec_alias="bvec",
+                n_alias="bn", keep=("bvec", "bn"),
+            )
+        )
+        try:
+            return self._ingest_inner(batch_emb, bassign, tau)
+        finally:
+            for frame in (batch, bassign):
+                untrack(frame)
+
+    def _ingest_inner(
+        self, batch_emb: DataFrame, bassign: DataFrame, tau: float
+    ) -> DataFrame:
+        corpus_rows = self.neardup_check(batch_emb, tau).withColumn(
+            "matched_in", F.lit("corpus")
+        )
+        b1 = bassign
+        b2 = bassign.select(
+            F.col("vec_id").alias("cid"),
+            "centroid_id",
+            F.col("bvec").alias("nvec"),
+            F.col("bn").alias("nn"),
+        )
+        within = (
+            b1.join(F.broadcast(b2), "centroid_id")
+            .filter(F.col("cid") < F.col("vec_id"))
+            .withColumn(
+                "sim",
+                F.round(
+                    dot(F.col("bvec"), F.col("nvec")) / (F.col("bn") * F.col("nn")),
+                    6,
+                ),
+            )
+            .filter(F.col("sim") >= F.lit(tau))
+        )
+        batch_rows = _min_id_exemplar(within, "vec_id", "cid", "sim").withColumn(
+            "matched_in", F.lit("batch")
+        )
+        # sever lineage BEFORE the appends mutate the tables it reads
+        report = corpus_rows.unionByName(batch_rows).localCheckpoint()
+        dup_ids = report.select("vec_id").distinct()
+        accepted = bassign.join(dup_ids, "vec_id", "left_anti")
+        have_a = self.catalog.get_bucketed(self.assign_table).select("id")
+        self.catalog.append_bucketed(
+            accepted.select(F.col("vec_id").alias("id"), "centroid_id").join(
+                have_a, "id", "left_anti"
+            ),
+            self.assign_table,
+            "centroid_id",
+            self.num_buckets,
+        )
+        have_v = self.catalog.get_bucketed(self.vectors_table).select("id")
+        self.catalog.append_bucketed(
+            accepted.select(
+                F.col("vec_id").alias("id"),
+                F.col("bvec").alias("vec"),
+                F.col("bn").alias("vn"),
+            ).join(have_v, "id", "left_anti"),
+            self.vectors_table,
+            "id",
+            self.num_buckets,
+        )
+        return report
+
+    def ingest_stream(
+        self, stream_df: DataFrame, checkpoint_dir: str, tau: float
+    ) -> None:
+        """Continuous semantic-dedup ingest: drain a streaming source of
+        embeddings through :meth:`ingest` one micro-batch at a time
+        under the marker-last epoch-commit protocol shared with
+        :meth:`~..dedup.NearDupIndex.ingest_stream` (see
+        :mod:`..streaming.ingest` for the replay-safety argument; this
+        index's anti-join crash healing satisfies the protocol's
+        ``ingest_fn`` contract)."""
+        from ..streaming.ingest import run_epoch_idempotent_ingest
+
+        run_epoch_idempotent_ingest(
+            stream_df,
+            checkpoint_dir,
+            self.catalog,
+            self.reports_table,
+            self.epochs_table,
+            lambda b: self.ingest(b, tau),
+        )

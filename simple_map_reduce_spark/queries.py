@@ -247,77 +247,73 @@ QUERIES: dict[str, QueryFn] = {
 # so a behavior change can never ship on a stale green row again (round
 # 2's trigram-default change left jaccard_pairs unverified for a round).
 #
-# Round 5 window = everything whose behavior OR implementation changed
-# this round (the new BPE-training pair, the catalog-backed bucketed
-# incremental-check query, the new SemDeDup / semantic-manifest /
-# index-backed-semantic-check / q2-shape / q11-shape / BM25 queries, the
-# streaming_hourly_users event-time-dedup restructure, the
-# pipelines-delegation refactor of the pair-set consumers, the shared
-# _asymmetric_neardup_check sizes parameter) + the remaining 32 r2-dated
-# rows (closing the freshness rotation round 4 started) + the 3
-# alphabetically-first r3-dated rows (the rest rotate in r6).
+# Round 6 window = the 7 NEW queries (hybrid retrieval, LM quality,
+# RAG chunking, temperature mixture, curriculum, length histogram) +
+# corpus_shuffle (its shuffle_positions core grew the group_cols path —
+# default-path semantics unchanged, re-verify anyway) + the 39 remaining
+# r3-dated rows (FINISHING the freshness rotation: after this round no
+# oracle-backed query's latest driver row is older than r4) + the 3
+# alphabetically-first r4-dated rows (the r4 cohort starts rotating in
+# r7).
 _CHANGED_THIS_ROUND = [
-    # r5: NEW queries ship their behavior this round
-    "bpe_train",
-    "bpe_word_segments",
-    "incremental_neardup_idx",
-    "similarity_topk_ivf_idx",
-    "bm25_topk",
-    "semdedup_prune",
-    "embedding_neardup_idx",
-    "min_cost_supplier",
-    "top_value_parts",
-    "pretraining_manifest_sem",
-    # r5: dedup key restructured onto the event-time window column
-    # (state now watermark-evicted; single event-time column)
-    "streaming_hourly_users",
-    # r5: delegated to pipelines.* with an optional shared pair set
-    # (same math — re-verify anyway)
-    "dedup_prune",
-    "source_overlap",
-    "pretraining_manifest",
-    # r5: shared check core gained the precomputed-sizes path
-    "incremental_neardup",
+    # r6: NEW queries ship their behavior this round
+    "rrf_fusion",
+    "hard_negatives",
+    "bigram_lm_quality",
+    "doc_chunks",
+    "mixture_temperature",
+    "curriculum_order",
+    "length_histogram",
+    # r6: shuffle_positions gained group_cols (curriculum_order); the
+    # ungrouped path is plan-identical but shares the edited code
+    "corpus_shuffle",
 ]
 _ROTATION_FRONT = [
     *_CHANGED_THIS_ROUND,
-    # the 32 remaining r2-dated rows (unchanged code — pure freshness)
-    "mom_revenue_growth",
-    "monthly_gapfill",
-    "moving_avg_3m",
-    "nation_full_outer",
-    "nation_trade_volume",
-    "order_count_histogram",
-    "part_metrics_unpivot",
-    "part_name_features",
-    "pricey_parts_dense",
-    "priority_trailing_week",
-    "priority_union",
-    "profit_by_nation_year",
-    "promo_revenue",
-    "purchase_click_burst",
-    "qty_median_by_flag",
-    "qty_quartiles",
-    "returned_revenue_top",
-    "rich_inactive_customers",
-    "sales_cube",
-    "salted_join_segments",
-    "salted_type_rollup",
-    "segment_except",
-    "segment_intersect",
-    "segment_priority_grid",
-    "sessionize_batch",
-    "status_priority_sets",
-    "stratified_sample",
-    "supplier_variety",
-    "tfidf_terms",
-    "token_positions",
-    "top_supplier",
-    "waiting_suppliers",
-    # oldest r3 rows refreshed (alphabetical; remainder rotates in r6)
-    "audio_features",
-    "big_orders",
-    "column_filter",
+    # the 39 remaining r3-dated rows (unchanged code — pure freshness)
+    "corpus_prep",
+    "dedup_exact",
+    "distinct_tokens",
+    "doc_fingerprint",
+    "equi_join",
+    "events_windowed",
+    "filter_group_pct",
+    "image_resize",
+    "lang_id",
+    "left_join_order_counts",
+    "maple_filter_pct",
+    "maple_wordcount",
+    "minhash_buckets",
+    "multi_distinct",
+    "multimodal_meta",
+    "nation_segment_list",
+    "orders_by_month",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
+    "qty_outliers",
+    "redact_pii",
+    "regex_filter",
+    "sales_rollup",
+    "simhash_dup_pairs",
+    "simhash_sigs",
+    "similarity_topk",
+    "streaming_click_attribution",
+    "streaming_dedup",
+    "streaming_dedup_watermark",
+    "streaming_enriched",
+    "streaming_rollup",
+    "streaming_sessions",
+    "text_stats",
+    "token_counts",
+    "topk_customers",
+    "window_running",
+    "wordcount",
+    "wordcount_total",
+    # oldest r4 rows refreshed (alphabetical; remainder rotates in r7)
+    "asof_last_order",
+    "bigram_docfreq",
+    "bpe_pair_counts",
 ]
 assert len(_ROTATION_FRONT) == 50
 assert set(_ROTATION_FRONT) <= set(QUERIES)

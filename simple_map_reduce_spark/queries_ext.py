@@ -2188,8 +2188,15 @@ def jaccard_pairs_oracle() -> str:
     """
 
 
-def similarity_topk_oracle() -> str:
-    ids = ", ".join(str(i) for i in SIM_QUERY_IDS)
+def similarity_topk_oracle(
+    query_ids: list[int] | None = None, k: int = None
+) -> str:
+    """Parameterized so the hybrid-retrieval oracles (rrf_fusion /
+    hard_negatives) can reuse the exact dense-tier SQL with their own
+    query set and depth; default arguments reproduce the registered
+    ``similarity_topk`` oracle byte-for-byte."""
+    ids = ", ".join(str(i) for i in (query_ids or SIM_QUERY_IDS))
+    k = SIM_K if k is None else k
     return f"""
         WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                    FROM embeddings WHERE vec_id IN ({ids})),
@@ -2207,7 +2214,7 @@ def similarity_topk_oracle() -> str:
                    row_number() OVER (PARTITION BY query_id
                                       ORDER BY score DESC, neighbor_id) AS rank
             FROM scored)
-        SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= {SIM_K}
+        SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= {k}
     """
 
 
@@ -2552,6 +2559,264 @@ def lang_id_oracle() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# r6: hybrid retrieval, LM-quality scoring, RAG chunking, curriculum
+# ---------------------------------------------------------------------------
+
+# hybrid retrieval shares BM25_QUERIES' ids: the embedding with vec_id ==
+# query_id is the dense expression of the same information need (the test
+# tables are row-aligned: doc_id ≡ vec_id)
+FUSION_K = 10
+HARDNEG_DENSE_K = 10
+
+
+def _fusion_dense_sql(k: int) -> str:
+    """Dense-retriever oracle reshaped to the (query_id, doc_id, rank)
+    contract the fusion oracles compose over."""
+    ids = [qid for qid, _ in BM25_QUERIES]
+    return (
+        "SELECT query_id, neighbor_id AS doc_id, score, rank FROM ("
+        + similarity_topk_oracle(ids, k)
+        + ")"
+    )
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble search (operators/retrieval.rrf_fuse): reciprocal-rank
+    fusion of the BM25 ranking with the raw term-frequency ranking for
+    the same keyword queries — the standard rank-fusion merge of a RAG
+    retrieval stack. Two LEXICAL runs are registered (their candidate
+    sets coincide, so the both-lists merge path is exercised on real
+    data — the synthetic embeddings never overlap a keyword run);
+    the dense+sparse hybrid composition of the same operator is covered
+    by tests/test_retrieval.py. Both inputs are top-k-bounded, so fusion
+    cost is corpus-size-free; the two-run RRF sum is bit-exact without
+    quantization (one division per list + one commutative add)."""
+    from .operators.retrieval import bm25_topk, rrf_fuse, tf_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return rrf_fuse(
+        bm25_topk(docs, BM25_QUERIES, k=BM25_K),
+        tf_topk(docs, BM25_QUERIES, k=BM25_K),
+        k=FUSION_K,
+    )
+
+
+def rrf_fusion_oracle() -> str:
+    from .operators.retrieval import rrf_fusion_oracle_sql, tf_topk_oracle_sql
+
+    return rrf_fusion_oracle_sql(
+        bm25_oracle_sql(BM25_QUERIES, k=BM25_K),
+        tf_topk_oracle_sql(BM25_QUERIES, k=BM25_K),
+        k=FUSION_K,
+    )
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/retrieval.hard_negatives):
+    documents the dense retriever ranks in its top-k that BM25 did NOT
+    surface for the same query — semantically near, lexically unmatched,
+    the classic contrastive-training negatives. Bounded anti-join of two
+    top-k result sets."""
+    from .operators.retrieval import bm25_topk, hard_negatives
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    dense = cosine_topk(
+        emb, [qid for qid, _ in BM25_QUERIES], k=HARDNEG_DENSE_K
+    ).withColumnRenamed("neighbor_id", "doc_id")
+    sparse = bm25_topk(docs, BM25_QUERIES, k=BM25_K)
+    return hard_negatives(dense, sparse).orderBy("query_id", "rank")
+
+
+def hard_negatives_oracle() -> str:
+    from .operators.retrieval import hard_negatives_oracle_sql
+
+    return hard_negatives_oracle_sql(
+        _fusion_dense_sql(HARDNEG_DENSE_K),
+        bm25_oracle_sql(BM25_QUERIES, k=BM25_K),
+    )
+
+
+def q_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style LM quality scoring (operators/lm.py): every
+    document's mean bigram log-probability under an add-one-smoothed
+    bigram model trained on the corpus itself — the CCNet/KenLM filter
+    signal. One tokenize pass, vocab-sized model tables, posting-list
+    scoring join, quantize-before-sum determinism (the BM25 idiom)."""
+    from .operators.lm import bigram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_lm_scores(docs)
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking (operators/chunking.py): overlapping fixed-stride
+    token windows per document — the table an ANN tier indexes instead
+    of whole docs. Entirely scan-local (zero shuffle, zero UDF)."""
+    from .operators.chunking import token_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_chunks(docs)
+
+
+# temperature-scaled mixture: alpha = 0.5 == sqrt (correctly-rounded
+# IEEE, engine-agnostic — a general pow() is not), the multilingual-LM
+# rebalancing exponent of mBERT/XLM-R
+TEMP_SCALE = 1_000_000
+
+
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language-mixture weights: sampling shares
+    ∝ n^0.5 — upweights tail languages smoothly where mixture_weights'
+    fixed TARGET_MIX pins shares explicitly. Per-language weights are
+    sqrt-quantized to exact integers before the normalizing sum
+    (|languages| addends — associativity-proof), shares and rates are
+    single IEEE divisions. One language-sized groupBy + broadcast
+    scalar total."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_docs"))
+    c2 = counts.withColumn(
+        "qw",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * TEMP_SCALE + F.lit(0.5))
+        .cast("bigint"),
+    )
+    tot = c2.agg(
+        F.sum("qw").alias("qsum"), F.sum("n_docs").alias("n_total")
+    )
+    shared = c2.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.col("n_total")).alias("natural_share"),
+        (F.col("qw").cast("double") / F.col("qsum")).alias("temp_share"),
+        "n_total",
+    )
+    return shared.select(
+        "lang",
+        "n_docs",
+        "natural_share",
+        "temp_share",
+        F.least(
+            F.lit(1.0),
+            F.col("temp_share") * F.col("n_total") / F.col("n_docs"),
+        ).alias("sample_rate"),
+    )
+
+
+MIXTURE_TEMPERATURE_ORACLE = f"""
+    WITH counts AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY lang),
+    q AS (
+        SELECT lang, n_docs,
+               CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * {TEMP_SCALE} + 0.5)
+                    AS BIGINT) AS qw
+        FROM counts),
+    tot AS (SELECT sum(qw) AS qsum, sum(n_docs) AS n_total FROM q),
+    shared AS (
+        SELECT lang, n_docs,
+               CAST(n_docs AS DOUBLE) / n_total AS natural_share,
+               CAST(qw AS DOUBLE) / qsum AS temp_share,
+               n_total
+        FROM q CROSS JOIN tot)
+    SELECT lang, n_docs, natural_share, temp_share,
+           least(CAST(1 AS DOUBLE),
+                 temp_share * n_total / n_docs) AS sample_rate
+    FROM shared
+"""
+
+
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum manifest: documents staged clean → noisy by their
+    Gopher-rule failure count (stage = min(failures, 2)), then
+    deterministically shuffled WITHIN each stage (the grouped form of
+    the two-level sharded md5 rank — no per-stage giant sort partition).
+    The training loader reads stages in order; within a stage the order
+    is the reproducible pseudo-random shuffle."""
+    from .functions.text import gopher_rule_flags
+    from .operators.sampling import shuffle_positions
+
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = gopher_rule_flags(docs.select("doc_id", "text"))
+    n_pass = sum(
+        F.col(c).cast("int")
+        for c in ("p_minlen", "p_toklen", "p_stopword", "p_symbol")
+    )
+    staged = flagged.select(
+        "doc_id",
+        F.least(F.lit(2), F.lit(4) - n_pass).cast("bigint").alias("stage"),
+    )
+    return shuffle_positions(
+        staged, "doc_id", pos_col="stage_pos", group_cols=["stage"]
+    ).select("doc_id", "stage", "stage_pos")
+
+
+def curriculum_order_oracle() -> str:
+    return f"""
+        WITH base AS ({_qf_counts_sql("doc_id")}),
+        flags AS (
+            SELECT doc_id,
+                   {_qf_flags_sql()}
+            FROM base),
+        staged AS (
+            SELECT doc_id,
+                   CAST(least(2, 4 - (CASE WHEN p_minlen THEN 1 ELSE 0 END
+                                      + CASE WHEN p_toklen THEN 1 ELSE 0 END
+                                      + CASE WHEN p_stop THEN 1 ELSE 0 END
+                                      + CASE WHEN p_sym THEN 1 ELSE 0 END))
+                        AS BIGINT) AS stage
+            FROM flags)
+        SELECT doc_id, stage,
+               CAST(row_number() OVER (
+                   PARTITION BY stage
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+                   AS BIGINT) AS stage_pos
+        FROM staged
+    """
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length distribution in power-of-2 buckets — the packing /
+    truncation diagnostic (what fraction of the corpus exceeds the
+    context window?). The bucket is ``len(bin(n))`` = floor(log2 n)+1 —
+    exact INTEGER log2 via the binary string length, immune to float
+    log2 rounding at bucket boundaries. One scan + a ≤64-group agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = token_count_ws("text")
+    return (
+        docs.select(F.length(F.bin(n)).cast("bigint").alias("bucket"), n.alias("n"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("n").cast("bigint").alias("min_tokens"),
+            F.max("n").cast("bigint").alias("max_tokens"),
+        )
+    )
+
+
+def _lm_oracle() -> str:
+    from .operators.lm import bigram_lm_oracle_sql
+
+    return bigram_lm_oracle_sql()
+
+
+def _chunks_oracle() -> str:
+    from .operators.chunking import token_chunks_oracle_sql
+
+    return token_chunks_oracle_sql()
+
+
+LENGTH_HISTOGRAM_ORACLE = r"""
+    SELECT CAST(length(bin(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)))
+                AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS min_tokens,
+           CAST(max(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS max_tokens
+    FROM documents
+    GROUP BY bucket
+"""
+
+
 EXT_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "minhash_buckets": q_minhash_buckets,
@@ -2614,6 +2879,13 @@ EXT_QUERIES = {
     "streaming_hourly_users": q_streaming_hourly_users,
     "pretraining_manifest": q_pretraining_manifest,
     "pretraining_manifest_sem": q_pretraining_manifest_sem,
+    "rrf_fusion": q_rrf_fusion,
+    "hard_negatives": q_hard_negatives,
+    "bigram_lm_quality": q_bigram_lm_quality,
+    "doc_chunks": q_doc_chunks,
+    "mixture_temperature": q_mixture_temperature,
+    "curriculum_order": q_curriculum_order,
+    "length_histogram": q_length_histogram,
 }
 
 EXT_ORACLES = {
@@ -2837,4 +3109,11 @@ EXT_ORACLES = {
         FROM base, range(0, 3) t(i)
         WHERE t.i < least(n_frames, 3)
     """,
+    "rrf_fusion": rrf_fusion_oracle(),
+    "hard_negatives": hard_negatives_oracle(),
+    "bigram_lm_quality": _lm_oracle(),
+    "doc_chunks": _chunks_oracle(),
+    "mixture_temperature": MIXTURE_TEMPERATURE_ORACLE,
+    "curriculum_order": curriculum_order_oracle(),
+    "length_histogram": LENGTH_HISTOGRAM_ORACLE,
 }

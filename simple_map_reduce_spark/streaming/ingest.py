@@ -1,0 +1,95 @@
+"""Epoch-idempotent streaming ingest into catalog-backed indexes.
+
+The marker-last commit protocol shared by
+:meth:`operators.dedup.NearDupIndex.ingest_stream` and
+:meth:`operators.similarity.IvfIndex.ingest_stream` — one definition so
+the two indexes can never drift on replay semantics.
+
+``foreachBatch`` is at-least-once: a crash after a batch's writes commit
+but before the streaming checkpoint advances re-delivers the same epoch.
+The protocol (provenance: NearDupIndex r4/r5, driver-tested in
+tests/test_dedup.py):
+
+1. an explicit per-epoch marker row in ``{epochs_table}`` is written
+   LAST — after the index-state appends inside ``ingest_fn`` and after
+   the report append. Report rows alone cannot serve as the marker: a
+   batch that finds zero duplicates appends zero report rows;
+2. a replayed epoch whose marker exists is skipped entirely
+   (idempotent);
+3. a replay that finds report rows but no marker crashed BETWEEN the
+   report append and the marker: everything in the ingest's write order
+   (state tables → report) landed, so the replay writes only the
+   missing marker — re-running the ingest would duplicate the epoch's
+   report rows, and with the batch already admitted the re-derived rows
+   would even differ (intra-batch matches re-detect as corpus matches);
+4. only a replay with NEITHER marker nor report rows re-runs
+   ``ingest_fn``, whose per-table anti-joins heal partially-written
+   state without duplicating rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def run_epoch_idempotent_ingest(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    catalog,
+    reports_table: str,
+    epochs_table: str,
+    ingest_fn: Callable[[DataFrame], DataFrame],
+) -> None:
+    """Drain ``stream_df`` through ``ingest_fn`` one micro-batch at a
+    time under the marker-last protocol above. ``ingest_fn`` takes the
+    batch DataFrame and returns the batch's (already materialized) pair
+    report; the report is appended to ``reports_table`` with the epoch
+    id. Uses ``Trigger.AvailableNow``: processes what exists, then stops
+    (drop the trigger for a long-running continuous ingest)."""
+
+    def _append_or_put(df: DataFrame, table: str) -> None:
+        if catalog.exists(table):
+            catalog.append(df, table)
+        else:
+            catalog.put(df, table)
+
+    def _ingest_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if catalog.exists(epochs_table):
+            done = (
+                catalog.get(epochs_table)
+                .filter(F.col("epoch_id") == int(epoch_id))
+                .limit(1)
+                .count()
+            )
+            if done:
+                return  # epoch fully committed before the crash
+        marker = spark.createDataFrame([(int(epoch_id),)], "epoch_id bigint")
+        if catalog.exists(reports_table):
+            applied = (
+                catalog.get(reports_table)
+                .filter(F.col("epoch_id") == int(epoch_id))
+                .limit(1)
+                .count()
+            )
+            if applied:
+                # state + report landed; only the marker is missing —
+                # finish the commit instead of re-running the ingest
+                _append_or_put(marker, epochs_table)
+                return
+        report = ingest_fn(batch_df).withColumn(
+            "epoch_id", F.lit(epoch_id).cast("bigint")
+        )
+        _append_or_put(report, reports_table)
+        _append_or_put(marker, epochs_table)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_ingest_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -268,6 +268,11 @@ def test_neardup_index_ingest_stream_matches_batch_mode(spark, tmp_path):
         ("batch_a.parquet", [(10, BASE), (11, BASE)]),
         ("batch_b.parquet",
          [(20, "entirely novel content nothing shares these words"), (21, FAR)]),
+        # CROSS-EPOCH: duplicate of 20, ADMITTED in the previous epoch —
+        # catches cloned-session relation-cache staleness (each epoch
+        # must see earlier epochs' appends through the catalog session)
+        ("batch_c.parquet",
+         [(30, "entirely novel content nothing shares these words")]),
     ]
     for fname, rows in batches:
         out = tmp_path / f"stage-{fname}"
@@ -296,7 +301,8 @@ def test_neardup_index_ingest_stream_matches_batch_mode(spark, tmp_path):
     got = {(r.id_new, r.id_corpus, r.matched_in) for r in reports}
     assert (11, 10, "batch") in got        # intra-batch dup rejected
     assert (21, 1, "corpus") in got        # corpus dup rejected
-    assert {r.epoch_id for r in reports} == {0, 1}  # two micro-batches
+    assert (30, 20, "corpus") in got       # cross-EPOCH dup rejected
+    assert {r.epoch_id for r in reports} == {0, 1, 2}  # three micro-batches
 
 
 def test_catalog_compact_preserves_data(spark, tmp_path):

@@ -1,0 +1,84 @@
+"""Behavioral tests for bigram LM quality scoring (operators/lm.py) —
+the oracle-parity suite proves Spark↔DuckDB agreement; these prove the
+model math against a transparent pure-Python reference and pin the
+edge cases."""
+
+from __future__ import annotations
+
+import math
+import os
+import re
+import sys
+from collections import Counter
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from simple_map_reduce_spark.operators.lm import LM_SCALE, bigram_lm_scores
+
+DOCS = [
+    (1, "the cat sat on the mat"),
+    (2, "the cat sat on the cat"),  # repeated bigram "the cat"
+    (3, "completely unrelated gibberish tokens here"),
+    (4, "the"),        # single token → zero bigrams
+    (5, ""),           # empty doc → zero bigrams
+    (6, "the cat"),    # exactly one bigram
+]
+
+
+def _py_lm(docs):
+    toks = {i: re.findall(r"\w+", t.lower()) for i, t in docs}
+    uni = Counter(w for ts in toks.values() for w in ts)
+    vocab = len(uni)
+    bi = Counter(
+        (ts[j], ts[j + 1]) for ts in toks.values() for j in range(len(ts) - 1)
+    )
+    out = {}
+    for i, ts in toks.items():
+        pairs = [(ts[j], ts[j + 1]) for j in range(len(ts) - 1)]
+        if not pairs:
+            out[i] = (0, 0.0)
+            continue
+        s = sum(
+            math.floor(
+                math.log((bi[p] + 1.0) / (uni[p[0]] + vocab)) * LM_SCALE + 0.5
+            )
+            for p in pairs
+        )
+        out[i] = (len(pairs), math.floor(s / len(pairs) + 0.5) / LM_SCALE)
+    return out
+
+
+def test_bigram_lm_matches_python_reference(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_logprob)
+        for r in bigram_lm_scores(df).collect()
+    }
+    assert got == _py_lm(DOCS)
+
+
+def test_bigram_lm_short_docs_report_no_signal(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    got = {r.doc_id: r for r in bigram_lm_scores(df).collect()}
+    assert got[4].n_bigrams == 0 and got[4].avg_logprob == 0.0
+    assert got[5].n_bigrams == 0 and got[5].avg_logprob == 0.0
+    assert got[6].n_bigrams == 1
+
+
+def test_bigram_lm_repeated_bigram_scores_higher(spark):
+    """Doc 2 re-uses the corpus's most frequent bigram — its mean
+    log-probability must exceed doc 3's one-off token soup."""
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    got = {r.doc_id: r.avg_logprob for r in bigram_lm_scores(df).collect()}
+    assert got[2] > got[3]
+
+
+def test_bigram_lm_stable_under_repartition(spark):
+    """Quantize-before-sum makes the score partition-order-free."""
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    a = {r.doc_id: r.avg_logprob for r in bigram_lm_scores(df).collect()}
+    b = {
+        r.doc_id: r.avg_logprob
+        for r in bigram_lm_scores(df.repartition(7)).collect()
+    }
+    assert a == b

@@ -430,3 +430,51 @@ def test_sem_manifest_reuses_persisted_survivors(spark):
     plan = _plan(spark, "pretraining_manifest_sem")
     assert "InMemoryTableScan" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_doc_chunks_is_fully_scan_local(spark):
+    """RAG chunking is window arithmetic over the bound token array —
+    any Exchange would mean the explode got shuffled."""
+    plan = _plan(spark, "doc_chunks")
+    assert "Exchange" not in plan
+
+
+def test_length_histogram_partial_agg(spark):
+    plan = _plan(spark, "length_histogram")
+    assert plan.count("HashAggregate") >= 2  # map-side combine
+    assert plan.count("Exchange") == 1      # the ≤64-group agg only
+
+
+def test_mixture_temperature_total_is_broadcast(spark):
+    plan = _plan(spark, "mixture_temperature")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bigram_lm_model_join_never_cartesian(spark):
+    """The vocab scalar is broadcast; the model and scoring joins are
+    hash joins on bigram/unigram keys — a CartesianProduct would mean
+    the |docs|×|vocab| blow-up."""
+    plan = _plan(spark, "bigram_lm_quality")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row vocab total
+    # tokenization happens once: the persisted token frame feeds
+    # unigrams, bigrams, and the doc spine
+    assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_rrf_fusion_windows_are_query_bounded(spark):
+    """Fusion never touches the corpus: every window partitions by
+    query_id (top-k-bounded inputs), no rangepartitioning global sort."""
+    plan = _plan(spark, "rrf_fusion")
+    assert "rangepartitioning" not in plan.lower()
+    assert "CartesianProduct" not in plan
+
+
+def test_curriculum_order_sorts_are_stage_shard_bounded(spark):
+    """The grouped shuffle rank must partition its windows by
+    (stage, shard) — a per-stage-only partition would be 3 giant sorts."""
+    plan = _plan(spark, "curriculum_order")
+    assert "rangepartitioning" not in plan.lower()
+    assert "Exchange hashpartitioning(stage" in plan
+    assert "BroadcastHashJoin" in plan  # offsets join

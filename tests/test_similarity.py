@@ -478,3 +478,90 @@ def test_ivf_index_neardup_check_corpus_side_no_exchange(spark, tmp_path):
                 (k for k, l in enumerate(chain) if "Exchange" in l), len(chain)
             )
             assert joined < shuffled, "\n".join(chain[: shuffled + 1])
+
+
+def test_ivf_index_ingest_gates_and_appends(spark, tmp_path):
+    """Batch ingest under the semantic gate: corpus near-dups and
+    intra-batch near-dups (min id survives) are rejected; accepted
+    vectors land in BOTH index tables; re-ingesting the same batch is
+    a no-op (anti-join crash healing)."""
+    from simple_map_reduce_spark.catalog import Catalog
+    from simple_map_reduce_spark.operators.similarity import IvfIndex
+
+    cat = Catalog(spark, str(tmp_path / "ingwh"))
+    idx = IvfIndex(cat, "ing_t", n_centroids=2)
+    idx.build(_clustered_emb(spark))  # ids 0..7, x/y clusters
+    batch = spark.createDataFrame(
+        [
+            (100, [0.96, 0.03, 0.0, 0.0]),  # corpus near-dup (x cluster)
+            (101, [0.0, 0.0, 1.0, 0.0]),    # novel direction — accepted
+            (102, [0.0, 0.0, 0.98, 0.01]),  # intra-batch dup of 101
+        ],
+        ["vec_id", "embedding"],
+    )
+    report = idx.ingest(batch, tau=0.9).collect()
+    got = {(r.vec_id, r.kept_id, r.matched_in) for r in report}
+    assert (100, 0, "corpus") in got       # min-id corpus exemplar
+    assert (102, 101, "batch") in got      # smaller batch id survives
+    assert not any(r.vec_id == 101 for r in report)
+
+    stored = {r.id for r in cat.get_bucketed(idx.vectors_table).select("id").collect()}
+    assert stored == {0, 1, 2, 3, 4, 5, 6, 7, 101}
+    assigned = {r.id for r in cat.get_bucketed(idx.assign_table).select("id").collect()}
+    assert assigned == stored
+
+    # idempotency: the same batch again — 101 now matches ITSELF in the
+    # corpus; nothing appends twice
+    idx.ingest(batch, tau=0.9)
+    again = cat.get_bucketed(idx.vectors_table).groupBy("id").count()
+    assert again.filter("count > 1").count() == 0
+
+
+def test_ivf_index_ingest_stream_matches_batch_mode(spark, tmp_path):
+    """foreachBatch streaming ingest leaves the index in the same state
+    sequential batch ingests would, under the shared marker-last
+    epoch-commit protocol."""
+    import shutil
+
+    from simple_map_reduce_spark.catalog import Catalog
+    from simple_map_reduce_spark.operators.similarity import IvfIndex
+
+    src = tmp_path / "emb-stream"
+    src.mkdir()
+    batches = [
+        ("a.parquet", [(100, [0.96, 0.03, 0.0, 0.0]),   # corpus dup
+                       (101, [0.0, 0.0, 1.0, 0.0])]),   # novel
+        ("b.parquet", [(200, [0.0, 0.0, 0.0, 1.0]),     # novel
+                       (201, [0.01, 0.97, 0.0, 0.0])]), # corpus dup
+        # CROSS-EPOCH: near-dup of 101, which was ADMITTED in epoch 0 —
+        # catches the cloned-session relation-cache staleness (an epoch
+        # must see earlier epochs' appends through the catalog session)
+        ("c.parquet", [(300, [0.01, 0.0, 0.99, 0.0])]),
+    ]
+    for fname, rows in batches:
+        out = tmp_path / f"stage-{fname}"
+        spark.createDataFrame(rows, ["vec_id", "embedding"]).coalesce(
+            1
+        ).write.parquet(str(out))
+        part = next(p for p in out.iterdir() if p.name.endswith(".parquet"))
+        shutil.move(str(part), str(src / fname))
+
+    cat = Catalog(spark, str(tmp_path / "strwh"))
+    idx = IvfIndex(cat, "str_t", n_centroids=2)
+    idx.build(_clustered_emb(spark))
+
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    idx.ingest_stream(stream, str(tmp_path / "ckpt"), tau=0.9)
+
+    stored = {r.id for r in cat.get_bucketed(idx.vectors_table).select("id").collect()}
+    assert stored == {0, 1, 2, 3, 4, 5, 6, 7, 101, 200}
+    reports = cat.get(idx.reports_table).collect()
+    got = {(r.vec_id, r.matched_in) for r in reports}
+    assert (100, "corpus") in got and (201, "corpus") in got
+    by_id = {r.vec_id: r for r in reports}
+    assert by_id[300].matched_in == "corpus" and by_id[300].kept_id == 101
+    assert {r.epoch_id for r in reports} == {0, 1, 2}

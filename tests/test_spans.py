@@ -112,3 +112,42 @@ def test_shuffle_positions_stable_under_repartition(spark):
         for r in shuffle_positions(df.repartition(7), "doc_id").collect()
     }
     assert a == b
+
+
+def test_shuffle_positions_grouped_restarts_per_group(spark):
+    """group_cols: positions are the md5 rank WITHIN each group, each
+    group starting at 0 — and match the ungrouped rank computed over
+    each group's rows alone."""
+    import hashlib
+
+    rows = [(i, "even" if i % 2 == 0 else "odd") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id bigint, grp string")
+    got = {
+        (r.grp, r.doc_id): r.shuffle_pos
+        for r in shuffle_positions(df, "doc_id", group_cols=["grp"]).collect()
+    }
+    for grp in ("even", "odd"):
+        ids = [i for i, g in rows if g == grp]
+        expect = {
+            d: p
+            for p, d in enumerate(
+                sorted(ids, key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d))
+            )
+        }
+        assert {d: got[(grp, d)] for d in ids} == expect
+
+
+def test_shuffle_positions_ungrouped_unchanged_by_group_extension(spark):
+    """The default path must produce the identical global rank it did
+    before group_cols existed (corpus_shuffle's oracle depends on it)."""
+    import hashlib
+
+    df = spark.createDataFrame([(i,) for i in range(40)], "doc_id bigint")
+    got = {r.doc_id: r.shuffle_pos for r in shuffle_positions(df, "doc_id").collect()}
+    expect = {
+        d: p
+        for p, d in enumerate(
+            sorted(range(40), key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d))
+        )
+    }
+    assert got == expect
