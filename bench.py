@@ -117,6 +117,15 @@ EXTENDED_QUERIES = [
     "semdedup_prune",
     "pretraining_manifest_sem",
     "embedding_neardup_idx",
+    # r6: hybrid retrieval / LM-quality / chunking / curriculum tier
+    "rrf_fusion",
+    "hard_negatives",
+    "bigram_lm_quality",
+    "perplexity_prune",
+    "doc_chunks",
+    "mixture_temperature",
+    "curriculum_order",
+    "length_histogram",
 ]
 
 

@@ -289,6 +289,69 @@ class Catalog:
         metadata lives there, not in the parquet footers)."""
         return self.spark.table(name)
 
+    def compact_bucketed(
+        self,
+        name: str,
+        bucket_col: str | tuple[str, ...] | list[str],
+        num_buckets: int = 32,
+        parallelism: int | None = None,
+    ) -> int:
+        """Compact an append-heavy BUCKETED table back to ~one file per
+        bucket, preserving its bucket layout — the companion
+        :meth:`compact` refuses bucketed tables precisely because a
+        plain-parquet rewrite would orphan their session-catalog bucket
+        metadata. The index state tables (``NearDupIndex``/``IvfIndex``)
+        gain one file set per ingest epoch; scan task count and listing
+        pressure grow with FILE count, not data size, so streaming
+        ingest needs this periodically.
+
+        Mechanism: rewrite through a STAGED bucketed table — the read is
+        ``coalesce``-d to ``parallelism`` tasks (narrow, NO shuffle: the
+        bucketed writer splits each task's rows into per-bucket files
+        itself), bounding the new file count at parallelism × buckets
+        regardless of how many epochs were appended — then swap
+        directories by rename: bucket ids live in the FILE NAMES, not
+        the directory, so moving the staged files under the live path
+        keeps the existing catalog entry's bucket spec valid. Every
+        crash point leaves a recoverable state (same argument as
+        :meth:`compact`: live dir, healable old-in-scratch, or stale
+        stage cleaned on retry); on object storage, production would
+        stage through a table format with atomic metadata commit.
+
+        ``parallelism`` defaults to ``num_buckets``; raise it for huge
+        tables (more rewrite parallelism, proportionally more files).
+        Returns the new parquet file count. The bucket spec passed here
+        must match the table's (Spark would reject a mismatched staged
+        write loudly anyway via the validated saveAsTable)."""
+        cols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
+        stage = f"{name}__compacting"
+        path, old = self._path(name), os.path.join(self.root, f".{name}.bcompact-old")
+        if not os.path.isdir(path) and os.path.isdir(old):
+            # heal a crash between the two swap renames
+            os.rename(old, path)
+            self.spark.catalog.refreshTable(name)
+        if self.exists(stage):  # stale stage from a crashed earlier run
+            self.delete(stage)
+        self.put_bucketed(
+            self.get_bucketed(name).coalesce(parallelism or num_buckets),
+            stage,
+            bucket_col,
+            num_buckets,
+        )
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        os.rename(path, old)
+        os.rename(self._path(stage), path)
+        # the staged entry's data now lives under the live path; drop its
+        # metadata (external table: DROP never touches data)
+        try:
+            self.spark.sql(f"DROP TABLE IF EXISTS `{stage.lower()}`")
+        except Exception:
+            pass  # no usable session catalog — directory swap was enough
+        shutil.rmtree(old)
+        self.spark.catalog.refreshTable(name)
+        return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+
     # -- dataset-as-prefix (maple/juice input resolution) ------------------
     def read_prefix(self, prefix: str) -> DataFrame:
         """Union all tables whose name starts with ``prefix``.

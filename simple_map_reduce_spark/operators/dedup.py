@@ -622,6 +622,25 @@ class NearDupIndex:
         )
         return pairs
 
+    def compact(self) -> dict[str, int]:
+        """Compact all three append-heavy state tables back to ~one file
+        per bucket (``Catalog.compact_bucketed`` — layout-preserving; the
+        plain compactor refuses bucketed tables). Run periodically under
+        streaming ingest: each epoch appends a file set per table, and
+        scan/listing cost grows with file count, not data size. Returns
+        {table: new_file_count}."""
+        return {
+            self.buckets_table: self.catalog.compact_bucketed(
+                self.buckets_table, self._BUCKET_KEYS, self.num_buckets
+            ),
+            self.sizes_table: self.catalog.compact_bucketed(
+                self.sizes_table, "id", self.num_buckets
+            ),
+            self.shingles_table: self.catalog.compact_bucketed(
+                self.shingles_table, self._SHINGLE_KEYS, self.num_buckets
+            ),
+        }
+
     def ingest_stream(self, stream_df: DataFrame, checkpoint_dir: str) -> None:
         """Continuous-ingest form: drain a streaming source through
         :meth:`ingest` one micro-batch at a time via ``foreachBatch`` —

@@ -163,3 +163,135 @@ def bigram_lm_oracle_sql() -> str:
                         0.0) AS avg_logprob
         FROM toks LEFT JOIN scored USING (doc_id)
     """
+
+
+# threshold resolution for the prune distribution: milli-logprob buckets
+# bound the per-language score-distribution table by RESOLUTION (≤ ~2e4
+# distinct buckets for any realistic logprob range), not by corpus size
+THRESH_SCALE = 1_000
+
+
+def perplexity_prune_report(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """LM-score data selection (the applied form of
+    :func:`bigram_lm_scores`): per language, find the median score VALUE
+    and keep every document scoring at or above it — CCNet's
+    "perplexity filtering" keep-the-fluent-half step, as a
+    value-threshold rule (ties at the threshold are kept, so growing
+    the corpus never flips an already-kept doc on tie order).
+
+    Returns (lang, n_scored, n_unscored, threshold, n_kept):
+    ``n_unscored`` counts <2-token docs (no signal — excluded from the
+    distribution and the keep set); ``threshold`` is the milli-logprob
+    median value; ``n_kept`` how many scored docs pass. Languages whose
+    every document is unscored carry no row (no distribution to
+    threshold).
+
+    Scale shape — the threshold machinery never re-sorts the corpus:
+    the score distribution is a (lang, milli-logprob-bucket) groupBy
+    whose size is bounded by score RESOLUTION (THRESH_SCALE), not by
+    corpus size, so the per-language cumulative window runs over a
+    vocabulary-of-buckets frame; kept counts come from the same
+    distribution (no second corpus pass). Applying the prune to the
+    corpus itself is a broadcast threshold join + scan-local filter.
+    """
+    scores = bigram_lm_scores(docs, id_col=id_col, text_col=text_col)
+    scored = docs.select(F.col(id_col).alias("doc_id"), lang_col).join(
+        scores, "doc_id"
+    )
+    has = scored.filter(F.col("n_bigrams") > 0).select(
+        lang_col,
+        F.floor(F.col("avg_logprob") * THRESH_SCALE + F.lit(0.5))
+        .cast("bigint")
+        .alias("qscore"),
+    )
+    dist = has.groupBy(lang_col, "qscore").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    from pyspark.sql import Window
+
+    wl = (
+        Window.partitionBy(lang_col)
+        .orderBy(F.desc("qscore"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = dist.withColumn("cum", F.sum("cnt").over(wl))
+    tot = dist.groupBy(lang_col).agg(F.sum("cnt").alias("n_scored"))
+    th = (
+        cum.join(tot, lang_col)
+        .filter(F.col("cum") >= F.expr("(n_scored + 1) DIV 2"))
+        .groupBy(lang_col)
+        .agg(F.max("qscore").alias("t"))
+    )
+    kept = (
+        dist.join(th, lang_col)
+        .filter(F.col("qscore") >= F.col("t"))
+        .groupBy(lang_col)
+        .agg(F.sum("cnt").alias("n_kept"))
+    )
+    unscored = (
+        scored.filter(F.col("n_bigrams") == 0)
+        .groupBy(lang_col)
+        .agg(F.count("*").cast("bigint").alias("n_unscored"))
+    )
+    return (
+        tot.join(th, lang_col)
+        .join(kept, lang_col)
+        .join(unscored, lang_col, "left")
+        .select(
+            lang_col,
+            "n_scored",
+            F.coalesce("n_unscored", F.lit(0).cast("bigint")).alias("n_unscored"),
+            (F.col("t").cast("double") / F.lit(float(THRESH_SCALE))).alias(
+                "threshold"
+            ),
+            "n_kept",
+        )
+    )
+
+
+def perplexity_prune_oracle_sql() -> str:
+    """DuckDB twin of :func:`perplexity_prune_report`, composed over the
+    scoring oracle (same distribution/threshold/keep arithmetic)."""
+    return f"""
+        WITH s AS MATERIALIZED ({bigram_lm_oracle_sql()}),
+        scored AS (
+            SELECT d.lang, s.doc_id, s.n_bigrams, s.avg_logprob
+            FROM documents d JOIN s USING (doc_id)),
+        has AS (
+            SELECT lang,
+                   CAST(floor(avg_logprob * {THRESH_SCALE} + 0.5) AS BIGINT)
+                       AS qscore
+            FROM scored WHERE n_bigrams > 0),
+        dist AS (
+            SELECT lang, qscore, CAST(count(*) AS BIGINT) AS cnt
+            FROM has GROUP BY lang, qscore),
+        cum AS (
+            SELECT lang, qscore, cnt,
+                   sum(cnt) OVER (PARTITION BY lang ORDER BY qscore DESC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum
+            FROM dist),
+        tot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_scored
+               FROM dist GROUP BY lang),
+        th AS (
+            SELECT lang, max(qscore) AS t
+            FROM cum JOIN tot USING (lang)
+            WHERE cum >= (n_scored + 1) // 2
+            GROUP BY lang),
+        kept AS (
+            SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_kept
+            FROM dist JOIN th USING (lang)
+            WHERE qscore >= t GROUP BY lang),
+        uns AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_unscored
+            FROM scored WHERE n_bigrams = 0 GROUP BY lang)
+        SELECT tot.lang, n_scored,
+               coalesce(n_unscored, 0) AS n_unscored,
+               CAST(t AS DOUBLE) / {float(THRESH_SCALE)!r} AS threshold,
+               n_kept
+        FROM tot JOIN th USING (lang) JOIN kept USING (lang)
+        LEFT JOIN uns USING (lang)
+    """

@@ -981,6 +981,22 @@ class IvfIndex:
         )
         return report
 
+    def compact(self) -> dict[str, int]:
+        """Compact the two append-heavy state tables back to ~one file
+        per bucket (layout-preserving ``Catalog.compact_bucketed``) —
+        the streaming-ingest housekeeping twin of
+        :meth:`~..dedup.NearDupIndex.compact`. Centroids are k rows and
+        never appended to, so they need no compaction. Returns
+        {table: new_file_count}."""
+        return {
+            self.assign_table: self.catalog.compact_bucketed(
+                self.assign_table, "centroid_id", self.num_buckets
+            ),
+            self.vectors_table: self.catalog.compact_bucketed(
+                self.vectors_table, "id", self.num_buckets
+            ),
+        }
+
     def ingest_stream(
         self, stream_df: DataFrame, checkpoint_dir: str, tau: float
     ) -> None:

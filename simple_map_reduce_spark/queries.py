@@ -260,6 +260,7 @@ _CHANGED_THIS_ROUND = [
     "rrf_fusion",
     "hard_negatives",
     "bigram_lm_quality",
+    "perplexity_prune",
     "doc_chunks",
     "mixture_temperature",
     "curriculum_order",
@@ -313,7 +314,6 @@ _ROTATION_FRONT = [
     # oldest r4 rows refreshed (alphabetical; remainder rotates in r7)
     "asof_last_order",
     "bigram_docfreq",
-    "bpe_pair_counts",
 ]
 assert len(_ROTATION_FRONT) == 50
 assert set(_ROTATION_FRONT) <= set(QUERIES)

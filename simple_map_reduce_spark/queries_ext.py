@@ -2650,6 +2650,24 @@ def q_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_scores(docs)
 
 
+def q_perplexity_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-score data selection (operators/lm.perplexity_prune_report):
+    per-language median-value threshold over the bigram-LM score
+    distribution, keep-the-fluent-half — CCNet's perplexity filter as a
+    value-threshold rule. The distribution/threshold machinery is
+    bounded by score RESOLUTION, never corpus size; no corpus re-sort."""
+    from .operators.lm import perplexity_prune_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return perplexity_prune_report(docs)
+
+
+def _perplexity_prune_oracle() -> str:
+    from .operators.lm import perplexity_prune_oracle_sql
+
+    return perplexity_prune_oracle_sql()
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG chunking (operators/chunking.py): overlapping fixed-stride
     token windows per document — the table an ANN tier indexes instead
@@ -2882,6 +2900,7 @@ EXT_QUERIES = {
     "rrf_fusion": q_rrf_fusion,
     "hard_negatives": q_hard_negatives,
     "bigram_lm_quality": q_bigram_lm_quality,
+    "perplexity_prune": q_perplexity_prune,
     "doc_chunks": q_doc_chunks,
     "mixture_temperature": q_mixture_temperature,
     "curriculum_order": q_curriculum_order,
@@ -3112,6 +3131,7 @@ EXT_ORACLES = {
     "rrf_fusion": rrf_fusion_oracle(),
     "hard_negatives": hard_negatives_oracle(),
     "bigram_lm_quality": _lm_oracle(),
+    "perplexity_prune": _perplexity_prune_oracle(),
     "doc_chunks": _chunks_oracle(),
     "mixture_temperature": MIXTURE_TEMPERATURE_ORACLE,
     "curriculum_order": curriculum_order_oracle(),

@@ -185,3 +185,50 @@ def test_compact_proceeds_past_unrelated_name_clash(cat, spark, tmp_path):
         assert [r.v for r in cat.get("clash_c").collect()] == [2]
     finally:
         spark.sql("DROP TABLE IF EXISTS clash_c")
+
+
+def test_compact_bucketed_preserves_layout_and_rows(spark, tmp_path):
+    """compact_bucketed shrinks an append-heavy bucketed table to ~one
+    file per bucket WITHOUT losing the bucket metadata a co-located
+    join depends on (plain compact refuses these tables)."""
+    from simple_map_reduce_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "bwh"))
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr(
+        "id", "id % 7 AS k", "CAST(id AS STRING) AS payload"
+    )
+    cat.put_bucketed(mk(0, 100), "bt", "k", num_buckets=4)
+    for lo in (100, 200, 300):
+        cat.append_bucketed(mk(lo, lo + 100), "bt", "k", num_buckets=4)
+    path = tmp_path / "bwh" / "bt"
+    files_before = sum(1 for f in path.iterdir() if f.name.endswith(".parquet"))
+    n_files = cat.compact_bucketed("bt", "k", num_buckets=4)
+    assert n_files < files_before
+    # coalesce(parallelism) × per-bucket split bounds the file count
+    # independent of how many epochs were appended
+    assert n_files <= 4 * 4
+    after = cat.get_bucketed("bt")
+    assert after.count() == 400
+    assert {r.id for r in after.select("id").collect()} == set(range(400))
+    # bucket metadata survived: a same-bucketed self-aggregation on k
+    # plans without an Exchange above the scan
+    plan = (
+        after.groupBy("k").count()
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+    # stale stage table is gone
+    assert not cat.exists("bt__compacting")
+
+
+def test_compact_bucketed_is_retryable_after_stale_stage(spark, tmp_path):
+    from simple_map_reduce_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "bwh2"))
+    df = spark.range(0, 50).selectExpr("id", "id % 3 AS k")
+    cat.put_bucketed(df, "bt2", "k", num_buckets=2)
+    # simulate a crashed earlier compaction that left a stage table
+    cat.put_bucketed(df.limit(5), "bt2__compacting", "k", num_buckets=2)
+    cat.compact_bucketed("bt2", "k", num_buckets=2)
+    assert cat.get_bucketed("bt2").count() == 50
+    assert not cat.exists("bt2__compacting")

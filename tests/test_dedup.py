@@ -457,3 +457,33 @@ def test_neardup_index_stream_replay_after_report_before_marker(spark, tmp_path)
     post_report = sorted(map(tuple, cat.get(idx.reports_table).collect()))
     assert post_report == pre_report  # no duplicated / mutated rows
     assert {r.epoch_id for r in cat.get(idx.epochs_table).collect()} == {0}
+
+
+def test_neardup_index_compact_preserves_check_results(spark, tmp_path):
+    """Index compaction shrinks the per-epoch file sets without changing
+    any check() answer or losing the bucketed no-Exchange layout."""
+    import os
+
+    from simple_map_reduce_spark.catalog import Catalog
+    from simple_map_reduce_spark.operators.dedup import NearDupIndex
+
+    cat = Catalog(spark, str(tmp_path / "cwh"))
+    idx = NearDupIndex(cat, "cmp", threshold=0.3, num_buckets=2)
+    idx.build(spark.createDataFrame([(1, FAR)], "doc_id bigint, text string"))
+    for i, text in (
+        (10, BASE),
+        (20, "entirely novel content nothing shares these words"),
+        (30, "yet another disjoint document about streaming watermark state"),
+        (40, "fourth unique text mentioning vector quantization centroids"),
+    ):
+        idx.ingest(spark.createDataFrame([(i, text)], "doc_id bigint, text string"))
+    probe = spark.createDataFrame([(99, FAR)], "doc_id bigint, text string")
+    before = sorted(map(tuple, idx.check(probe).collect()))
+    files_before = sum(
+        1 for f in os.listdir(tmp_path / "cwh" / idx.buckets_table)
+        if f.endswith(".parquet")
+    )
+    counts = idx.compact()
+    assert set(counts) == {idx.buckets_table, idx.sizes_table, idx.shingles_table}
+    assert counts[idx.buckets_table] < files_before
+    assert sorted(map(tuple, idx.check(probe).collect())) == before

@@ -82,3 +82,60 @@ def test_bigram_lm_stable_under_repartition(spark):
         for r in bigram_lm_scores(df.repartition(7)).collect()
     }
     assert a == b
+
+
+def test_perplexity_prune_matches_python_reference(spark):
+    from simple_map_reduce_spark.operators.lm import (
+        THRESH_SCALE,
+        perplexity_prune_report,
+    )
+
+    docs = [
+        (1, "the cat sat on the mat", "en"),
+        (2, "the cat sat on the cat", "en"),
+        (3, "completely unrelated gibberish tokens here", "en"),
+        (4, "the", "en"),                       # unscored
+        (5, "the cat sat on the mat", "fr"),
+        (6, "zz yy xx ww vv", "fr"),
+        (7, "the cat sat", "fr"),
+    ]
+    py = _py_lm([(i, t) for i, t, _ in docs])
+    by_lang = {}
+    for i, _, lang in docs:
+        n, avg = py[i]
+        if n == 0:
+            by_lang.setdefault(lang, {"scored": [], "uns": 0})["uns"] = (
+                by_lang.setdefault(lang, {"scored": [], "uns": 0})["uns"] + 1
+            )
+        else:
+            by_lang.setdefault(lang, {"scored": [], "uns": 0})["scored"].append(
+                math.floor(avg * THRESH_SCALE + 0.5)
+            )
+    expect = {}
+    for lang, d in by_lang.items():
+        qs = sorted(d["scored"], reverse=True)
+        if not qs:
+            continue
+        t = qs[(len(qs) + 1) // 2 - 1]
+        expect[lang] = (
+            len(qs),
+            d["uns"],
+            t / THRESH_SCALE,
+            sum(1 for x in qs if x >= t),
+        )
+
+    df = spark.createDataFrame(docs, ["doc_id", "text", "lang"])
+    got = {
+        r.lang: (r.n_scored, r.n_unscored, r.threshold, r.n_kept)
+        for r in perplexity_prune_report(df).collect()
+    }
+    assert got == expect
+
+
+def test_perplexity_prune_keeps_at_least_half(spark):
+    docs = [(i, f"tok{i} tok{i+1} tok{i+2}", "en") for i in range(30)]
+    df = spark.createDataFrame(docs, ["doc_id", "text", "lang"])
+    from simple_map_reduce_spark.operators.lm import perplexity_prune_report
+
+    row = perplexity_prune_report(df).collect()[0]
+    assert row.n_kept * 2 >= row.n_scored  # value threshold keeps ties

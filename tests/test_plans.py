@@ -478,3 +478,46 @@ def test_curriculum_order_sorts_are_stage_shard_bounded(spark):
     assert "rangepartitioning" not in plan.lower()
     assert "Exchange hashpartitioning(stage" in plan
     assert "BroadcastHashJoin" in plan  # offsets join
+
+
+def test_perplexity_prune_distribution_bounded_windows(spark):
+    """The threshold machinery runs over the (lang, bucket) score
+    distribution — resolution-bounded — never a corpus re-sort."""
+    plan = _plan(spark, "perplexity_prune")
+    assert "rangepartitioning" not in plan.lower()
+    assert "CartesianProduct" not in plan
+
+
+# every BATCH query's physical plan must be free of NON-broadcast
+# cartesian products — the one anti-pattern that silently turns a
+# registered query quadratic. Queries whose brute-force form is the
+# POINT (labeled oracle tiers for the LSH/IVF scale paths) are
+# allowlisted explicitly so a new quadratic query can never slip into
+# the registry unnoticed.
+_CARTESIAN_ALLOWED = {
+    # exact all-pairs cosine — the oracle tier; the scale paths are
+    # embedding_neardup_lsh / embedding_neardup_idx (operators/
+    # similarity.py cosine_neardup_pairs, documented quadratic)
+    "embedding_neardup",
+}
+_FLEET_BATCH = [
+    k
+    for k in QUERIES
+    if not k.startswith("streaming_")
+    # the sketch tier builds its frames through custom aggs whose plans
+    # are checked in test_sketches; keep the fleet lint to oracle tiers
+    and k not in ("vocab_sketch", "value_quantiles_sketch")
+]
+
+
+def test_fleet_no_unbroadcast_cartesian(spark):
+    bad = []
+    for name in _FLEET_BATCH:
+        plan = _plan(spark, name)
+        if "CartesianProduct" in plan and name not in _CARTESIAN_ALLOWED:
+            bad.append(name)
+    assert not bad, (
+        f"non-broadcast cartesian product in registered queries {bad} — "
+        "broadcast the small side or bucket-join; if the quadratic form "
+        "is a labeled oracle tier, allowlist it HERE with a comment"
+    )

@@ -565,3 +565,29 @@ def test_ivf_index_ingest_stream_matches_batch_mode(spark, tmp_path):
     by_id = {r.vec_id: r for r in reports}
     assert by_id[300].matched_in == "corpus" and by_id[300].kept_id == 101
     assert {r.epoch_id for r in reports} == {0, 1, 2}
+
+
+def test_ivf_index_compact_preserves_search(spark, tmp_path):
+    import os
+
+    from simple_map_reduce_spark.catalog import Catalog
+    from simple_map_reduce_spark.operators.similarity import IvfIndex
+
+    cat = Catalog(spark, str(tmp_path / "cmpwh"))
+    idx = IvfIndex(cat, "cmp_t", n_centroids=2, num_buckets=2)
+    idx.build(_clustered_emb(spark))
+    for i, (vid, vec) in enumerate(
+        ((101, [0.0, 0.0, 1.0, 0.0]), (200, [0.0, 0.0, 0.0, 1.0]),
+         (201, [0.0, 1.0, 1.0, 0.0]), (202, [1.0, 0.0, 0.0, 1.0]))
+    ):
+        idx.ingest(
+            spark.createDataFrame([(vid, vec)], ["vec_id", "embedding"]), tau=0.999
+        )
+    before = sorted(map(tuple, idx.search_ids([0, 1], k=3).collect()))
+    files_before = sum(
+        1 for f in os.listdir(tmp_path / "cmpwh" / idx.vectors_table)
+        if f.endswith(".parquet")
+    )
+    counts = idx.compact()
+    assert counts[idx.vectors_table] < files_before
+    assert sorted(map(tuple, idx.search_ids([0, 1], k=3).collect())) == before
