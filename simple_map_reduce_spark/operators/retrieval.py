@@ -41,6 +41,28 @@ BM25_B = 0.75
 BM25_SCALE = 1_000_000
 
 
+def term_tf(
+    docs: DataFrame,
+    all_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, tok, tf) posting-list frame for the given term list —
+    the token stream is filtered to the terms AT THE SCAN, so the
+    aggregate shuffles only posting rows. One definition shared by
+    :func:`bm25_topk` and :func:`tf_topk`: an ensemble that ranks with
+    both (see ``rrf_fuse``) builds this ONCE, persists it, and passes
+    it to each ranker — one corpus tokenize pass instead of two."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.explode(tokenize(text_col)).alias("tok")
+        )
+        .filter(F.col("tok").isin(all_terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: list[tuple[int, list[str]]],
@@ -49,13 +71,17 @@ def bm25_topk(
     text_col: str = "text",
     k1: float = BM25_K1,
     b: float = BM25_B,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """Top-``k`` documents per keyword query.
 
     ``queries``: (query_id, [terms...]) — terms are matched against the
     shared ``\\w+``-lowercase tokenizer's output. Returns
     (query_id, doc_id, score, rank); ``score`` is the quantized-sum BM25
-    value (6-decimal resolution)."""
+    value (6-decimal resolution). ``tf`` may carry a precomputed
+    :func:`term_tf` frame over EXACTLY this query set's terms (the
+    ensemble-sharing path); when omitted it is derived (and persisted)
+    here."""
     spark = docs.sparkSession
     qterms = spark.createDataFrame(
         [(qid, t) for qid, terms in queries for t in dict.fromkeys(terms)],
@@ -78,14 +104,8 @@ def bm25_topk(
     # consume the posting lists — without the persist the corpus token
     # stream is exploded and filtered twice (released by the harness via
     # cache.release_tracked)
-    tf = tracked_persist(
-        docs.select(
-            F.col(id_col).alias("doc_id"), F.explode(tokenize(text_col)).alias("tok")
-        )
-        .filter(F.col("tok").isin(all_terms))
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").cast("bigint").alias("tf"))
-    )
+    if tf is None:
+        tf = tracked_persist(term_tf(docs, all_terms, id_col, text_col))
     df_t = tf.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
     contrib = (
         tf.join(lengths, "doc_id")
@@ -332,6 +352,7 @@ def tf_topk(
     k: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """Raw term-frequency ranker: ``score = Σ_t tf(t, d)`` over the
     query's terms — the blunt lexical baseline an ensemble fuses with
@@ -346,14 +367,8 @@ def tf_topk(
         "query_id bigint, tok string",
     )
     all_terms = sorted({t for _, terms in queries for t in terms})
-    tf = (
-        docs.select(
-            F.col(id_col).alias("doc_id"), F.explode(tokenize(text_col)).alias("tok")
-        )
-        .filter(F.col("tok").isin(all_terms))
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").cast("bigint").alias("tf"))
-    )
+    if tf is None:
+        tf = term_tf(docs, all_terms, id_col, text_col)
     scored = (
         tf.join(F.broadcast(qterms), "tok")
         .groupBy("query_id", "doc_id")

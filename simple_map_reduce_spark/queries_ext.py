@@ -2592,12 +2592,17 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     by tests/test_retrieval.py. Both inputs are top-k-bounded, so fusion
     cost is corpus-size-free; the two-run RRF sum is bit-exact without
     quantization (one division per list + one commutative add)."""
-    from .operators.retrieval import bm25_topk, rrf_fuse, tf_topk
+    from .cache import tracked_persist
+    from .operators.retrieval import bm25_topk, rrf_fuse, term_tf, tf_topk
 
     docs = load_table(spark, sf_dir, "documents")
+    # ONE corpus tokenize pass feeds both rankers (released by the
+    # harness via cache.release_tracked)
+    terms = sorted({t for _, ts in BM25_QUERIES for t in ts})
+    tf = tracked_persist(term_tf(docs, terms))
     return rrf_fuse(
-        bm25_topk(docs, BM25_QUERIES, k=BM25_K),
-        tf_topk(docs, BM25_QUERIES, k=BM25_K),
+        bm25_topk(docs, BM25_QUERIES, k=BM25_K, tf=tf),
+        tf_topk(docs, BM25_QUERIES, k=BM25_K, tf=tf),
         k=FUSION_K,
     )
 
