@@ -153,7 +153,92 @@ class Catalog:
             pass  # no usable session catalog — path-only table
         if os.path.isdir(path):  # DROP TABLE on an external table keeps data
             shutil.rmtree(path)
+        # snapshots of a deleted table are unreachable (get_version keys
+        # on the table name) — drop them too rather than leak the trees
+        for v in self.versions(name):
+            shutil.rmtree(os.path.join(self.root, f".{name}.v{v}"))
         return True
+
+    # -- snapshots (time travel for plain tables) --------------------------
+    def snapshot(self, name: str) -> int:
+        """Freeze the current contents of plain table ``name`` as an
+        immutable numbered version; returns the version id. Pair with
+        :meth:`get_version` / :meth:`restore` — the catalog's answer to
+        "what did the corpus look like when we trained run N?"
+        (reproducibility / audit), without copying data.
+
+        Snapshots are HARDLINK trees (one link per parquet file):
+        O(file count) regardless of data size, safe against both later
+        appends (new part files are simply absent from the frozen tree)
+        and table rewrites (`put`'s overwrite unlinks the live names;
+        the snapshot's links keep the old inodes alive). This is the
+        local-filesystem stand-in for what a table format's manifest
+        snapshot does on object storage (Delta/Iceberg) — the API is
+        the contract, the linking is the single-box mechanism.
+
+        Bucketed tables: snapshot the DATA only (a restored tree reads
+        correctly by path via :meth:`get`); the session-catalog bucket
+        metadata continues to describe the LIVE table, so take bucketed
+        snapshots for audit/rollback of contents, not for time-traveled
+        bucket-join layouts."""
+        path = self._path(name)
+        if not os.path.isdir(path):
+            raise FileNotFoundError(f"no table {name!r}")
+        version = 1 + max(self.versions(name), default=0)
+        snap = os.path.join(self.root, f".{name}.v{version}")
+        tmp = snap + ".tmp"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+        for f in os.listdir(path):
+            if f.endswith(".parquet") or f == "_SUCCESS":
+                os.link(os.path.join(path, f), os.path.join(tmp, f))
+        os.rename(tmp, snap)  # publish atomically: half-built trees are .tmp
+        return version
+
+    def versions(self, name: str) -> list[int]:
+        """Published snapshot ids for ``name``, ascending."""
+        self._path(name)  # validate name
+        prefix = f".{name}.v"
+        out = []
+        for d in os.listdir(self.root):
+            if d.startswith(prefix) and not d.endswith(".tmp"):
+                tail = d[len(prefix):]
+                if tail.isdigit():
+                    out.append(int(tail))
+        return sorted(out)
+
+    def get_version(self, name: str, version: int) -> DataFrame:
+        """Read a frozen snapshot of ``name``."""
+        snap = os.path.join(self.root, f".{name}.v{version}")
+        if not os.path.isdir(snap):
+            raise FileNotFoundError(f"no snapshot v{version} of {name!r}")
+        return self.spark.read.parquet(snap)
+
+    def restore(self, name: str, version: int) -> None:
+        """Roll the live table back to snapshot ``version`` (the
+        snapshot itself survives — restores are repeatable). Same
+        rename-swap crash recovery as :meth:`compact`: the live dir is
+        moved aside, a fresh hardlink tree of the snapshot is published
+        in its place, then the scratch is dropped."""
+        snap = os.path.join(self.root, f".{name}.v{version}")
+        if not os.path.isdir(snap):
+            raise FileNotFoundError(f"no snapshot v{version} of {name!r}")
+        path = self._path(name)
+        old = os.path.join(self.root, f".{name}.restore-old")
+        tmp = os.path.join(self.root, f".{name}.restore-tmp")
+        if not os.path.isdir(path) and os.path.isdir(old):
+            os.rename(old, path)  # heal a crash between the two renames
+        for stale in (tmp, old):
+            if os.path.isdir(stale):
+                shutil.rmtree(stale)
+        os.makedirs(tmp)
+        for f in os.listdir(snap):
+            os.link(os.path.join(snap, f), os.path.join(tmp, f))
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+        self.spark.catalog.refreshByPath(path)
 
     # -- compaction (small-files management) -------------------------------
     def compact(self, name: str, target_file_bytes: int = 128 * 1024 * 1024) -> int:

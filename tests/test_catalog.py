@@ -232,3 +232,42 @@ def test_compact_bucketed_is_retryable_after_stale_stage(spark, tmp_path):
     cat.compact_bucketed("bt2", "k", num_buckets=2)
     assert cat.get_bucketed("bt2").count() == 50
     assert not cat.exists("bt2__compacting")
+
+
+def test_snapshot_survives_append_and_overwrite(spark, tmp_path):
+    """A snapshot freezes contents against BOTH later appends (new part
+    files absent from the tree) and full rewrites (hardlinks keep the
+    old inodes alive after overwrite unlinks the live names)."""
+    from simple_map_reduce_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "vwh"))
+    cat.put(spark.range(0, 10).selectExpr("id"), "t")
+    v1 = cat.snapshot("t")
+    cat.append(spark.range(10, 20).selectExpr("id"), "t")
+    v2 = cat.snapshot("t")
+    cat.put(spark.range(100, 103).selectExpr("id"), "t")  # full rewrite
+    assert cat.versions("t") == [v1, v2] == [1, 2]
+    assert {r.id for r in cat.get_version("t", v1).collect()} == set(range(10))
+    assert {r.id for r in cat.get_version("t", v2).collect()} == set(range(20))
+    assert {r.id for r in cat.get("t").collect()} == {100, 101, 102}
+    # snapshot dirs are internal: never listed, never addressable
+    assert cat.ls() == ["t"]
+
+
+def test_restore_rolls_back_and_is_repeatable(spark, tmp_path):
+    from simple_map_reduce_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "vwh2"))
+    cat.put(spark.range(0, 5).selectExpr("id"), "t")
+    v1 = cat.snapshot("t")
+    cat.put(spark.range(50, 60).selectExpr("id"), "t")
+    cat.restore("t", v1)
+    assert {r.id for r in cat.get("t").collect()} == set(range(5))
+    # the snapshot survives its own restore; restoring again still works
+    cat.append(spark.range(5, 8).selectExpr("id"), "t")
+    cat.restore("t", v1)
+    assert {r.id for r in cat.get("t").collect()} == set(range(5))
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        cat.get_version("t", 99)

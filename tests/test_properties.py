@@ -346,3 +346,99 @@ def test_semdedup_matches_python_reference(spark_global, vecs):
         for r in semdedup_prune(emb, tau=tau, centroids=cents).collect()
     }
     assert got == want, (vecs, assign, got, want)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=60), min_size=1, max_size=6
+    ),
+    st.integers(min_value=1, max_value=10),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_token_chunks_matches_reference_on_random_docs(
+    spark_global, token_counts, stride
+):
+    """token_chunks ≡ the pure-Python window reference for any doc
+    lengths, any (chunk_tokens ≥ stride) pair — including n == 0, exact
+    multiples, and single-window docs."""
+    from simple_map_reduce_spark.operators.chunking import token_chunks
+
+    chunk_tokens = stride + (token_counts[0] % 7)  # ≥ stride, varied
+    docs = [
+        (i, " ".join(f"w{i}_{j}" for j in range(n)))
+        for i, n in enumerate(token_counts)
+    ]
+    df = spark_global.createDataFrame(docs, ["doc_id", "text"])
+    got = sorted(
+        (r.doc_id, r.chunk_id, r.n_tokens, r.chunk_text)
+        for r in token_chunks(
+            df, chunk_tokens=chunk_tokens, stride=stride
+        ).collect()
+    )
+    want = []
+    for i, text in docs:
+        t = text.split()
+        n = len(t)
+        nc = 1 if n <= chunk_tokens else 1 + (n - chunk_tokens + stride - 1) // stride
+        for c in range(nc):
+            want.append(
+                (
+                    i,
+                    c,
+                    max(0, min(chunk_tokens, n - c * stride)),
+                    " ".join(t[c * stride : c * stride + chunk_tokens]),
+                )
+            )
+    assert got == sorted(want)
+
+
+@given(
+    st.dictionaries(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),
+            st.integers(min_value=1, max_value=30),
+        ),
+        st.integers(min_value=1, max_value=10),
+        min_size=1,
+        max_size=20,
+    ),
+    st.dictionaries(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),
+            st.integers(min_value=1, max_value=30),
+        ),
+        st.integers(min_value=1, max_value=10),
+        min_size=1,
+        max_size=20,
+    ),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_rrf_fuse_matches_reference_on_random_runs(spark_global, run_a, run_b):
+    """rrf_fuse ≡ the pure-Python RRF for arbitrary (possibly
+    overlapping, possibly rank-duplicated) run pairs."""
+    from simple_map_reduce_spark.operators.retrieval import RRF_K, rrf_fuse
+
+    def df_of(run):
+        return spark_global.createDataFrame(
+            [(q, d, r) for (q, d), r in run.items()],
+            "query_id bigint, doc_id bigint, rank bigint",
+        )
+
+    got = sorted(
+        map(tuple, rrf_fuse(df_of(run_a), df_of(run_b), k=5).collect())
+    )
+    want = []
+    for qid in {q for q, _ in list(run_a) + list(run_b)}:
+        rows = []
+        for d in {d for q, d in list(run_a) + list(run_b) if q == qid}:
+            ra, rb = run_a.get((qid, d), 0), run_b.get((qid, d), 0)
+            score = (1.0 / (RRF_K + ra) if ra else 0.0) + (
+                1.0 / (RRF_K + rb) if rb else 0.0
+            )
+            rows.append((d, ra, rb, score))
+        rows.sort(key=lambda r: (-r[3], r[0]))
+        want += [
+            (qid, d, ra, rb, s, i + 1)
+            for i, (d, ra, rb, s) in enumerate(rows[:5])
+        ]
+    assert got == sorted(want)
