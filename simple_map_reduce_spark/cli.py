@@ -59,6 +59,15 @@ def build_parser() -> argparse.ArgumentParser:
     sc.add_argument("name")
     sc.add_argument("--target-mb", type=int, default=128)
 
+    ss = sub.add_parser("snapshot", help="freeze a table's contents as a numbered version")
+    ss.add_argument("name")
+
+    sv = sub.add_parser("versions", help="list a table's snapshot versions")
+    sv.add_argument("name")
+
+    sr = sub.add_parser("restore", help="roll a table back to a snapshot version")
+    sr.add_argument("name"), sr.add_argument("version", type=int)
+
     sub.add_parser("repl", help="interactive shell (the reference's prompt, main.rs:209-308)")
 
     return p
@@ -99,6 +108,15 @@ def main(argv: list[str] | None = None) -> int:
     elif ns.cmd == "compact":
         n = mj.catalog.compact(ns.name, ns.target_mb * 1024 * 1024)
         print(f"compacted {ns.name} -> {n} file(s)")
+    elif ns.cmd == "snapshot":
+        v = mj.catalog.snapshot(ns.name)
+        print(f"snapshot {ns.name} -> v{v}")
+    elif ns.cmd == "versions":
+        for v in mj.catalog.versions(ns.name):
+            print(f"v{v}")
+    elif ns.cmd == "restore":
+        mj.catalog.restore(ns.name, ns.version)
+        print(f"restored {ns.name} <- v{ns.version}")
     elif ns.cmd == "repl":
         repl(mj)
     return 0
@@ -162,6 +180,15 @@ def _dispatch(ns: argparse.Namespace, mj: MapleJuice, out) -> None:
     elif ns.cmd == "compact":
         n = mj.catalog.compact(ns.name, ns.target_mb * 1024 * 1024)
         print(f"compacted {ns.name} -> {n} file(s)", file=out)
+    elif ns.cmd == "snapshot":
+        v = mj.catalog.snapshot(ns.name)
+        print(f"snapshot {ns.name} -> v{v}", file=out)
+    elif ns.cmd == "versions":
+        for v in mj.catalog.versions(ns.name):
+            print(f"v{v}", file=out)
+    elif ns.cmd == "restore":
+        mj.catalog.restore(ns.name, ns.version)
+        print(f"restored {ns.name} <- v{ns.version}", file=out)
 
 
 if __name__ == "__main__":

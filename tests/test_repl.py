@@ -43,3 +43,20 @@ def test_repl_compact(spark, tmp_path):
     repl(mj, stdin=stdin, stdout=out)
     assert "compacted t -> 1 file(s)" in out.getvalue()
     assert mj.catalog.get("t").count() == 1000
+
+
+def test_repl_snapshot_restore_roundtrip(spark, tmp_path):
+    mj = MapleJuice(spark, str(tmp_path / "wh"))
+    mj.catalog.put(spark.range(5).withColumnRenamed("id", "v"), "t")
+    stdin = io.StringIO("snapshot t\nversions t\nexit\n")
+    out = io.StringIO()
+    repl(mj, stdin=stdin, stdout=out)
+    text = out.getvalue()
+    assert "snapshot t -> v1" in text and "v1" in text
+    # mutate, then roll back through the shell
+    mj.catalog.put(spark.range(100, 103).withColumnRenamed("id", "v"), "t")
+    stdin = io.StringIO("restore t 1\nexit\n")
+    out = io.StringIO()
+    repl(mj, stdin=stdin, stdout=out)
+    assert "restored t <- v1" in out.getvalue()
+    assert {r.v for r in mj.catalog.get("t").collect()} == set(range(5))
