@@ -139,6 +139,12 @@ class Catalog:
     # -- delete (S7) ---------------------------------------------------------
     def delete(self, name: str) -> bool:
         path = self._path(name)
+        # heal a crash between restore's two renames first: the table's
+        # only copy may live in the scratch dir, and bailing out here
+        # would strand it (and every snapshot) unreachable forever
+        old = os.path.join(self.root, f".{name}.restore-old")
+        if not os.path.isdir(path) and os.path.isdir(old):
+            os.rename(old, path)
         if not os.path.isdir(path):
             return False
         # a bucketed table also has session-catalog metadata; leaving it
@@ -153,10 +159,22 @@ class Catalog:
             pass  # no usable session catalog — path-only table
         if os.path.isdir(path):  # DROP TABLE on an external table keeps data
             shutil.rmtree(path)
-        # snapshots of a deleted table are unreachable (get_version keys
-        # on the table name) — drop them too rather than leak the trees
+        # snapshots and crash-scratch dirs of a deleted table are
+        # unreachable (every API path keys on the table name, and _path
+        # refuses dot-names) — drop them too rather than leak the trees
         for v in self.versions(name):
             shutil.rmtree(os.path.join(self.root, f".{name}.v{v}"))
+        for scratch in (
+            f".{name}.restore-old", f".{name}.restore-tmp",
+            f".{name}.bcompact-old", f".{name}.compact-old",
+            f".{name}.compact-tmp",
+        ):
+            sp = os.path.join(self.root, scratch)
+            if os.path.isdir(sp):
+                shutil.rmtree(sp)
+        for d in os.listdir(self.root):  # half-built snapshot trees
+            if d.startswith(f".{name}.v") and d.endswith(".tmp"):
+                shutil.rmtree(os.path.join(self.root, d))
         return True
 
     # -- snapshots (time travel for plain tables) --------------------------
@@ -239,6 +257,15 @@ class Catalog:
         os.rename(tmp, path)
         shutil.rmtree(old)
         self.spark.catalog.refreshByPath(path)
+        try:
+            # a BUCKETED table is read through the session catalog, whose
+            # relation cache would otherwise keep listing the pre-restore
+            # part files (the same staleness class put_bucketed/
+            # append_bucketed guard against)
+            if self._session_entry_is_ours(name):
+                self.spark.catalog.refreshTable(name)
+        except Exception:
+            pass  # no usable session catalog — path-only table
 
     # -- compaction (small-files management) -------------------------------
     def compact(self, name: str, target_file_bytes: int = 128 * 1024 * 1024) -> int:
@@ -374,6 +401,30 @@ class Catalog:
         metadata lives there, not in the parquet footers)."""
         return self.spark.table(name)
 
+    def _bucket_spec(self, name: str) -> tuple[list[str], int] | None:
+        """(bucket_columns_lowercased, num_buckets) from the session
+        catalog's entry for OUR table at this name, or None when no such
+        entry (path-only table / no usable session catalog)."""
+        try:
+            if not self._session_entry_is_ours(name):
+                return None
+            n_buckets, bcols = None, None
+            for r in self.spark.sql(
+                f"DESCRIBE TABLE EXTENDED `{name.lower()}`"
+            ).collect():
+                if r.col_name == "Num Buckets":
+                    n_buckets = int(r.data_type)
+                elif r.col_name == "Bucket Columns":
+                    bcols = [
+                        c.strip().strip("`")
+                        for c in r.data_type.strip("[]").split(",")
+                    ]
+            if n_buckets is None or bcols is None:
+                return None
+            return ([c.lower() for c in bcols], n_buckets)
+        except Exception:
+            return None
+
     def compact_bucketed(
         self,
         name: str,
@@ -406,9 +457,19 @@ class Catalog:
         ``parallelism`` defaults to ``num_buckets``; raise it for huge
         tables (more rewrite parallelism, proportionally more files).
         Returns the new parquet file count. The bucket spec passed here
-        must match the table's (Spark would reject a mismatched staged
-        write loudly anyway via the validated saveAsTable)."""
+        is VALIDATED against the session-catalog entry when one exists —
+        the staged table is brand-new, so Spark itself validates nothing,
+        and publishing a mismatched layout under the live entry would
+        make every later bucketed join silently read wrong buckets."""
         cols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
+        declared = self._bucket_spec(name)
+        if declared is not None and declared != ([c.lower() for c in cols], num_buckets):
+            raise ValueError(
+                f"bucket spec mismatch for {name!r}: table is bucketed as "
+                f"{declared}, compact_bucketed was passed "
+                f"({[c.lower() for c in cols]}, {num_buckets}) — a mismatched "
+                "rewrite would corrupt the layout the catalog entry declares"
+            )
         stage = f"{name}__compacting"
         path, old = self._path(name), os.path.join(self.root, f".{name}.bcompact-old")
         if not os.path.isdir(path) and os.path.isdir(old):

@@ -50,7 +50,12 @@ def token_chunks(
     if stride > chunk_tokens:
         raise ValueError("stride > chunk_tokens would drop tokens between windows")
     toked = docs.select(
-        F.col(id_col).alias("doc_id"), ws_tokens(text_col).alias("_toks")
+        F.col(id_col).alias("doc_id"),
+        # NULL text tokenizes to a NULL array, which would NULL the
+        # window arithmetic and silently DROP the doc at the explode —
+        # breaking the every-doc-appears contract the ANN tier relies
+        # on; treat it as empty text (one empty chunk) instead
+        ws_tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("_toks"),
     ).withColumns(
         {
             "_n": F.size("_toks").cast("bigint"),
@@ -89,8 +94,10 @@ def token_chunks_oracle_sql(
     w, s = chunk_tokens, stride
     return rf"""
         WITH toks AS (
-            SELECT doc_id, regexp_extract_all(text, '\S+') AS t,
-                   CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n
+            SELECT doc_id,
+                   regexp_extract_all(coalesce(text, '') , '\S+') AS t,
+                   CAST(len(regexp_extract_all(coalesce(text, ''), '\S+'))
+                        AS BIGINT) AS n
             FROM documents),
         base AS (
             SELECT doc_id, t, n,

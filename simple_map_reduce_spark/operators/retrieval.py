@@ -41,6 +41,19 @@ BM25_B = 0.75
 BM25_SCALE = 1_000_000
 
 
+def _query_terms(spark, queries: list[tuple[int, list[str]]]):
+    """(qterms frame, sorted distinct term list) — ONE definition of the
+    per-query term dedup and the (query_id, tok) schema, shared by both
+    rankers so the ensemble (and the shared ``term_tf`` precondition)
+    can never drift on term normalization."""
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, terms in queries for t in dict.fromkeys(terms)],
+        "query_id bigint, tok string",
+    )
+    all_terms = sorted({t for _, terms in queries for t in terms})
+    return qterms, all_terms
+
+
 def term_tf(
     docs: DataFrame,
     all_terms: list[str],
@@ -82,12 +95,7 @@ def bm25_topk(
     :func:`term_tf` frame over EXACTLY this query set's terms (the
     ensemble-sharing path); when omitted it is derived (and persisted)
     here."""
-    spark = docs.sparkSession
-    qterms = spark.createDataFrame(
-        [(qid, t) for qid, terms in queries for t in dict.fromkeys(terms)],
-        "query_id bigint, tok string",
-    )
-    all_terms = sorted({t for _, terms in queries for t in terms})
+    qterms, all_terms = _query_terms(docs.sparkSession, queries)
 
     from ..cache import tracked_persist
 
@@ -361,12 +369,7 @@ def tf_topk(
     work to do). Same scan-filtered posting-list shape as
     :func:`bm25_topk`; scores are exact integers, so no quantization is
     needed anywhere. Returns (query_id, doc_id, score, rank)."""
-    spark = docs.sparkSession
-    qterms = spark.createDataFrame(
-        [(qid, t) for qid, terms in queries for t in dict.fromkeys(terms)],
-        "query_id bigint, tok string",
-    )
-    all_terms = sorted({t for _, terms in queries for t in terms})
+    qterms, all_terms = _query_terms(docs.sparkSession, queries)
     if tf is None:
         tf = term_tf(docs, all_terms, id_col, text_col)
     scored = (

@@ -123,8 +123,23 @@ def shuffle_positions(
     offsets frame stays tiny (|groups|·|shards| rows) and broadcast, and
     no partition ever holds more than one (group, shard)'s rows, so a
     3-group corpus never degenerates into 3 giant sort partitions.
+    Group values must be NON-NULL, enforced scan-locally like the key:
+    the offsets join is an equi-join on the group columns, and a NULL
+    group value would silently drop its rows there.
     """
     groups = list(group_cols or [])
+    for g in groups:
+        df = df.withColumn(
+            g,
+            F.when(F.col(g).isNotNull(), F.col(g)).otherwise(
+                F.raise_error(
+                    F.lit(
+                        f"shuffle_positions: NULL group column {g} — a NULL "
+                        "group would silently vanish in the offsets join"
+                    )
+                )
+            ),
+        )
     keyed = df.withColumn(
         "_skey",
         md5_hex(

@@ -835,8 +835,6 @@ class IvfIndex:
         exemplar convention), ``sim`` its 6-decimal-rounded cosine.
         """
         cents = self.catalog.get(self.centroids_table)
-        vectors = self.catalog.get_bucketed(self.vectors_table)
-        assign = self.catalog.get_bucketed(self.assign_table)
         batch = _prep(
             batch_emb, self.id_col, self.vec_col, "vec_id", "bvec", "bn",
             spread=False,
@@ -845,6 +843,15 @@ class IvfIndex:
             batch, cents, id_alias="vec_id", vec_alias="bvec", n_alias="bn",
             keep=("bvec", "bn"),
         )
+        return self._neardup_check_assigned(bassign, tau)
+
+    def _neardup_check_assigned(self, bassign: DataFrame, tau: float) -> DataFrame:
+        """The check core over an already-assigned batch frame
+        (vec_id, centroid_id, bvec, bn) — shared by :meth:`neardup_check`
+        and :meth:`ingest`, which has the assignment persisted already
+        and must not pay the broadcast-centroid crossJoin twice."""
+        vectors = self.catalog.get_bucketed(self.vectors_table)
+        assign = self.catalog.get_bucketed(self.assign_table)
         cand = (
             assign.join(F.broadcast(bassign), "centroid_id")
             .withColumnRenamed("id", "cid")
@@ -909,28 +916,27 @@ class IvfIndex:
         from ..cache import tracked_persist, untrack
 
         cents = self.catalog.get(self.centroids_table)
-        batch = tracked_persist(
-            _prep(
-                batch_emb, self.id_col, self.vec_col, "vec_id", "bvec", "bn",
-                spread=False,
-            )
-        )
+        # ONE broadcast-centroid assignment pass, persisted: the corpus
+        # check, the intra-batch self-join (both sides), and the appends
+        # all consume it
         bassign = tracked_persist(
             _nearest_centroid(
-                batch, cents, id_alias="vec_id", vec_alias="bvec",
-                n_alias="bn", keep=("bvec", "bn"),
+                _prep(
+                    batch_emb, self.id_col, self.vec_col, "vec_id", "bvec",
+                    "bn", spread=False,
+                ),
+                cents,
+                id_alias="vec_id", vec_alias="bvec", n_alias="bn",
+                keep=("bvec", "bn"),
             )
         )
         try:
-            return self._ingest_inner(batch_emb, bassign, tau)
+            return self._ingest_inner(bassign, tau)
         finally:
-            for frame in (batch, bassign):
-                untrack(frame)
+            untrack(bassign)
 
-    def _ingest_inner(
-        self, batch_emb: DataFrame, bassign: DataFrame, tau: float
-    ) -> DataFrame:
-        corpus_rows = self.neardup_check(batch_emb, tau).withColumn(
+    def _ingest_inner(self, bassign: DataFrame, tau: float) -> DataFrame:
+        corpus_rows = self._neardup_check_assigned(bassign, tau).withColumn(
             "matched_in", F.lit("corpus")
         )
         b1 = bassign

@@ -268,6 +268,9 @@ _CHANGED_THIS_ROUND = [
     # r6: shuffle_positions gained group_cols (curriculum_order); the
     # ungrouped path is plan-identical but shares the edited code
     "corpus_shuffle",
+    # r6: neardup_check refactored onto the shared assigned-core (same
+    # math; ingest now reuses the persisted assignment) — re-verify
+    "embedding_neardup_idx",
 ]
 _ROTATION_FRONT = [
     *_CHANGED_THIS_ROUND,
@@ -311,9 +314,8 @@ _ROTATION_FRONT = [
     "window_running",
     "wordcount",
     "wordcount_total",
-    # oldest r4 rows refreshed (alphabetical; remainder rotates in r7)
+    # oldest r4 row refreshed (alphabetical; remainder rotates in r7)
     "asof_last_order",
-    "bigram_docfreq",
 ]
 assert len(_ROTATION_FRONT) == 50
 assert set(_ROTATION_FRONT) <= set(QUERIES)

@@ -271,3 +271,52 @@ def test_restore_rolls_back_and_is_repeatable(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         cat.get_version("t", 99)
+
+
+def test_compact_bucketed_rejects_mismatched_spec(spark, tmp_path):
+    """The staged table is brand-new, so Spark validates nothing — the
+    catalog itself must refuse a spec that contradicts its entry, or
+    the swap would publish a corrupt layout under the live metadata."""
+    import pytest as _pytest
+
+    from simple_map_reduce_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "mwh"))
+    cat.put_bucketed(spark.range(20).selectExpr("id", "id % 3 AS k"), "mt", "k", 4)
+    with _pytest.raises(ValueError, match="bucket spec mismatch"):
+        cat.compact_bucketed("mt", "id", num_buckets=4)  # wrong column
+    with _pytest.raises(ValueError, match="bucket spec mismatch"):
+        cat.compact_bucketed("mt", "k", num_buckets=8)  # wrong count
+    assert cat.compact_bucketed("mt", "k", num_buckets=4) >= 1  # right spec
+
+
+def test_restore_refreshes_bucketed_relation(spark, tmp_path):
+    """A restored BUCKETED table must be readable through the session
+    catalog immediately — the relation cache cannot keep listing the
+    pre-restore part files restore() just swapped away."""
+    from simple_map_reduce_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "rwh"))
+    cat.put_bucketed(spark.range(10).selectExpr("id", "id % 2 AS k"), "rt", "k", 2)
+    assert cat.get_bucketed("rt").count() == 10  # populate the relation cache
+    v1 = cat.snapshot("rt")
+    cat.append_bucketed(spark.range(10, 30).selectExpr("id", "id % 2 AS k"), "rt", "k", 2)
+    assert cat.get_bucketed("rt").count() == 30
+    cat.restore("rt", v1)
+    assert cat.get_bucketed("rt").count() == 10  # stale listing would crash
+
+
+def test_delete_heals_crashed_restore_and_reaps_scratch(spark, tmp_path):
+    import os
+
+    from simple_map_reduce_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "dwh"))
+    cat.put(spark.range(5).selectExpr("id"), "t")
+    cat.snapshot("t")
+    # simulate a crash between restore's two renames: live dir moved
+    # aside, replacement never published
+    os.rename(str(tmp_path / "dwh" / "t"), str(tmp_path / "dwh" / ".t.restore-old"))
+    assert cat.delete("t") is True  # healed, then deleted
+    left = [d for d in os.listdir(tmp_path / "dwh") if d.startswith(".t.")]
+    assert left == []  # snapshots + scratch reaped with the table

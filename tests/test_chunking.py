@@ -73,3 +73,13 @@ def test_invalid_params_raise():
         token_chunks(None, chunk_tokens=8, stride=0)
     with pytest.raises(ValueError):
         token_chunks(None, chunk_tokens=8, stride=9)
+
+
+def test_null_text_doc_still_appears(spark):
+    """NULL text must behave like empty text — the doc stays in the
+    chunk table instead of silently exiting the retrieval corpus."""
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, None)], "doc_id bigint, text string"
+    )
+    rows = {r.doc_id: r for r in token_chunks(df, chunk_tokens=4, stride=2).collect()}
+    assert rows[2].chunk_id == 0 and rows[2].n_tokens == 0 and rows[2].chunk_text == ""

@@ -151,3 +151,13 @@ def test_shuffle_positions_ungrouped_unchanged_by_group_extension(spark):
         )
     }
     assert got == expect
+
+
+def test_shuffle_positions_null_group_raises(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "doc_id bigint, grp string"
+    )
+    with _pytest.raises(Exception, match="NULL group"):
+        shuffle_positions(df, "doc_id", group_cols=["grp"]).collect()
