@@ -136,17 +136,40 @@ class Catalog:
             loc = loc[len("file:"):]
         return os.path.realpath(loc) == os.path.realpath(self._path(name))
 
+    # every directory-swap operation (restore, compact, compact_bucketed)
+    # parks the live dir under one of these scratch suffixes between its
+    # two renames; ONE heal covers every swap path — per-op copies of the
+    # idiom are how delete() once healed only restore crashes
+    _SWAP_OLD_SUFFIXES = ("restore-old", "compact-old", "bcompact-old")
+
+    def _heal_crashed_swap(self, name: str) -> None:
+        """If the live dir is missing but a swap scratch dir holds the
+        table's only copy (a crash between an operation's two renames),
+        move it back so the table is addressable again."""
+        path = self._path(name)
+        if os.path.isdir(path):
+            return
+        for suffix in self._SWAP_OLD_SUFFIXES:
+            old = os.path.join(self.root, f".{name}.{suffix}")
+            if os.path.isdir(old):
+                os.rename(old, path)
+                return
+
     # -- delete (S7) ---------------------------------------------------------
     def delete(self, name: str) -> bool:
         path = self._path(name)
-        # heal a crash between restore's two renames first: the table's
-        # only copy may live in the scratch dir, and bailing out here
-        # would strand it (and every snapshot) unreachable forever
-        old = os.path.join(self.root, f".{name}.restore-old")
-        if not os.path.isdir(path) and os.path.isdir(old):
-            os.rename(old, path)
+        # heal any crashed swap first: the table's only copy may live in
+        # a scratch dir, and bailing out here would strand it (and every
+        # snapshot) unreachable forever
+        self._heal_crashed_swap(name)
         if not os.path.isdir(path):
             return False
+        # a crashed compact_bucketed may have left its STAGE table (a
+        # full data copy + session-catalog entry) — reap it with the
+        # table it was staging for
+        stage = f"{name}__compacting"
+        if self.exists(stage):
+            self.delete(stage)
         # a bucketed table also has session-catalog metadata; leaving it
         # behind would make a later get_bucketed() read a dangling entry.
         # Drop ONLY if the entry's location is this table's path — a
@@ -172,8 +195,15 @@ class Catalog:
             sp = os.path.join(self.root, scratch)
             if os.path.isdir(sp):
                 shutil.rmtree(sp)
+        prefix, suffix = f".{name}.v", ".tmp"
         for d in os.listdir(self.root):  # half-built snapshot trees
-            if d.startswith(f".{name}.v") and d.endswith(".tmp"):
+            if (
+                d.startswith(prefix)
+                and d.endswith(suffix)
+                # exact .{name}.v<digits>.tmp — a looser match would eat
+                # another table's tree when names nest (t vs t.v2)
+                and d[len(prefix):-len(suffix)].isdigit()
+            ):
                 shutil.rmtree(os.path.join(self.root, d))
         return True
 
@@ -245,8 +275,7 @@ class Catalog:
         path = self._path(name)
         old = os.path.join(self.root, f".{name}.restore-old")
         tmp = os.path.join(self.root, f".{name}.restore-tmp")
-        if not os.path.isdir(path) and os.path.isdir(old):
-            os.rename(old, path)  # heal a crash between the two renames
+        self._heal_crashed_swap(name)
         for stale in (tmp, old):
             if os.path.isdir(stale):
                 shutil.rmtree(stale)
@@ -305,10 +334,7 @@ class Catalog:
             pass  # no usable session catalog — path-only table, proceed
         path = self._path(name)
         old = os.path.join(self.root, f".{name}.compact-old")
-        if not os.path.isdir(path) and os.path.isdir(old):
-            # heal a crash that happened between the two swap renames:
-            # the table's only copy is the scratch dir — put it back
-            os.rename(old, path)
+        self._heal_crashed_swap(name)
         size = sum(
             os.path.getsize(os.path.join(path, f))
             for f in os.listdir(path)
@@ -404,23 +430,29 @@ class Catalog:
     def _bucket_spec(self, name: str) -> tuple[list[str], int] | None:
         """(bucket_columns_lowercased, num_buckets) from the session
         catalog's entry for OUR table at this name, or None when no such
-        entry (path-only table / no usable session catalog)."""
+        entry (path-only table / no usable session catalog). ONE
+        DESCRIBE pass extracts location and bucket rows together (first
+        occurrence wins, like _session_entry_is_ours)."""
         try:
-            if not self._session_entry_is_ours(name):
-                return None
-            n_buckets, bcols = None, None
+            loc, n_buckets, bcols = None, None, None
             for r in self.spark.sql(
                 f"DESCRIBE TABLE EXTENDED `{name.lower()}`"
             ).collect():
-                if r.col_name == "Num Buckets":
+                if r.col_name == "Location" and loc is None:
+                    loc = r.data_type
+                elif r.col_name == "Num Buckets" and n_buckets is None:
                     n_buckets = int(r.data_type)
-                elif r.col_name == "Bucket Columns":
+                elif r.col_name == "Bucket Columns" and bcols is None:
                     bcols = [
                         c.strip().strip("`")
                         for c in r.data_type.strip("[]").split(",")
                     ]
-            if n_buckets is None or bcols is None:
+            if not loc or n_buckets is None or bcols is None:
                 return None
+            if loc.startswith("file:"):
+                loc = loc[len("file:"):]
+            if os.path.realpath(loc) != os.path.realpath(self._path(name)):
+                return None  # someone else's table shares the name
             return ([c.lower() for c in bcols], n_buckets)
         except Exception:
             return None
@@ -472,10 +504,12 @@ class Catalog:
             )
         stage = f"{name}__compacting"
         path, old = self._path(name), os.path.join(self.root, f".{name}.bcompact-old")
-        if not os.path.isdir(path) and os.path.isdir(old):
-            # heal a crash between the two swap renames
-            os.rename(old, path)
-            self.spark.catalog.refreshTable(name)
+        if not os.path.isdir(path):
+            self._heal_crashed_swap(name)
+            try:
+                self.spark.catalog.refreshTable(name)
+            except Exception:
+                pass  # path-only table
         if self.exists(stage):  # stale stage from a crashed earlier run
             self.delete(stage)
         self.put_bucketed(

@@ -320,3 +320,43 @@ def test_delete_heals_crashed_restore_and_reaps_scratch(spark, tmp_path):
     assert cat.delete("t") is True  # healed, then deleted
     left = [d for d in os.listdir(tmp_path / "dwh") if d.startswith(".t.")]
     assert left == []  # snapshots + scratch reaped with the table
+
+
+def test_delete_heals_crashed_compact_and_reaps_stage(spark, tmp_path):
+    """The heal covers EVERY swap path (restore/compact/compact_bucketed),
+    and a crashed compact_bucketed's visible stage table goes with the
+    table it was staging for."""
+    import os
+
+    from simple_map_reduce_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "hwh"))
+    cat.put(spark.range(5).selectExpr("id"), "t")
+    cat.snapshot("t")
+    # crash between plain compact's two renames
+    os.rename(str(tmp_path / "hwh" / "t"), str(tmp_path / "hwh" / ".t.compact-old"))
+    assert cat.delete("t") is True
+    assert [d for d in os.listdir(tmp_path / "hwh") if d.startswith(".t.")] == []
+
+    # crashed compact_bucketed: live table + orphaned stage table
+    cat.put_bucketed(spark.range(8).selectExpr("id", "id % 2 AS k"), "bt", "k", 2)
+    cat.put_bucketed(spark.range(8).selectExpr("id", "id % 2 AS k"), "bt__compacting", "k", 2)
+    assert cat.delete("bt") is True
+    assert not cat.exists("bt__compacting")
+    assert "bt__compacting" not in [t.name for t in spark.catalog.listTables()]
+
+
+def test_delete_tmp_reap_is_name_exact(spark, tmp_path):
+    """.{name}.v<digits>.tmp only — a nested table name (t vs t.v2) must
+    not have its snapshot scratch eaten by delete('t')."""
+    import os
+
+    from simple_map_reduce_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "gwh"))
+    cat.put(spark.range(3).selectExpr("id"), "t")
+    os.makedirs(str(tmp_path / "gwh" / ".t.v3.tmp"))       # ours: half-built
+    os.makedirs(str(tmp_path / "gwh" / ".t.v2.v1.tmp"))    # table 't.v2's
+    assert cat.delete("t") is True
+    left = sorted(os.listdir(tmp_path / "gwh"))
+    assert ".t.v2.v1.tmp" in left and ".t.v3.tmp" not in left
