@@ -487,3 +487,16 @@ def test_neardup_index_compact_preserves_check_results(spark, tmp_path):
     assert set(counts) == {idx.buckets_table, idx.sizes_table, idx.shingles_table}
     assert counts[idx.buckets_table] < files_before
     assert sorted(map(tuple, idx.check(probe).collect())) == before
+
+
+def test_neardup_index_ingest_empty_batch_is_noop(spark, tmp_path):
+    from simple_map_reduce_spark.catalog import Catalog
+    from simple_map_reduce_spark.operators.dedup import NearDupIndex
+
+    cat = Catalog(spark, str(tmp_path / "ewh"))
+    idx = NearDupIndex(cat, "e", threshold=0.3)
+    idx.build(spark.createDataFrame([(1, FAR)], "doc_id bigint, text string"))
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    assert idx.ingest(empty).count() == 0
+    ids = {r.id for r in cat.get(idx.shingles_table).select("id").distinct().collect()}
+    assert ids == {1}

@@ -591,3 +591,19 @@ def test_ivf_index_compact_preserves_search(spark, tmp_path):
     counts = idx.compact()
     assert counts[idx.vectors_table] < files_before
     assert sorted(map(tuple, idx.search_ids([0, 1], k=3).collect())) == before
+
+
+def test_ivf_index_ingest_empty_batch_is_noop(spark, tmp_path):
+    """A stream legitimately delivers empty micro-batches; ingest must
+    return an empty report and append nothing (not crash on the eager
+    checkpoint or the anti-joins)."""
+    from simple_map_reduce_spark.catalog import Catalog
+    from simple_map_reduce_spark.operators.similarity import IvfIndex
+
+    cat = Catalog(spark, str(tmp_path / "ewh"))
+    idx = IvfIndex(cat, "e_t", n_centroids=2)
+    idx.build(_clustered_emb(spark))
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    assert idx.ingest(empty, tau=0.9).count() == 0
+    stored = {r.id for r in cat.get_bucketed(idx.vectors_table).select("id").collect()}
+    assert stored == set(range(8))
