@@ -126,6 +126,7 @@ EXTENDED_QUERIES = [
     "mixture_temperature",
     "curriculum_order",
     "length_histogram",
+    "semantic_ingest",
 ]
 
 

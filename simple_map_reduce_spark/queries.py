@@ -247,14 +247,16 @@ QUERIES: dict[str, QueryFn] = {
 # so a behavior change can never ship on a stale green row again (round
 # 2's trigram-default change left jaccard_pairs unverified for a round).
 #
-# Round 6 window = the 7 NEW queries (hybrid retrieval, LM quality,
-# RAG chunking, temperature mixture, curriculum, length histogram) +
+# Round 6 window = the 9 NEW queries (hybrid retrieval + the tf
+# baseline ranker they fuse, hard negatives, LM quality + perplexity
+# filtering, RAG chunking, temperature mixture, curriculum, length
+# histogram, the IvfIndex.ingest admission-gate report) +
 # corpus_shuffle (its shuffle_positions core grew the group_cols path —
-# default-path semantics unchanged, re-verify anyway) + the 39 remaining
-# r3-dated rows (FINISHING the freshness rotation: after this round no
-# oracle-backed query's latest driver row is older than r4) + the 3
-# alphabetically-first r4-dated rows (the r4 cohort starts rotating in
-# r7).
+# default-path semantics unchanged, re-verify anyway) +
+# embedding_neardup_idx (neardup_check refactored onto the shared
+# assigned-core) + the 39 remaining r3-dated rows (FINISHING the
+# freshness rotation: after this round no oracle-backed query's latest
+# driver row is older than r4; the r4 cohort starts rotating in r7).
 _CHANGED_THIS_ROUND = [
     # r6: NEW queries ship their behavior this round
     "rrf_fusion",
@@ -271,6 +273,9 @@ _CHANGED_THIS_ROUND = [
     # r6: neardup_check refactored onto the shared assigned-core (same
     # math; ingest now reuses the persisted assignment) — re-verify
     "embedding_neardup_idx",
+    # r6: NEW — the full IvfIndex.ingest admission gate (corpus +
+    # intra-batch classes) finally carries a driver row
+    "semantic_ingest",
 ]
 _ROTATION_FRONT = [
     *_CHANGED_THIS_ROUND,
@@ -314,8 +319,6 @@ _ROTATION_FRONT = [
     "window_running",
     "wordcount",
     "wordcount_total",
-    # oldest r4 row refreshed (alphabetical; remainder rotates in r7)
-    "asof_last_order",
 ]
 assert len(_ROTATION_FRONT) == 50
 assert set(_ROTATION_FRONT) <= set(QUERIES)

@@ -2378,6 +2378,93 @@ def embedding_neardup_idx_oracle(
     """
 
 
+# slightly below SEMDEDUP_TAU: at 0.35 the sf0.01 batch contains no
+# intra-batch pair, so the admission gate's second match class would
+# never be driver-exercised; 0.30 yields both classes (2 batch + 21
+# corpus rows at sf0.01) while keeping the same algorithm instance
+SEM_INGEST_TAU = 0.30
+
+
+def semantic_ingest_oracle(k: int = SEMDEDUP_K, tau: float = SEM_INGEST_TAU) -> str:
+    """DuckDB twin of ``IvfIndex.ingest``'s report over the 1-in-10
+    split: the corpus-match class is exactly ``embedding_neardup_idx``'s
+    math; the intra-batch class joins the assigned batch against itself
+    within a cluster with the smaller id surviving. State tables are
+    materialized intermediates of identical math, so the report is a
+    pure function of the inputs."""
+    return f"""
+        WITH v AS MATERIALIZED (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        corp AS (SELECT * FROM v WHERE vec_id % {INCR_MOD} != 0),
+        bat AS (SELECT * FROM v WHERE vec_id % {INCR_MOD} = 0),
+        cent AS (SELECT vec_id AS centroid_id, vec AS cvec
+                 FROM corp ORDER BY vec_id LIMIT {k}),
+        asgc AS (
+            SELECT id, centroid_id FROM (
+                SELECT c2.vec_id AS id, centroid_id,
+                       row_number() OVER (
+                           PARTITION BY c2.vec_id
+                           ORDER BY {_cos_sql('c2.vec', 'cvec')} DESC, centroid_id)
+                           AS rn
+                FROM corp c2, cent)
+            WHERE rn = 1),
+        asgb AS MATERIALIZED (
+            SELECT vec_id, centroid_id FROM (
+                SELECT b.vec_id, centroid_id,
+                       row_number() OVER (
+                           PARTITION BY b.vec_id
+                           ORDER BY {_cos_sql('b.vec', 'cvec')} DESC, centroid_id)
+                           AS rn
+                FROM bat b, cent)
+            WHERE rn = 1),
+        corpus_scored AS (
+            SELECT b.vec_id, b.centroid_id, a.id AS cid,
+                   {_cos_sql('q.vec', 'c.vec')} AS sim
+            FROM asgb b
+            JOIN asgc a ON b.centroid_id = a.centroid_id
+            JOIN v q ON b.vec_id = q.vec_id
+            JOIN v c ON a.id = c.vec_id),
+        batch_scored AS (
+            SELECT b.vec_id, b.centroid_id, b2.vec_id AS cid,
+                   {_cos_sql('q.vec', 'c.vec')} AS sim
+            FROM asgb b
+            JOIN asgb b2 ON b.centroid_id = b2.centroid_id
+                         AND b2.vec_id < b.vec_id
+            JOIN v q ON b.vec_id = q.vec_id
+            JOIN v c ON b2.vec_id = c.vec_id)
+        SELECT vec_id, centroid_id, min(cid) AS kept_id,
+               arg_min(sim, cid) AS sim, 'corpus' AS matched_in
+        FROM corpus_scored WHERE sim >= {tau} GROUP BY 1, 2
+        UNION ALL
+        SELECT vec_id, centroid_id, min(cid) AS kept_id,
+               arg_min(sim, cid) AS sim, 'batch' AS matched_in
+        FROM batch_scored WHERE sim >= {tau} GROUP BY 1, 2
+        ORDER BY vec_id, matched_in
+    """
+
+
+def q_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION admission gate of the semantic index
+    (``IvfIndex.ingest``): the same 1-in-10 batch/corpus split as
+    ``embedding_neardup_idx``, but running the FULL ingest — batch
+    vectors are rejected on corpus near-dups AND on smaller-id
+    intra-batch near-dups (the min-id chain convention), and the
+    accepted remainder is appended to the bucketed index tables. The
+    returned pair report is the driver-checked value; each invocation
+    rebuilds the index from the corpus split, so the report is a pure
+    function of the inputs (the appends reset with the rebuild)."""
+    from .catalog import Catalog
+    from .operators.similarity import IvfIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    new = emb.filter(F.col("vec_id") % INCR_MOD == 0)
+    corpus = emb.filter(F.col("vec_id") % INCR_MOD != 0)
+    cat = Catalog(spark, _idx_root("sem_ingest_", sf_dir))
+    idx = IvfIndex(cat, "sem_ingest", n_centroids=SEMDEDUP_K)
+    idx.build(corpus)
+    return idx.ingest(new, SEM_INGEST_TAU).orderBy("vec_id", "matched_in")
+
+
 def repetition_signals_oracle() -> str:
     """Same gram positions (1-indexed ranges), same distinct/mode math."""
     return rf"""
@@ -2898,6 +2985,7 @@ EXT_QUERIES = {
     "ivf_refined_topk": q_ivf_refined_topk,
     "semdedup_prune": q_semdedup,
     "embedding_neardup_idx": q_embedding_neardup_idx,
+    "semantic_ingest": q_semantic_ingest,
     "quality_filter": q_quality_filter,
     "streaming_hourly_users": q_streaming_hourly_users,
     "pretraining_manifest": q_pretraining_manifest,
@@ -3006,6 +3094,7 @@ EXT_ORACLES = {
     "ivf_refined_topk": ivf_refined_topk_oracle(),
     "semdedup_prune": semdedup_oracle(),
     "embedding_neardup_idx": embedding_neardup_idx_oracle(),
+    "semantic_ingest": semantic_ingest_oracle(),
     "quality_filter": quality_filter_oracle(),
     "pretraining_manifest": pretraining_manifest_oracle(),
     "pretraining_manifest_sem": pretraining_manifest_sem_oracle(),
