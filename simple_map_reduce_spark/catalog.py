@@ -41,6 +41,13 @@ class Catalog:
     def _path(self, name: str) -> str:
         if not name or "/" in name or name.startswith("."):
             raise ValueError(f"invalid table name: {name!r}")
+        if name.endswith("__compacting"):
+            # reserved for compact_bucketed's staging: a USER table with
+            # this suffix would be indistinguishable from a crashed
+            # compaction's scratch and silently destroyed by delete()
+            raise ValueError(
+                f"table name {name!r} is reserved (compact_bucketed stage)"
+            )
         return os.path.join(self.root, name)
 
     # -- put (S1): local file or DataFrame → named table ------------------
@@ -118,6 +125,12 @@ class Catalog:
         unrelated managed table (or a second Catalog's table) may share
         the lowercased identifier, and acting on it would destroy or
         block someone else's data."""
+        return self._session_entry_at(name, self._path(name))
+
+    def _session_entry_at(self, name: str, path: str) -> bool | None:
+        """Location-checked ownership probe against an explicit expected
+        ``path`` (lets internal dirs like the compaction stage, which
+        _path refuses to address, use the same safety rule)."""
         if not any(
             t.name == name.lower() and not t.isTemporary
             for t in self.spark.catalog.listTables()
@@ -134,7 +147,7 @@ class Catalog:
             return False
         if loc.startswith("file:"):
             loc = loc[len("file:"):]
-        return os.path.realpath(loc) == os.path.realpath(self._path(name))
+        return os.path.realpath(loc) == os.path.realpath(path)
 
     # every directory-swap operation (restore, compact, compact_bucketed)
     # parks the live dir under one of these scratch suffixes between its
@@ -165,11 +178,10 @@ class Catalog:
         if not os.path.isdir(path):
             return False
         # a crashed compact_bucketed may have left its STAGE table (a
-        # full data copy + session-catalog entry) — reap it with the
-        # table it was staging for
-        stage = f"{name}__compacting"
-        if self.exists(stage):
-            self.delete(stage)
+        # full data copy and/or a dangling session-catalog entry) —
+        # reap it with the table it was staging for (location-checked:
+        # never an unrelated table that merely shares the name)
+        self._drop_stage(name)
         # a bucketed table also has session-catalog metadata; leaving it
         # behind would make a later get_bucketed() read a dangling entry.
         # Drop ONLY if the entry's location is this table's path — a
@@ -377,18 +389,51 @@ class Catalog:
         (``spark.sql.requireAllClusterKeysForCoPartition``): a table
         bucketed on a strict subset of the join keys still shuffles, so
         bucket on exactly the key tuple the hot join uses."""
+        self._write_bucketed(
+            df, name, self._path(name), bucket_col, num_buckets, "overwrite"
+        )
+
+    def _write_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        path: str,
+        bucket_col: str | tuple[str, ...] | list[str],
+        num_buckets: int,
+        mode: str,
+    ) -> None:
+        """The one bucketed-write implementation (put/append/compaction
+        stage): saveAsTable against an explicit path, then refresh THIS
+        session's relation — the write may run through a different
+        (foreachBatch-cloned) session whose writer invalidates only its
+        own cache."""
         cols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
         (
-            df.write.mode("overwrite")
+            df.write.mode(mode)
             .bucketBy(num_buckets, *cols)
             .sortBy(*cols)
-            .option("path", self._path(name))
-            .saveAsTable(name)
+            .option("path", path)
+            .saveAsTable(table)
         )
-        # same cross-session staleness guard as append_bucketed: a
-        # rebuild executed from a cloned session must invalidate THIS
-        # session's cached relation too
-        self.spark.catalog.refreshTable(name)
+        self.spark.catalog.refreshTable(table)
+
+    def _drop_stage(self, name: str) -> None:
+        """Remove ``{name}__compacting`` — a compact_bucketed stage left
+        by a crash — data dir AND session-catalog entry, each
+        independently (a crash between the directory swap and the
+        metadata drop leaves a dangling entry with no dir). The entry is
+        dropped only when its location is OUR stage path: the reserved
+        suffix blocks collisions through this catalog, but an externally
+        created table could still share the name."""
+        stage = f"{name}__compacting"
+        spath = os.path.join(self.root, stage)
+        try:
+            if self._session_entry_at(stage, spath):
+                self.spark.sql(f"DROP TABLE IF EXISTS `{stage.lower()}`")
+        except Exception:
+            pass  # no usable session catalog
+        if os.path.isdir(spath):
+            shutil.rmtree(spath)
 
     def append_bucketed(
         self,
@@ -404,23 +449,14 @@ class Catalog:
         claims bucketed filenames); the bucketed writer re-shuffles the
         appended rows into the declared buckets. Spark validates the
         spec against the existing table, so a mismatched append fails
-        loudly instead of corrupting."""
-        cols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
-        (
-            df.write.mode("append")
-            .bucketBy(num_buckets, *cols)
-            .sortBy(*cols)
-            .option("path", self._path(name))
-            .saveAsTable(name)
+        loudly instead of corrupting. The post-write refresh matters for
+        streaming: foreachBatch hands each micro-batch a CLONED session,
+        and without it the catalog session keeps serving the pre-append
+        file listing — epoch N+1 would silently not see epoch N's
+        admissions (tests/test_similarity.py::...cross_epoch)."""
+        self._write_bucketed(
+            df, name, self._path(name), bucket_col, num_buckets, "append"
         )
-        # the write may run through a DIFFERENT SparkSession than this
-        # catalog's (foreachBatch hands each micro-batch a CLONED
-        # session): the writer invalidates the WRITING session's relation
-        # cache only, so without this refresh the catalog session keeps
-        # serving the pre-append file listing — streaming ingest epoch
-        # N+1 would silently not see epoch N's admissions
-        # (tests/test_similarity.py::...cross_epoch, test_dedup twin).
-        self.spark.catalog.refreshTable(name)
 
     def get_bucketed(self, name: str) -> DataFrame:
         """Read a bucketed table through the session catalog (bucket
@@ -503,6 +539,7 @@ class Catalog:
                 "rewrite would corrupt the layout the catalog entry declares"
             )
         stage = f"{name}__compacting"
+        spath = os.path.join(self.root, stage)  # reserved name: raw path
         path, old = self._path(name), os.path.join(self.root, f".{name}.bcompact-old")
         if not os.path.isdir(path):
             self._heal_crashed_swap(name)
@@ -510,24 +547,23 @@ class Catalog:
                 self.spark.catalog.refreshTable(name)
             except Exception:
                 pass  # path-only table
-        if self.exists(stage):  # stale stage from a crashed earlier run
-            self.delete(stage)
-        self.put_bucketed(
+        self._drop_stage(name)  # stale stage from a crashed earlier run
+        self._write_bucketed(
             self.get_bucketed(name).coalesce(parallelism or num_buckets),
             stage,
+            spath,
             bucket_col,
             num_buckets,
+            "overwrite",
         )
         if os.path.isdir(old):
             shutil.rmtree(old)
         os.rename(path, old)
-        os.rename(self._path(stage), path)
+        os.rename(spath, path)
         # the staged entry's data now lives under the live path; drop its
-        # metadata (external table: DROP never touches data)
-        try:
-            self.spark.sql(f"DROP TABLE IF EXISTS `{stage.lower()}`")
-        except Exception:
-            pass  # no usable session catalog — directory swap was enough
+        # metadata (location-checked; external table: DROP never touches
+        # the moved data)
+        self._drop_stage(name)
         shutil.rmtree(old)
         self.spark.catalog.refreshTable(name)
         return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))

@@ -2330,15 +2330,20 @@ def similarity_topk_ivf_oracle() -> str:
     """
 
 
-def embedding_neardup_idx_oracle(
-    k: int = SEMDEDUP_K, tau: float = SEMDEDUP_TAU
-) -> str:
-    """DuckDB twin of ``IvfIndex.neardup_check`` over the 1-in-10 split:
-    id-ordered seed centroids FROM THE CORPUS SUBSET, rounded-sim
-    assignment of corpus and batch (centroid_id tiebreak), within-cluster
-    exact compare, min-id exemplar (``arg_min`` carries its cosine)."""
-    return f"""
-        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+def _ivf_split_asg_ctes(k: int, materialized: bool = False) -> str:
+    """The shared CTE prefix of the 1-in-10-split IVF oracles
+    (embedding_neardup_idx / semantic_ingest): double-cast vectors,
+    corpus/batch split, id-ordered seed centroids FROM THE CORPUS
+    SUBSET, rounded-sim nearest-centroid assignment of both sides
+    (centroid_id tiebreak). ONE definition so the assignment contract
+    (rounding, tiebreak, seeding) can never silently diverge between
+    the check oracle and the ingest oracle — the round-3 advice class.
+    ``materialized`` marks the CTEs consumed repeatedly downstream
+    (the composed ingest oracle reads v and asgb from several blocks;
+    DuckDB inlines plain CTEs per reference)."""
+    m = " MATERIALIZED" if materialized else ""
+    return f"""v AS{m} (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
         corp AS (SELECT * FROM v WHERE vec_id % {INCR_MOD} != 0),
         bat AS (SELECT * FROM v WHERE vec_id % {INCR_MOD} = 0),
         cent AS (SELECT vec_id AS centroid_id, vec AS cvec
@@ -2352,7 +2357,7 @@ def embedding_neardup_idx_oracle(
                            AS rn
                 FROM corp c2, cent)
             WHERE rn = 1),
-        asgb AS (
+        asgb AS{m} (
             SELECT vec_id, centroid_id FROM (
                 SELECT b.vec_id, centroid_id,
                        row_number() OVER (
@@ -2360,7 +2365,18 @@ def embedding_neardup_idx_oracle(
                            ORDER BY {_cos_sql('b.vec', 'cvec')} DESC, centroid_id)
                            AS rn
                 FROM bat b, cent)
-            WHERE rn = 1),
+            WHERE rn = 1)"""
+
+
+def embedding_neardup_idx_oracle(
+    k: int = SEMDEDUP_K, tau: float = SEMDEDUP_TAU
+) -> str:
+    """DuckDB twin of ``IvfIndex.neardup_check`` over the 1-in-10 split:
+    the shared assignment prefix (``_ivf_split_asg_ctes``) + the
+    within-cluster exact compare, min-id exemplar (``arg_min`` carries
+    its cosine)."""
+    return f"""
+        WITH {_ivf_split_asg_ctes(k)},
         scored AS (
             SELECT b.vec_id, b.centroid_id, a.id AS cid,
                    {_cos_sql('q.vec', 'c.vec')} AS sim
@@ -2393,30 +2409,7 @@ def semantic_ingest_oracle(k: int = SEMDEDUP_K, tau: float = SEM_INGEST_TAU) -> 
     materialized intermediates of identical math, so the report is a
     pure function of the inputs."""
     return f"""
-        WITH v AS MATERIALIZED (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
-        corp AS (SELECT * FROM v WHERE vec_id % {INCR_MOD} != 0),
-        bat AS (SELECT * FROM v WHERE vec_id % {INCR_MOD} = 0),
-        cent AS (SELECT vec_id AS centroid_id, vec AS cvec
-                 FROM corp ORDER BY vec_id LIMIT {k}),
-        asgc AS (
-            SELECT id, centroid_id FROM (
-                SELECT c2.vec_id AS id, centroid_id,
-                       row_number() OVER (
-                           PARTITION BY c2.vec_id
-                           ORDER BY {_cos_sql('c2.vec', 'cvec')} DESC, centroid_id)
-                           AS rn
-                FROM corp c2, cent)
-            WHERE rn = 1),
-        asgb AS MATERIALIZED (
-            SELECT vec_id, centroid_id FROM (
-                SELECT b.vec_id, centroid_id,
-                       row_number() OVER (
-                           PARTITION BY b.vec_id
-                           ORDER BY {_cos_sql('b.vec', 'cvec')} DESC, centroid_id)
-                           AS rn
-                FROM bat b, cent)
-            WHERE rn = 1),
+        WITH {_ivf_split_asg_ctes(k, materialized=True)},
         corpus_scored AS (
             SELECT b.vec_id, b.centroid_id, a.id AS cid,
                    {_cos_sql('q.vec', 'c.vec')} AS sim

@@ -218,7 +218,9 @@ def test_compact_bucketed_preserves_layout_and_rows(spark, tmp_path):
     )
     assert "Exchange" not in plan, plan
     # stale stage table is gone
-    assert not cat.exists("bt__compacting")
+    import os as _os
+
+    assert not _os.path.isdir(_os.path.join(cat.root, "bt__compacting"))
 
 
 def test_compact_bucketed_is_retryable_after_stale_stage(spark, tmp_path):
@@ -228,10 +230,16 @@ def test_compact_bucketed_is_retryable_after_stale_stage(spark, tmp_path):
     df = spark.range(0, 50).selectExpr("id", "id % 3 AS k")
     cat.put_bucketed(df, "bt2", "k", num_buckets=2)
     # simulate a crashed earlier compaction that left a stage table
-    cat.put_bucketed(df.limit(5), "bt2__compacting", "k", num_buckets=2)
+    # (the reserved name is only writable through the internal helper)
+    import os as _os
+
+    cat._write_bucketed(
+        df.limit(5), "bt2__compacting",
+        _os.path.join(cat.root, "bt2__compacting"), "k", 2, "overwrite",
+    )
     cat.compact_bucketed("bt2", "k", num_buckets=2)
     assert cat.get_bucketed("bt2").count() == 50
-    assert not cat.exists("bt2__compacting")
+    assert not _os.path.isdir(_os.path.join(cat.root, "bt2__compacting"))
 
 
 def test_snapshot_survives_append_and_overwrite(spark, tmp_path):
@@ -340,9 +348,12 @@ def test_delete_heals_crashed_compact_and_reaps_stage(spark, tmp_path):
 
     # crashed compact_bucketed: live table + orphaned stage table
     cat.put_bucketed(spark.range(8).selectExpr("id", "id % 2 AS k"), "bt", "k", 2)
-    cat.put_bucketed(spark.range(8).selectExpr("id", "id % 2 AS k"), "bt__compacting", "k", 2)
+    cat._write_bucketed(
+        spark.range(8).selectExpr("id", "id % 2 AS k"), "bt__compacting",
+        os.path.join(cat.root, "bt__compacting"), "k", 2, "overwrite",
+    )
     assert cat.delete("bt") is True
-    assert not cat.exists("bt__compacting")
+    assert not os.path.isdir(os.path.join(cat.root, "bt__compacting"))
     assert "bt__compacting" not in [t.name for t in spark.catalog.listTables()]
 
 
@@ -360,3 +371,59 @@ def test_delete_tmp_reap_is_name_exact(spark, tmp_path):
     assert cat.delete("t") is True
     left = sorted(os.listdir(tmp_path / "gwh"))
     assert ".t.v2.v1.tmp" in left and ".t.v3.tmp" not in left
+
+
+def test_stage_suffix_is_reserved_and_metadata_only_reap(spark, tmp_path):
+    """User tables cannot take the stage suffix (the collision would be
+    indistinguishable from crash scratch at delete time), and a crash
+    between compact_bucketed's swap and its metadata drop — stage entry
+    left with NO directory — is reaped by delete()."""
+    import os
+
+    import pytest as _pytest
+
+    from simple_map_reduce_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "swh"))
+    with _pytest.raises(ValueError, match="reserved"):
+        cat.put(spark.range(3).selectExpr("id"), "foo__compacting")
+    with _pytest.raises(ValueError, match="reserved"):
+        cat.put_bucketed(spark.range(3).selectExpr("id"), "bar__compacting", "id", 2)
+
+    # dangling stage ENTRY with vanished dir (the post-swap crash window)
+    cat.put_bucketed(spark.range(6).selectExpr("id", "id % 2 AS k"), "zt", "k", 2)
+    spath = os.path.join(cat.root, "zt__compacting")
+    cat._write_bucketed(
+        spark.range(2).selectExpr("id", "id % 2 AS k"), "zt__compacting",
+        spath, "k", 2, "overwrite",
+    )
+    import shutil as _shutil
+
+    _shutil.rmtree(spath)  # dir gone, session entry dangling
+    assert cat.delete("zt") is True
+    assert "zt__compacting" not in [t.name for t in spark.catalog.listTables()]
+
+
+def test_drop_stage_never_touches_unrelated_table(spark, tmp_path):
+    """An externally created table that merely shares the stage NAME
+    (different location) must survive the reap — same location-checked
+    ownership rule as the session-entry DROP."""
+    import os
+
+    from simple_map_reduce_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "uwh"))
+    cat.put(spark.range(3).selectExpr("id"), "qq")
+    other = str(tmp_path / "elsewhere")
+    (
+        spark.range(9).selectExpr("id", "id % 2 AS k")
+        .write.mode("overwrite").bucketBy(2, "k").sortBy("k")
+        .option("path", other).saveAsTable("qq__compacting")
+    )
+    try:
+        assert cat.delete("qq") is True
+        # the unrelated table's entry and data are intact
+        assert "qq__compacting" in [t.name for t in spark.catalog.listTables()]
+        assert spark.table("qq__compacting").count() == 9
+    finally:
+        spark.sql("DROP TABLE IF EXISTS qq__compacting")
