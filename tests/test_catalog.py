@@ -427,3 +427,25 @@ def test_drop_stage_never_touches_unrelated_table(spark, tmp_path):
         assert spark.table("qq__compacting").count() == 9
     finally:
         spark.sql("DROP TABLE IF EXISTS qq__compacting")
+
+
+def test_compact_bucketed_retry_after_mid_swap_crash(spark, tmp_path):
+    """Crash between the two swap renames (live dir parked, staged files
+    present, stage entry dangling): a RETRIED compact_bucketed heals the
+    live dir, reaps the stale stage, and completes."""
+    import os
+
+    from simple_map_reduce_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cswh"))
+    cat.put_bucketed(spark.range(40).selectExpr("id", "id % 3 AS k"), "ct", "k", 2)
+    spath = os.path.join(cat.root, "ct__compacting")
+    cat._write_bucketed(
+        cat.get_bucketed("ct"), "ct__compacting", spath, "k", 2, "overwrite"
+    )
+    # simulate the crash window: live parked, stage not yet published
+    os.rename(os.path.join(cat.root, "ct"), os.path.join(cat.root, ".ct.bcompact-old"))
+    n = cat.compact_bucketed("ct", "k", num_buckets=2)
+    assert n >= 1
+    assert cat.get_bucketed("ct").count() == 40
+    assert not os.path.isdir(spath)
