@@ -547,7 +547,45 @@ class Catalog:
                 self.spark.catalog.refreshTable(name)
             except Exception:
                 pass  # path-only table
+        # ownership gate (ADVICE r6): get_bucketed reads spark.table, a
+        # session-GLOBAL namespace. If an unrelated table merely shares
+        # the lowercased name, _bucket_spec above returned None (its
+        # location differs), the spec validation silently passed, and
+        # without this check the UNRELATED table's rows would be staged
+        # and rename-swapped over our live dir — silent data
+        # replacement. Require a session entry that is OURS before any
+        # read; a missing/foreign/unreadable entry is a refusal, never a
+        # fallback (plain tables go through compact()).
+        try:
+            entry = self._session_entry_at(name, path)
+        except Exception:
+            entry = None
+        if not entry:
+            raise ValueError(
+                f"compact_bucketed({name!r}): no session-catalog entry at "
+                f"{path!r} — the table was not written via put_bucketed "
+                "(use compact() for plain tables)"
+                if entry is None
+                else f"compact_bucketed({name!r}): the session-catalog "
+                "entry points at a different location — refusing to "
+                "rewrite an unrelated table's rows into this catalog"
+            )
         self._drop_stage(name)  # stale stage from a crashed earlier run
+        # the stage write below is an OVERWRITE saveAsTable: it would
+        # drop-and-recreate a session entry for the stage name even when
+        # that entry belongs to an unrelated external table (_drop_stage
+        # deliberately spared it, location-checked) — refuse instead
+        try:
+            stage_entry = self._session_entry_at(stage, spath)
+        except Exception:
+            stage_entry = None
+        if stage_entry is False:
+            raise ValueError(
+                f"compact_bucketed({name!r}): session-catalog entry "
+                f"{stage!r} exists but belongs to an unrelated table — "
+                "the stage write would drop and recreate it; drop or "
+                "rename that table first"
+            )
         self._write_bucketed(
             self.get_bucketed(name).coalesce(parallelism or num_buckets),
             stage,

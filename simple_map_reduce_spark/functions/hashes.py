@@ -94,3 +94,40 @@ def duckdb_md5_hex(expr: str, seed: int | None = None) -> str:
 def duckdb_md5_long60(expr: str, seed: int | None = None) -> str:
     """DuckDB SQL twin of :func:`md5_long60`."""
     return f"CAST(('0x' || substr({duckdb_md5_hex(expr, seed)}, 1, 15)) AS BIGINT)"
+
+
+def md5_slice_embedding(col: Column | str, dims: int = 8) -> Column:
+    """Deterministic pseudo-embedding of a text column: ONE md5 per row,
+    component *j* = 1 + int(hex_digest[4j : 4j+4], 16) as double — the
+    md5-derived feature-vector idiom of ``multimodal._fake_dims``,
+    expressed as pure Catalyst expressions (no UDF) so an independent
+    SQL engine reproduces it byte-for-byte. ``dims`` ≤ 8 (32 hex chars /
+    4). Components are 1..65536: all-positive, so the norm is always
+    > 0 and every cosine is well-defined. This is the oracle-twinnable
+    stand-in for a learned embedding — the ANN plumbing (chunk ids,
+    quantizer, posting lists, rollup) is what it exists to exercise.
+    """
+    if not 1 <= dims <= 8:
+        raise ValueError(f"dims must be 1..8 (32 hex chars / 4), got {dims}")
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.md5(c)
+    return F.array(
+        *[
+            (
+                F.conv(F.substring(h, 1 + 4 * j, 4), 16, 10).cast("bigint")
+                + F.lit(1)
+            ).cast("double")
+            for j in range(dims)
+        ]
+    )
+
+
+def duckdb_md5_slice_embedding(expr: str, dims: int = 8) -> str:
+    """DuckDB SQL twin of :func:`md5_slice_embedding` (a DOUBLE[] list
+    literal of the same hex-slice components)."""
+    comps = ", ".join(
+        f"CAST(CAST(('0x' || substr(md5({expr}), {1 + 4 * j}, 4)) AS BIGINT)"
+        f" + 1 AS DOUBLE)"
+        for j in range(dims)
+    )
+    return f"[{comps}]"

@@ -110,3 +110,126 @@ def token_chunks_oracle_sql(
                array_to_string(t[i * {s} + 1 : i * {s} + {w}], ' ') AS chunk_text
         FROM (SELECT doc_id, t, n, unnest(range(0, nc)) AS i FROM base)
     """
+
+
+# chunk-id packing: cid = doc_id * CHUNK_ID_SPAN + chunk_id. A 32/16
+# window layout yields ~n_tokens/16 chunks per doc, so one million chunk
+# slots per doc is ~16M tokens per document of headroom — far beyond any
+# real document — while doc_id ≤ ~9.2e12 stays exact in a signed BIGINT.
+CHUNK_ID_SPAN = 1_000_000
+CHUNK_EMB_DIMS = 8
+
+
+def chunk_vectors(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+    dims: int = CHUNK_EMB_DIMS,
+) -> DataFrame:
+    """The chunk-level embedding table the ANN tier indexes (the table
+    this module's header promises): every document's overlapping token
+    windows (:func:`token_chunks`), each with a packed BIGINT chunk id
+    and a deterministic md5-derived pseudo-embedding
+    (``functions.hashes.md5_slice_embedding`` — a learned encoder slots
+    into the same column contract; the hash form keeps the whole
+    pipeline oracle-twinnable). Entirely scan-local: windowing is
+    ``transform``/``slice`` over the bound token array, the embedding is
+    one md5 per chunk — zero shuffles, zero UDFs.
+
+    Returns (vec_id, doc_id, chunk_id, embedding) keyed for
+    :class:`~.similarity.IvfIndex` (id column ``vec_id``, vector column
+    ``embedding``).
+    """
+    from ..functions.hashes import md5_slice_embedding
+
+    chunks = token_chunks(
+        docs, id_col=id_col, text_col=text_col,
+        chunk_tokens=chunk_tokens, stride=stride,
+    )
+    return chunks.select(
+        (F.col("doc_id") * F.lit(CHUNK_ID_SPAN) + F.col("chunk_id")).alias(
+            "vec_id"
+        ),
+        "doc_id",
+        "chunk_id",
+        md5_slice_embedding(F.col("chunk_text"), dims=dims).alias("embedding"),
+    )
+
+
+def chunk_ann_doc_topk(
+    docs: DataFrame,
+    catalog,
+    index_name: str,
+    query_doc_ids: list[int],
+    k_chunks: int = 20,
+    k_docs: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    chunk_tokens: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """The end-to-end RAG read path: chunk the corpus, index the chunk
+    vectors with the standing :class:`~.similarity.IvfIndex`, retrieve
+    each query's top-``k_chunks`` chunks, and roll them up to documents
+    — max-sim per doc, min-chunk tiebreak, doc-id-tiebroken doc ranking.
+    The query for document *d* is its FIRST chunk (``chunk_id`` 0 —
+    every document has one, including empty docs), the conventional
+    query-by-example form; a free-text query embeds one extra row
+    through the same ``chunk_vectors`` contract.
+
+    Scale shape: the chunk table is scan-local to produce; the index
+    build pays the one broadcast-quantizer assignment pass
+    (``IvfIndex.build``); the search shuffles only the query/probe/
+    candidate funnel against bucketed posting lists; the rollup is two
+    windows over ≤ |queries|·k_chunks rows. Nothing corpus-sized
+    shuffles after the build.
+
+    Returns (query_doc, doc_id, best_score, best_chunk_id, doc_rank):
+    one row per retrieved document per query, ``doc_rank`` ≤ ``k_docs``.
+    """
+    from pyspark.sql import Window
+
+    from .similarity import IvfIndex
+
+    vecs = chunk_vectors(
+        docs, id_col=id_col, text_col=text_col,
+        chunk_tokens=chunk_tokens, stride=stride,
+    )
+    idx = IvfIndex(
+        catalog, index_name, n_centroids=n_centroids, nprobe=nprobe
+    )
+    idx.build(vecs.select("vec_id", "embedding"))
+    qids = [int(d) * CHUNK_ID_SPAN for d in query_doc_ids]
+    hits = idx.search_ids(qids, k=k_chunks)
+    # bigint DIV, never double division (the repo's chunk-math idiom):
+    # the packed id decodes exactly in 64-bit integer arithmetic
+    per_doc = hits.select(
+        F.expr(f"query_id DIV {CHUNK_ID_SPAN}").alias("query_doc"),
+        F.expr(f"neighbor_id DIV {CHUNK_ID_SPAN}").alias("doc_id"),
+        F.expr(f"neighbor_id % {CHUNK_ID_SPAN}").alias("chunk_id"),
+        "score",
+    )
+    w_chunk = Window.partitionBy("query_doc", "doc_id").orderBy(
+        F.col("score").desc(), F.col("chunk_id")
+    )
+    best = per_doc.withColumn("rn", F.row_number().over(w_chunk)).filter(
+        F.col("rn") == 1
+    )
+    w_doc = Window.partitionBy("query_doc").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        best.withColumn("doc_rank", F.row_number().over(w_doc))
+        .filter(F.col("doc_rank") <= k_docs)
+        .select(
+            "query_doc",
+            "doc_id",
+            F.col("score").alias("best_score"),
+            F.col("chunk_id").alias("best_chunk_id"),
+            F.col("doc_rank").cast("bigint").alias("doc_rank"),
+        )
+    )

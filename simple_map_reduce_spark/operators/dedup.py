@@ -536,10 +536,20 @@ class NearDupIndex:
     def _ingest_inner(
         self, shn: DataFrame, bn: DataFrame, bc: DataFrame
     ) -> DataFrame:
+        # replay safety (streaming.ingest protocol point 4 / ADVICE r6):
+        # a crash-replayed epoch re-runs this with the batch's accepted
+        # docs already in the corpus tables — exclude ids present in the
+        # replayed batch from the corpus-candidate side so the replay
+        # re-derives the ORIGINAL report (intra-batch rows stay
+        # matched_in='batch' instead of re-detecting as corpus matches).
+        # Broadcast anti-join on the tiny batch-id set: no Exchange is
+        # added above the bucketed corpus scan.
+        batch_ids = shn.select("id").distinct()
+        bc_check = bc.join(F.broadcast(batch_ids), "id", "left_anti")
         corpus_pairs = _asymmetric_neardup_check(
             shn,
             self._corpus_shingles(),
-            bc,
+            bc_check,
             self.num_hashes,
             self.bands,
             self.threshold,
@@ -583,8 +593,8 @@ class NearDupIndex:
         # ids FIRST (broadcast semi-join — no Exchange above the corpus
         # scan) instead of distinct-aggregating corpus-cardinality id
         # sets per ingest. distinct() runs on ≤|batch| rows after the
-        # semi-join; sizes is one row per id already.
-        batch_ids = shn.select("id").distinct()
+        # semi-join; sizes is one row per id already. (batch_ids defined
+        # above for the replay-safe corpus check.)
         have_bk = (
             bc.join(F.broadcast(batch_ids), "id", "left_semi")
             .select("id")

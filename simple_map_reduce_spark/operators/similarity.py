@@ -845,11 +845,23 @@ class IvfIndex:
         )
         return self._neardup_check_assigned(bassign, tau)
 
-    def _neardup_check_assigned(self, bassign: DataFrame, tau: float) -> DataFrame:
+    def _neardup_check_assigned(
+        self, bassign: DataFrame, tau: float, exclude_batch_ids: bool = False
+    ) -> DataFrame:
         """The check core over an already-assigned batch frame
         (vec_id, centroid_id, bvec, bn) — shared by :meth:`neardup_check`
         and :meth:`ingest`, which has the assignment persisted already
-        and must not pay the broadcast-centroid crossJoin twice."""
+        and must not pay the broadcast-centroid crossJoin twice.
+
+        ``exclude_batch_ids`` (the ingest path) drops corpus candidates
+        whose id appears anywhere in THIS batch: a crash-replayed epoch
+        (ADVICE r6) re-runs ingest with the batch's accepted ids already
+        in the state tables, and without the exclusion those rows would
+        re-detect as ``matched_in='corpus'`` (duplicating / re-classing
+        the original intra-batch rows) — with it, a replay re-derives
+        the original report exactly. The read-only :meth:`neardup_check`
+        keeps the unfiltered funnel (a batch id genuinely present in the
+        corpus should surface as a corpus match there)."""
         vectors = self.catalog.get_bucketed(self.vectors_table)
         assign = self.catalog.get_bucketed(self.assign_table)
         cand = (
@@ -857,6 +869,12 @@ class IvfIndex:
             .withColumnRenamed("id", "cid")
             .filter(F.col("cid") != F.col("vec_id"))
         )
+        if exclude_batch_ids:
+            cand = cand.join(
+                F.broadcast(bassign.select(F.col("vec_id").alias("cid"))),
+                "cid",
+                "left_anti",
+            )
         nb = vectors.select(
             F.col("id").alias("cid"),
             F.col("vec").alias("nvec"),
@@ -907,7 +925,13 @@ class IvfIndex:
 
         Crash safety mirrors NearDupIndex.ingest: the two appends
         anti-join ids already present in THEIR table, so a retried
-        half-failed ingest tops up instead of duplicating. Write order
+        half-failed ingest tops up instead of duplicating; and the
+        corpus-candidate funnel excludes ids present in the batch
+        itself, so a full RE-RUN of the ingest (a crash-replayed stream
+        epoch whose accepted ids already reached the state tables)
+        re-derives the original report byte-for-byte instead of
+        re-classing intra-batch matches as corpus matches
+        (streaming/ingest.py protocol point 4). Write order
         assign → vectors: an id present in assign but not yet vectors
         surfaces as a candidate and silently drops out of the
         exact-rescore inner join — a missed detection until the retry
@@ -936,9 +960,13 @@ class IvfIndex:
             untrack(bassign)
 
     def _ingest_inner(self, bassign: DataFrame, tau: float) -> DataFrame:
-        corpus_rows = self._neardup_check_assigned(bassign, tau).withColumn(
-            "matched_in", F.lit("corpus")
-        )
+        # exclude_batch_ids: a replayed epoch (crash between the state
+        # appends and the report append) must re-derive the ORIGINAL
+        # report — without the exclusion the already-admitted batch ids
+        # re-detect as corpus matches (see _neardup_check_assigned)
+        corpus_rows = self._neardup_check_assigned(
+            bassign, tau, exclude_batch_ids=True
+        ).withColumn("matched_in", F.lit("corpus"))
         b1 = bassign
         b2 = bassign.select(
             F.col("vec_id").alias("cid"),

@@ -2897,6 +2897,126 @@ def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# chunk-level ANN retrieval: the end-to-end RAG read path promised by
+# operators/chunking.py — query docs retrieve their top chunks from the
+# IVF-indexed chunk table, rolled up to documents. Params shared with
+# the oracle builder (the round-3 one-side-parameter bug class).
+CHUNK_ANN_QUERY_DOCS = [0, 1, 2]
+CHUNK_ANN_K_CHUNKS = 20
+CHUNK_ANN_K_DOCS = 5
+
+
+def q_chunk_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end chunk-level ANN retrieval
+    (operators.chunking.chunk_ann_doc_topk): documents → overlapping
+    token windows → md5-derived chunk vectors → standing IvfIndex →
+    per-query top-k chunks → doc rollup (max-sim per doc, min-chunk
+    tiebreak). Each invocation rebuilds the chunk index so the result is
+    a pure function of the inputs (the same rebuild-included pricing as
+    ``semantic_ingest``); at scale the build amortizes across queries.
+    The oracle recomputes chunking, embedding, quantizer assignment,
+    probe/candidate funnel, rescoring, and both rollup windows in SQL."""
+    from .catalog import Catalog
+    from .operators.chunking import chunk_ann_doc_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    cat = Catalog(spark, _idx_root("chunk_ann_", sf_dir))
+    return chunk_ann_doc_topk(
+        docs,
+        cat,
+        "chunk_ann",
+        CHUNK_ANN_QUERY_DOCS,
+        k_chunks=CHUNK_ANN_K_CHUNKS,
+        k_docs=CHUNK_ANN_K_DOCS,
+        n_centroids=SIM_IVF_CENTROIDS,
+        nprobe=SIM_IVF_NPROBE,
+    ).orderBy("query_doc", "doc_rank")
+
+
+def chunk_ann_topk_oracle() -> str:
+    """DuckDB twin of :func:`q_chunk_ann_topk`: the chunk CTE
+    (token_chunks_oracle_sql), the hex-slice embedding
+    (duckdb_md5_slice_embedding), then exactly the stored-index IVF
+    math of ``similarity_topk_ivf_oracle`` over packed chunk ids,
+    followed by the two rollup windows. ``cv`` is MATERIALIZED — four
+    consumers (seeds, assignment, probes, rescoring) would otherwise
+    re-chunk and re-hash the corpus per reference."""
+    from .operators.chunking import (
+        CHUNK_ID_SPAN,
+        token_chunks_oracle_sql,
+    )
+    from .functions.hashes import duckdb_md5_slice_embedding
+
+    qids = ", ".join(
+        str(d * CHUNK_ID_SPAN) for d in CHUNK_ANN_QUERY_DOCS
+    )
+    emb = duckdb_md5_slice_embedding("chunk_text")
+    return f"""
+        WITH ch AS ({token_chunks_oracle_sql()}),
+        cv AS MATERIALIZED (
+            SELECT doc_id * {CHUNK_ID_SPAN} + chunk_id AS id,
+                   {emb} AS vec
+            FROM ch),
+        cent AS (SELECT id AS centroid_id, vec AS cvec
+                 FROM cv ORDER BY id LIMIT {SIM_IVF_CENTROIDS}),
+        asg AS (
+            SELECT id, centroid_id FROM (
+                SELECT c2.id, centroid_id,
+                       row_number() OVER (
+                           PARTITION BY c2.id
+                           ORDER BY {_cos_sql('c2.vec', 'cvec')} DESC, centroid_id)
+                           AS rn
+                FROM cv c2, cent)
+            WHERE rn = 1),
+        probes AS (
+            SELECT query_id, centroid_id FROM (
+                SELECT q.id AS query_id, centroid_id,
+                       row_number() OVER (
+                           PARTITION BY q.id
+                           ORDER BY {_cos_sql('q.vec', 'cvec')} DESC, centroid_id)
+                           AS rn
+                FROM cv q, cent WHERE q.id IN ({qids}))
+            WHERE rn <= {SIM_IVF_NPROBE}),
+        cand AS (
+            SELECT DISTINCT query_id, a.id AS neighbor_id
+            FROM probes p JOIN asg a ON p.centroid_id = a.centroid_id
+            WHERE a.id != p.query_id),
+        hits AS (
+            SELECT query_id, neighbor_id, score FROM (
+                SELECT query_id, neighbor_id, score,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC, neighbor_id)
+                           AS rank
+                FROM (SELECT query_id, neighbor_id,
+                             {_cos_sql('q.vec', 'c.vec')} AS score
+                      FROM cand
+                      JOIN cv q ON cand.query_id = q.id
+                      JOIN cv c ON cand.neighbor_id = c.id))
+            WHERE rank <= {CHUNK_ANN_K_CHUNKS}),
+        best AS (
+            SELECT query_doc, doc_id, chunk_id, score FROM (
+                SELECT query_id // {CHUNK_ID_SPAN} AS query_doc,
+                       neighbor_id // {CHUNK_ID_SPAN} AS doc_id,
+                       neighbor_id % {CHUNK_ID_SPAN} AS chunk_id,
+                       score,
+                       row_number() OVER (
+                           PARTITION BY query_id // {CHUNK_ID_SPAN},
+                                        neighbor_id // {CHUNK_ID_SPAN}
+                           ORDER BY score DESC,
+                                    neighbor_id % {CHUNK_ID_SPAN}) AS rn
+                FROM hits)
+            WHERE rn = 1)
+        SELECT query_doc, doc_id, score AS best_score,
+               chunk_id AS best_chunk_id, doc_rank
+        FROM (SELECT query_doc, doc_id, chunk_id, score,
+                     CAST(row_number() OVER (
+                         PARTITION BY query_doc
+                         ORDER BY score DESC, doc_id) AS BIGINT) AS doc_rank
+              FROM best)
+        WHERE doc_rank <= {CHUNK_ANN_K_DOCS}
+    """
+
+
 def _lm_oracle() -> str:
     from .operators.lm import bigram_lm_oracle_sql
 
@@ -2988,6 +3108,7 @@ EXT_QUERIES = {
     "bigram_lm_quality": q_bigram_lm_quality,
     "perplexity_prune": q_perplexity_prune,
     "doc_chunks": q_doc_chunks,
+    "chunk_ann_topk": q_chunk_ann_topk,
     "mixture_temperature": q_mixture_temperature,
     "curriculum_order": q_curriculum_order,
     "length_histogram": q_length_histogram,
@@ -3220,6 +3341,7 @@ EXT_ORACLES = {
     "bigram_lm_quality": _lm_oracle(),
     "perplexity_prune": _perplexity_prune_oracle(),
     "doc_chunks": _chunks_oracle(),
+    "chunk_ann_topk": chunk_ann_topk_oracle(),
     "mixture_temperature": MIXTURE_TEMPERATURE_ORACLE,
     "curriculum_order": curriculum_order_oracle(),
     "length_histogram": LENGTH_HISTOGRAM_ORACLE,

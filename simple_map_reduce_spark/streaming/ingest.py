@@ -24,7 +24,16 @@ tests/test_dedup.py):
    would even differ (intra-batch matches re-detect as corpus matches);
 4. only a replay with NEITHER marker nor report rows re-runs
    ``ingest_fn``, whose per-table anti-joins heal partially-written
-   state without duplicating rows.
+   state without duplicating rows. This replay runs with the batch's
+   accepted ids possibly ALREADY in the state tables (the crash fell
+   between the state appends and the report append), so ``ingest_fn``
+   must also re-derive the ORIGINAL report under that condition — both
+   indexes do, by excluding ids present in the replayed batch frame
+   from the corpus-candidate funnel (``IvfIndex._neardup_check_assigned
+   (exclude_batch_ids=True)``; ``NearDupIndex._ingest_inner``'s
+   replay-safe corpus side): without the exclusion, re-admitted batch
+   ids would re-detect as ``matched_in='corpus'`` rows, shifting the
+   report's match classes relative to the crash-free run (ADVICE r6).
 """
 
 from __future__ import annotations

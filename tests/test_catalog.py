@@ -449,3 +449,81 @@ def test_compact_bucketed_retry_after_mid_swap_crash(spark, tmp_path):
     assert n >= 1
     assert cat.get_bucketed("ct").count() == 40
     assert not os.path.isdir(spath)
+
+
+def test_compact_bucketed_refuses_unrelated_name_clash(spark, tmp_path):
+    """compact_bucketed reads through spark.table (a session-GLOBAL
+    namespace): with no ownership gate, an unrelated table sharing the
+    lowercased name would have ITS rows staged and rename-swapped over
+    our live dir — silent data replacement (ADVICE r6). The gate must
+    refuse, leaving both tables intact."""
+    import os
+
+    import pytest as _pytest
+
+    from simple_map_reduce_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "gwh"))
+    other_dir = str(tmp_path / "elsewhere" / "clash_g")
+    (
+        spark.range(9).selectExpr("id", "id % 2 AS k")
+        .write.mode("overwrite").bucketBy(2, "k").sortBy("k")
+        .option("path", other_dir).saveAsTable("clash_g")
+    )
+    try:
+        # OUR table is path-only (plain put) — _bucket_spec sees a
+        # location mismatch and returns None, which used to skip the
+        # spec validation silently
+        cat.put(spark.createDataFrame([(2, 0)], ["id", "k"]), "clash_g")
+        with _pytest.raises(ValueError, match="different location"):
+            cat.compact_bucketed("clash_g", "k", num_buckets=2)
+        # our data untouched, unrelated table untouched
+        assert [r.id for r in cat.get("clash_g").collect()] == [2]
+        assert spark.table("clash_g").count() == 9
+        assert not os.path.isdir(os.path.join(cat.root, "clash_g__compacting"))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS clash_g")
+
+
+def test_compact_bucketed_refuses_plain_table(spark, tmp_path):
+    """A table never registered via put_bucketed has no session entry:
+    compact_bucketed must refuse (plain tables go through compact())
+    instead of falling through to whatever spark.table resolves."""
+    import pytest as _pytest
+
+    from simple_map_reduce_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "pwh"))
+    cat.put(spark.range(5).selectExpr("id", "id % 2 AS k"), "plain_t")
+    with _pytest.raises(ValueError, match="no session-catalog entry"):
+        cat.compact_bucketed("plain_t", "k", num_buckets=2)
+    assert cat.get("plain_t").count() == 5
+
+
+def test_compact_bucketed_refuses_foreign_stage_entry(spark, tmp_path):
+    """An externally created table that shares the STAGE name survives
+    _drop_stage (location-checked), but the stage's overwrite
+    saveAsTable would still drop-and-recreate its entry — the probe
+    must refuse before writing (ADVICE r6)."""
+    import pytest as _pytest
+
+    from simple_map_reduce_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "fwh"))
+    cat.put_bucketed(
+        spark.range(20).selectExpr("id", "id % 3 AS k"), "ft", "k", num_buckets=2
+    )
+    other = str(tmp_path / "elsewhere_stage")
+    (
+        spark.range(7).selectExpr("id", "id % 2 AS k")
+        .write.mode("overwrite").bucketBy(2, "k").sortBy("k")
+        .option("path", other).saveAsTable("ft__compacting")
+    )
+    try:
+        with _pytest.raises(ValueError, match="unrelated table"):
+            cat.compact_bucketed("ft", "k", num_buckets=2)
+        # the foreign stage-name table is fully intact
+        assert spark.table("ft__compacting").count() == 7
+        assert cat.get_bucketed("ft").count() == 20
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ft__compacting")

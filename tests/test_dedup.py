@@ -500,3 +500,26 @@ def test_neardup_index_ingest_empty_batch_is_noop(spark, tmp_path):
     assert idx.ingest(empty).count() == 0
     ids = {r.id for r in cat.get(idx.shingles_table).select("id").distinct().collect()}
     assert ids == {1}
+
+
+def test_neardup_ingest_rerun_reproduces_original_report(spark, tmp_path):
+    """Streaming protocol point 4 (ADVICE r6), lexical twin of the
+    IvfIndex re-run test: replaying a full ingest after its accepted
+    docs already reached the corpus tables re-derives the ORIGINAL
+    report — the intra-batch pair stays matched_in='batch' instead of
+    re-detecting as a corpus match against the replayed sibling."""
+    from simple_map_reduce_spark.catalog import Catalog
+    from simple_map_reduce_spark.operators.dedup import NearDupIndex
+
+    cat = Catalog(spark, str(tmp_path / "rrwh2"))
+    idx = NearDupIndex(cat, "rr", threshold=0.3)
+    idx.build(spark.createDataFrame([(1, FAR)], "doc_id bigint, text string"))
+    batch = spark.createDataFrame(
+        [(10, BASE), (11, BASE),   # intra-batch dup pair (10 survives)
+         (12, FAR)],               # corpus dup of 1
+        "doc_id bigint, text string",
+    )
+    first = sorted(map(tuple, idx.ingest(batch).collect()))
+    second = sorted(map(tuple, idx.ingest(batch).collect()))
+    assert second == first
+    assert {r.matched_in for r in idx.ingest(batch).collect()} == {"corpus", "batch"}

@@ -607,3 +607,38 @@ def test_ivf_index_ingest_empty_batch_is_noop(spark, tmp_path):
     assert idx.ingest(empty, tau=0.9).count() == 0
     stored = {r.id for r in cat.get_bucketed(idx.vectors_table).select("id").collect()}
     assert stored == set(range(8))
+
+
+def test_ivf_ingest_rerun_reproduces_original_report(spark, tmp_path):
+    """Streaming protocol point 4 (ADVICE r6): a crash between the state
+    appends and the report append replays the WHOLE ingest with the
+    batch's accepted ids already in the index tables. The re-run must
+    re-derive the original report — same rows, same matched_in classes —
+    not re-class intra-batch matches as corpus matches (the corpus-
+    candidate funnel excludes ids present in the batch)."""
+    from simple_map_reduce_spark.catalog import Catalog
+    from simple_map_reduce_spark.operators.similarity import IvfIndex
+
+    cat = Catalog(spark, str(tmp_path / "rrwh"))
+    idx = IvfIndex(cat, "rr_t", n_centroids=2)
+    idx.build(_clustered_emb(spark))
+    batch = spark.createDataFrame(
+        [
+            (100, [0.96, 0.03, 0.0, 0.0]),  # corpus near-dup
+            (101, [0.0, 0.0, 1.0, 0.0]),    # novel — accepted
+            (102, [0.0, 0.0, 0.98, 0.01]),  # intra-batch dup of 101
+        ],
+        ["vec_id", "embedding"],
+    )
+    first = sorted(map(tuple, idx.ingest(batch, tau=0.9).collect()))
+    # crash-replay: state now ALREADY contains 101; a re-run must still
+    # classify 102 as matched_in='batch' (kept_id 101), and must not
+    # emit extra corpus-match rows for the replayed ids
+    second = sorted(map(tuple, idx.ingest(batch, tau=0.9).collect()))
+    assert second == first
+    # and the state stayed converged (no duplicate appends)
+    dup = (
+        cat.get_bucketed(idx.vectors_table).groupBy("id").count()
+        .filter("count > 1").count()
+    )
+    assert dup == 0
