@@ -83,3 +83,71 @@ def test_null_text_doc_still_appears(spark):
     )
     rows = {r.doc_id: r for r in token_chunks(df, chunk_tokens=4, stride=2).collect()}
     assert rows[2].chunk_id == 0 and rows[2].n_tokens == 0 and rows[2].chunk_text == ""
+
+
+def test_md5_slice_embedding_shape_and_determinism(spark):
+    """One md5 per row, hex-slice components in [1, 65536], identical
+    text → identical vector (the oracle-twinnable embedding contract)."""
+    from simple_map_reduce_spark.functions.hashes import md5_slice_embedding
+
+    df = spark.createDataFrame(
+        [("alpha beta",), ("alpha beta",), ("",)], ["t"]
+    ).select(md5_slice_embedding("t", dims=8).alias("v"))
+    rows = [r.v for r in df.collect()]
+    assert all(len(v) == 8 for v in rows)
+    assert all(1.0 <= x <= 65536.0 for v in rows for x in v)
+    assert rows[0] == rows[1]          # deterministic
+    assert rows[0] != rows[2]          # content-sensitive
+    with pytest.raises(ValueError):
+        md5_slice_embedding("t", dims=9)
+
+
+def test_chunk_vectors_packed_ids(spark):
+    from simple_map_reduce_spark.operators.chunking import (
+        CHUNK_ID_SPAN,
+        chunk_vectors,
+    )
+
+    df = spark.createDataFrame(
+        [(7, " ".join(f"w{i}" for i in range(40)))], "doc_id bigint, text string"
+    )
+    rows = chunk_vectors(df, chunk_tokens=32, stride=16).collect()
+    assert {r.vec_id for r in rows} == {
+        7 * CHUNK_ID_SPAN + r.chunk_id for r in rows
+    }
+    assert all(r.doc_id == 7 for r in rows)
+
+
+def test_chunk_ann_doc_topk_rollup_semantics(spark, tmp_path):
+    """End-to-end RAG read path on an engineered corpus: a 16-token-
+    period document yields identical overlapping windows, so every
+    chunk of the twin doc scores cosine 1.0 against the query chunk —
+    checking (a) max-sim-per-doc rollup, (b) MIN-chunk tiebreak within
+    a doc, (c) doc-id tiebreak across equal-score docs, (d) the query's
+    own chunk is excluded but its doc may still be retrieved."""
+    from simple_map_reduce_spark.catalog import Catalog
+    from simple_map_reduce_spark.operators.chunking import chunk_ann_doc_topk
+
+    period = " ".join(f"p{i}" for i in range(16))
+    pattern = " ".join([period] * 4)          # 64 tokens, period 16
+    other = " ".join(f"z{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(0, pattern), (200, pattern), (300, other)],
+        "doc_id bigint, text string",
+    )
+    cat = Catalog(spark, str(tmp_path / "cwh"))
+    out = chunk_ann_doc_topk(
+        docs, cat, "ca_t", [0], k_chunks=10, k_docs=3,
+        n_centroids=4, nprobe=2,
+    ).collect()
+    by_doc = {r.doc_id: r for r in out}
+    # doc 0 (the query's own doc): chunks 1,2 are identical to chunk 0,
+    # so it retrieves itself at score 1.0 via its SMALLEST non-self chunk
+    assert by_doc[0].best_score == 1.0 and by_doc[0].best_chunk_id == 1
+    # twin doc 200: all three chunks score 1.0 → min-chunk tiebreak = 0
+    assert by_doc[200].best_score == 1.0 and by_doc[200].best_chunk_id == 0
+    # equal best_score → doc-id tiebreak orders doc 0 before doc 200
+    assert by_doc[0].doc_rank == 1 and by_doc[200].doc_rank == 2
+    assert all(r.query_doc == 0 for r in out)
+    ranks = sorted(r.doc_rank for r in out)
+    assert ranks == list(range(1, len(out) + 1))  # contiguous from 1
