@@ -126,15 +126,17 @@ def bigram_lm_scores(
     )
 
 
-def bigram_lm_oracle_sql() -> str:
+def bigram_lm_oracle_sql(src: str = "documents") -> str:
     """DuckDB twin of :func:`bigram_lm_scores` — same tokenizer, same
     add-one smoothing, same quantize-then-sum-then-requantize pipeline.
     The token CTE is MATERIALIZED: three consumers (unigrams, bigrams,
-    doc spine) would otherwise re-tokenize the corpus per reference."""
+    doc spine) would otherwise re-tokenize the corpus per reference.
+    ``src`` lets a composed oracle train/score over a CTE (e.g. the
+    quality-kept corpus) instead of the raw table."""
     return rf"""
         WITH toks AS MATERIALIZED (
             SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
-            FROM documents),
+            FROM {src}),
         uni AS (
             SELECT w1, CAST(count(*) AS BIGINT) AS c_a
             FROM (SELECT unnest(t) AS w1 FROM toks) GROUP BY w1),
@@ -171,6 +173,73 @@ def bigram_lm_oracle_sql() -> str:
 THRESH_SCALE = 1_000
 
 
+def _score_distribution(
+    docs: DataFrame, id_col: str, text_col: str, lang_col: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The shared threshold machinery of the report and the applied
+    prune: (scored, dist, tot, th) where ``scored`` is every document
+    with its quantized milli-logprob ``qscore`` (NULL when unscored),
+    ``dist`` the RESOLUTION-bounded (lang, qscore) distribution, ``tot``
+    per-language scored counts, ``th`` the per-language median-value
+    threshold ``t``. One definition so the report's ``n_kept`` and the
+    prune's keep set can never silently diverge."""
+    scores = bigram_lm_scores(docs, id_col=id_col, text_col=text_col)
+    scored = (
+        docs.select(F.col(id_col).alias("doc_id"), lang_col)
+        .join(scores, "doc_id")
+        .withColumn(
+            "qscore",
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.floor(F.col("avg_logprob") * THRESH_SCALE + F.lit(0.5)).cast(
+                    "bigint"
+                ),
+            ),
+        )
+    )
+    dist = (
+        scored.filter(F.col("n_bigrams") > 0)
+        .groupBy(lang_col, "qscore")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    wl = (
+        Window.partitionBy(lang_col)
+        .orderBy(F.desc("qscore"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = dist.withColumn("cum", F.sum("cnt").over(wl))
+    tot = dist.groupBy(lang_col).agg(F.sum("cnt").alias("n_scored"))
+    th = (
+        cum.join(tot, lang_col)
+        .filter(F.col("cum") >= F.expr("(n_scored + 1) DIV 2"))
+        .groupBy(lang_col)
+        .agg(F.max("qscore").alias("t"))
+    )
+    return scored, dist, tot, th
+
+
+def perplexity_keep_ids(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """The APPLIED form of :func:`perplexity_prune_report`: the single
+    id column of documents scoring at or above their language's median
+    LM score — exactly the documents the report counts as ``n_kept``.
+    Unscored (<2-token) docs are dropped (no signal), as is every doc
+    of a language with no scored distribution. The threshold frame is
+    language-sized and broadcast; applying it is one scan-local filter
+    over the scored frame."""
+    scored, _dist, _tot, th = _score_distribution(docs, id_col, text_col, lang_col)
+    return (
+        scored.filter(F.col("n_bigrams") > 0)
+        .join(F.broadcast(th), lang_col)
+        .filter(F.col("qscore") >= F.col("t"))
+        .select(F.col("doc_id").alias(id_col))
+    )
+
+
 def perplexity_prune_report(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     lang_col: str = "lang",
@@ -197,34 +266,7 @@ def perplexity_prune_report(
     distribution (no second corpus pass). Applying the prune to the
     corpus itself is a broadcast threshold join + scan-local filter.
     """
-    scores = bigram_lm_scores(docs, id_col=id_col, text_col=text_col)
-    scored = docs.select(F.col(id_col).alias("doc_id"), lang_col).join(
-        scores, "doc_id"
-    )
-    has = scored.filter(F.col("n_bigrams") > 0).select(
-        lang_col,
-        F.floor(F.col("avg_logprob") * THRESH_SCALE + F.lit(0.5))
-        .cast("bigint")
-        .alias("qscore"),
-    )
-    dist = has.groupBy(lang_col, "qscore").agg(
-        F.count("*").cast("bigint").alias("cnt")
-    )
-    from pyspark.sql import Window
-
-    wl = (
-        Window.partitionBy(lang_col)
-        .orderBy(F.desc("qscore"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = dist.withColumn("cum", F.sum("cnt").over(wl))
-    tot = dist.groupBy(lang_col).agg(F.sum("cnt").alias("n_scored"))
-    th = (
-        cum.join(tot, lang_col)
-        .filter(F.col("cum") >= F.expr("(n_scored + 1) DIV 2"))
-        .groupBy(lang_col)
-        .agg(F.max("qscore").alias("t"))
-    )
+    scored, dist, tot, th = _score_distribution(docs, id_col, text_col, lang_col)
     kept = (
         dist.join(th, lang_col)
         .filter(F.col("qscore") >= F.col("t"))

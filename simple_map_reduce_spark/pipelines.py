@@ -163,6 +163,55 @@ def source_overlap_matrix(
     )
 
 
+def pretraining_manifest_lm(
+    docs: DataFrame,
+    splits: dict[str, float],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    **manifest_kwargs,
+) -> DataFrame:
+    """:func:`pretraining_manifest` with the CCNet-style LM-quality
+    stage spliced in: Gopher quality filter → per-language median
+    perplexity prune (``operators.lm.perplexity_keep_ids`` — the
+    bigram-LM model is trained on the quality-kept corpus itself) →
+    lexical near-dup prune → (optional semantic prune via ``emb``) →
+    splits → packing.
+
+    Stage order is the scale order, one notch further than the base
+    pipeline: the LM prune runs BEFORE the lexical prune so the dedup
+    shuffles price only fluent documents (the same argument that puts
+    the per-row filter before dedup). Composition is by pre-filtering —
+    the inner pipeline re-applies the (idempotent) quality filter to
+    the already-kept rows, so the five-stage program is exactly
+    quality → LM → dedup → … with no restated pipeline body to drift.
+
+    The fluent survivor set is persisted: the inner pipeline consumes
+    its input several times (pair derivation, component vertices,
+    survivor join), and each consumption would otherwise re-train and
+    re-score the whole bigram model."""
+    from .cache import tracked_persist
+    from .operators.lm import perplexity_keep_ids
+
+    kept = quality_kept_docs(docs, id_col, text_col, lang_col)
+    fluent = tracked_persist(
+        kept.join(
+            perplexity_keep_ids(
+                kept, id_col=id_col, text_col=text_col, lang_col=lang_col
+            ),
+            id_col,
+        )
+    )
+    return pretraining_manifest(
+        fluent,
+        splits,
+        id_col=id_col,
+        text_col=text_col,
+        lang_col=lang_col,
+        **manifest_kwargs,
+    )
+
+
 def pretraining_manifest(
     docs: DataFrame,
     splits: dict[str, float],

@@ -1294,16 +1294,60 @@ def q_pretraining_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def pretraining_manifest_oracle(sem: bool = False) -> str:
-    """One builder for BOTH manifest oracles: the lexical-only pipeline
-    and (``sem=True``) the variant with the SemDeDup stage spliced
-    between the survivor CTE and the packing stages. A single source
-    keeps the split-bucket CASE, the token count, and the prefix-sum /
-    chunk SQL provably in lockstep between the two registered queries —
-    the only delta is the sem CTE chain + the surv2 NOT EXISTS filter."""
+def pretraining_manifest_oracle(sem: bool = False, lm: bool = False) -> str:
+    """One builder for ALL manifest oracles: the lexical-only pipeline,
+    (``sem=True``) the variant with the SemDeDup stage spliced between
+    the survivor CTE and the packing stages, and (``lm=True``) the
+    variant with the CCNet-style LM prune spliced between the quality
+    filter and the lexical dedup (the Spark stage order of
+    ``pipelines.pretraining_manifest_lm``). A single source keeps the
+    split-bucket CASE, the token count, and the prefix-sum / chunk SQL
+    provably in lockstep between the registered queries — the deltas
+    are the LM CTE chain feeding ``base`` and/or the sem CTE chain +
+    the surv2 NOT EXISTS filter."""
     from .functions.hashes import duckdb_md5_long60
 
-    pre = f"""base AS (
+    if lm:
+        from .operators.lm import THRESH_SCALE, bigram_lm_oracle_sql
+
+        # the LM model is trained on (and scores) the QUALITY-KEPT
+        # corpus base0; base = the fluent half per language — exactly
+        # perplexity_keep_ids' math over quality_kept_docs
+        pre = f"""base0 AS MATERIALIZED (
+            SELECT doc_id, lang, text
+            FROM ({_qf_counts_sql("doc_id, lang, text")})
+            WHERE {_qf_pass_where()}),
+        lms AS MATERIALIZED ({bigram_lm_oracle_sql(src="base0")}),
+        lsc AS MATERIALIZED (
+            SELECT b.doc_id, b.lang, s.n_bigrams,
+                   CAST(floor(s.avg_logprob * {THRESH_SCALE} + 0.5)
+                        AS BIGINT) AS qscore
+            FROM base0 b JOIN lms s ON s.doc_id = b.doc_id),
+        ldist AS (
+            SELECT lang, qscore, CAST(count(*) AS BIGINT) AS cnt
+            FROM lsc WHERE n_bigrams > 0 GROUP BY lang, qscore),
+        lcum AS (
+            SELECT lang, qscore, cnt,
+                   sum(cnt) OVER (PARTITION BY lang ORDER BY qscore DESC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum
+            FROM ldist),
+        ltot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_scored
+                 FROM ldist GROUP BY lang),
+        lth AS (
+            SELECT lang, max(qscore) AS t
+            FROM lcum JOIN ltot USING (lang)
+            WHERE cum >= (n_scored + 1) // 2
+            GROUP BY lang),
+        base AS MATERIALIZED (
+            SELECT b.doc_id, b.lang, b.text
+            FROM base0 b
+            JOIN lsc ON lsc.doc_id = b.doc_id
+            JOIN lth ON lth.lang = b.lang
+            WHERE lsc.n_bigrams > 0 AND lsc.qscore >= lth.t),
+        """
+    else:
+        pre = f"""base AS (
             SELECT doc_id, lang, text
             FROM ({_qf_counts_sql("doc_id, lang, text")})
             WHERE {_qf_pass_where()}),
@@ -1388,6 +1432,35 @@ def pretraining_manifest_sem_oracle() -> str:
     """Manifest oracle + the SemDeDup CTE chain over the survivor-
     restricted embedding set (see :func:`pretraining_manifest_oracle`)."""
     return pretraining_manifest_oracle(sem=True)
+
+
+def q_pretraining_manifest_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pretraining pipeline WITH the CCNet-style LM-quality stage
+    (pipelines.pretraining_manifest_lm): Gopher filter → per-language
+    median perplexity prune (bigram model trained on the quality-kept
+    corpus itself) → lexical MinHash-LSH prune over the fluent
+    survivors → splits → sharded packing. The LM prune runs before the
+    lexical prune so the dedup shuffles price only fluent documents.
+    The oracle recomposes every stage — quality flags, the full bigram
+    LM + median threshold, the recursive reach chain, split CASE, and
+    prefix-sum packing — so the six-stage program is checked
+    bit-for-bit end to end."""
+    from .pipelines import pretraining_manifest_lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pretraining_manifest_lm(
+        docs,
+        SPLIT_FRACTIONS,
+        neardup_threshold=MINHASH_THRESHOLD,
+        max_bucket=SKEW_CAP,
+        span=100,
+    )
+
+
+def pretraining_manifest_lm_oracle() -> str:
+    """Manifest oracle + the LM prune CTE chain between the quality
+    filter and the dedup reach (see :func:`pretraining_manifest_oracle`)."""
+    return pretraining_manifest_oracle(lm=True)
 
 
 def q_streaming_hourly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3103,6 +3176,7 @@ EXT_QUERIES = {
     "streaming_hourly_users": q_streaming_hourly_users,
     "pretraining_manifest": q_pretraining_manifest,
     "pretraining_manifest_sem": q_pretraining_manifest_sem,
+    "pretraining_manifest_lm": q_pretraining_manifest_lm,
     "rrf_fusion": q_rrf_fusion,
     "hard_negatives": q_hard_negatives,
     "bigram_lm_quality": q_bigram_lm_quality,
@@ -3212,6 +3286,7 @@ EXT_ORACLES = {
     "quality_filter": quality_filter_oracle(),
     "pretraining_manifest": pretraining_manifest_oracle(),
     "pretraining_manifest_sem": pretraining_manifest_sem_oracle(),
+    "pretraining_manifest_lm": pretraining_manifest_lm_oracle(),
     # chained dedup → window agg must converge to the batch distinct count
     "streaming_hourly_users": """
         SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,

@@ -152,3 +152,44 @@ def test_sem_manifest_is_base_minus_semantic_prunes(spark):
         ).collect()
     }
     assert base_ids - sem_ids == pruned
+
+
+def test_lm_manifest_prunes_the_unfluent_half_per_language(spark):
+    """pretraining_manifest_lm = the base pipeline over exactly the
+    LM-fluent subset of the quality-kept corpus: its doc set must equal
+    perplexity_keep_ids over quality_kept_docs minus the lexical-dedup
+    losers, and per language the fluent set is ~half the scored docs
+    (median-value threshold, ties kept)."""
+    from simple_map_reduce_spark.operators.lm import perplexity_keep_ids
+    from simple_map_reduce_spark.pipelines import quality_kept_docs
+    from simple_map_reduce_spark.queries import QUERIES
+    from simple_map_reduce_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    kept = quality_kept_docs(docs)
+    fluent_ids = {r.doc_id for r in perplexity_keep_ids(kept).collect()}
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert fluent_ids and fluent_ids < kept_ids  # a real prune happened
+
+    lm_ids = {
+        r.doc_id
+        for r in QUERIES["pretraining_manifest_lm"](spark, SF_SMOKE)
+        .select("doc_id")
+        .collect()
+    }
+    # every manifest doc is fluent; the delta vs fluent_ids is the
+    # lexical near-dup prune inside the inner pipeline
+    assert lm_ids <= fluent_ids
+    base_ids = {
+        r.doc_id
+        for r in QUERIES["pretraining_manifest"](spark, SF_SMOKE)
+        .select("doc_id")
+        .collect()
+    }
+    # the LM stage only ever removes documents relative to the base
+    # pipeline's INPUT; survivors of the composed pipeline are fluent
+    # members of the quality-kept corpus (dedup reps can differ when a
+    # cluster's min id was pruned, so no subset claim vs base_ids)
+    assert lm_ids
+    assert len(lm_ids) < len(base_ids)
