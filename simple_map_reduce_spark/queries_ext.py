@@ -2531,6 +2531,129 @@ def q_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.ingest(new, SEM_INGEST_TAU).orderBy("vec_id", "matched_in")
 
 
+def q_streaming_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The semantic admission gate driven through STRUCTURED STREAMING
+    (``IvfIndex.ingest_stream`` under the marker-last epoch-commit
+    protocol of streaming/ingest.py): the same 1-in-10 batch/corpus
+    split as ``semantic_ingest``, but the batch arrives as TWO stream
+    epochs (vec_id % 20 == 0, then % 20 == 10; one parquet file each,
+    ``maxFilesPerTrigger=1``, mtime-ordered). The oracle recomposes the
+    two ingests SEQUENTIALLY in SQL (epoch 0 against the built index,
+    epoch 1 against index ∪ epoch-0 acceptances), so the per-epoch
+    report classes get an external bit-exact check the pytest crash
+    matrices can't provide. At sf0.01 the sequencing is exercised in
+    the REJECTION direction: an epoch-1 vector whose only near-dup was
+    itself rejected in epoch 0 is correctly admitted with NO report row
+    — single-batch semantics would emit one and hash-mismatch. (The
+    admitted-in-epoch-0-matched-as-corpus direction doesn't occur in
+    this synthetic data at any tau; it is pinned by
+    tests/test_similarity.py::test_ivf_index_ingest_stream_matches_
+    batch_mode instead.) Returns the persisted reports table
+    (vec_id, centroid_id, kept_id, sim, matched_in, epoch_id)."""
+    import os
+    import shutil
+    import tempfile
+
+    from .catalog import Catalog
+    from .operators.similarity import IvfIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % INCR_MOD != 0)
+    epochs = [
+        emb.filter(F.col("vec_id") % (2 * INCR_MOD) == 0),
+        emb.filter(F.col("vec_id") % (2 * INCR_MOD) == INCR_MOD),
+    ]
+    root = tempfile.mkdtemp(prefix="sem_stream_")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    for i, part in enumerate(epochs):
+        stage = os.path.join(root, f"stage{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        pf = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        dst = os.path.join(src, f"{'ab'[i]}.parquet")
+        shutil.move(os.path.join(stage, pf), dst)
+        # deterministic epoch order: the file source sorts by mtime
+        os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+    cat = Catalog(spark, os.path.join(root, "wh"))
+    idx = IvfIndex(cat, "sem_stream", n_centroids=SEMDEDUP_K)
+    idx.build(corpus)
+    stream = (
+        spark.readStream.schema(epochs[0].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    idx.ingest_stream(stream, os.path.join(root, "ckpt"), SEM_INGEST_TAU)
+    return cat.get(idx.reports_table).orderBy(
+        "epoch_id", "vec_id", "matched_in"
+    )
+
+
+def streaming_semantic_ingest_oracle(
+    k: int = SEMDEDUP_K, tau: float = SEM_INGEST_TAU
+) -> str:
+    """DuckDB twin of the two-epoch streaming ingest: the shared
+    assignment prefix, then epoch 0's ingest report over the built
+    index, epoch 0's acceptance set, and epoch 1's report over index ∪
+    acceptances — the SQL form of sequential ``IvfIndex.ingest`` calls
+    (state tables are materialized intermediates of identical math)."""
+
+    def _corpus_block(b: str, asg: str) -> str:
+        return f"""
+            SELECT b.vec_id, b.centroid_id, a.id AS cid,
+                   {_cos_sql('q.vec', 'c.vec')} AS sim
+            FROM {b} b
+            JOIN {asg} a ON b.centroid_id = a.centroid_id
+            JOIN v q ON b.vec_id = q.vec_id
+            JOIN v c ON a.id = c.vec_id"""
+
+    def _within_block(b: str) -> str:
+        return f"""
+            SELECT b.vec_id, b.centroid_id, b2.vec_id AS cid,
+                   {_cos_sql('q.vec', 'c.vec')} AS sim
+            FROM {b} b
+            JOIN {b} b2 ON b.centroid_id = b2.centroid_id
+                        AND b2.vec_id < b.vec_id
+            JOIN v q ON b.vec_id = q.vec_id
+            JOIN v c ON b2.vec_id = c.vec_id"""
+
+    def _report(c: str, w: str) -> str:
+        return f"""
+            SELECT vec_id, centroid_id, min(cid) AS kept_id,
+                   arg_min(sim, cid) AS sim, 'corpus' AS matched_in
+            FROM {c} WHERE sim >= {tau} GROUP BY 1, 2
+            UNION ALL
+            SELECT vec_id, centroid_id, min(cid) AS kept_id,
+                   arg_min(sim, cid) AS sim, 'batch' AS matched_in
+            FROM {w} WHERE sim >= {tau} GROUP BY 1, 2"""
+
+    return f"""
+        WITH {_ivf_split_asg_ctes(k, materialized=True)},
+        b0 AS MATERIALIZED (SELECT * FROM asgb WHERE vec_id % {2 * INCR_MOD} = 0),
+        b1 AS MATERIALIZED (
+            SELECT * FROM asgb WHERE vec_id % {2 * INCR_MOD} = {INCR_MOD}),
+        c0 AS ({_corpus_block('b0', 'asgc')}),
+        w0 AS ({_within_block('b0')}),
+        rep0 AS MATERIALIZED ({_report('c0', 'w0')}),
+        acc0 AS (
+            SELECT vec_id AS id, centroid_id FROM b0
+            WHERE vec_id NOT IN (SELECT vec_id FROM rep0)),
+        asg1 AS (
+            SELECT id, centroid_id FROM asgc
+            UNION ALL
+            SELECT id, centroid_id FROM acc0),
+        c1 AS ({_corpus_block('b1', 'asg1')}),
+        w1 AS ({_within_block('b1')}),
+        rep1 AS ({_report('c1', 'w1')})
+        SELECT vec_id, centroid_id, kept_id, sim, matched_in,
+               CAST(0 AS BIGINT) AS epoch_id
+        FROM rep0
+        UNION ALL
+        SELECT vec_id, centroid_id, kept_id, sim, matched_in,
+               CAST(1 AS BIGINT) AS epoch_id
+        FROM rep1
+    """
+
+
 def repetition_signals_oracle() -> str:
     """Same gram positions (1-indexed ranges), same distinct/mode math."""
     return rf"""
@@ -3172,6 +3295,7 @@ EXT_QUERIES = {
     "semdedup_prune": q_semdedup,
     "embedding_neardup_idx": q_embedding_neardup_idx,
     "semantic_ingest": q_semantic_ingest,
+    "streaming_semantic_ingest": q_streaming_semantic_ingest,
     "quality_filter": q_quality_filter,
     "streaming_hourly_users": q_streaming_hourly_users,
     "pretraining_manifest": q_pretraining_manifest,
@@ -3287,6 +3411,7 @@ EXT_ORACLES = {
     "pretraining_manifest": pretraining_manifest_oracle(),
     "pretraining_manifest_sem": pretraining_manifest_sem_oracle(),
     "pretraining_manifest_lm": pretraining_manifest_lm_oracle(),
+    "streaming_semantic_ingest": streaming_semantic_ingest_oracle(),
     # chained dedup → window agg must converge to the batch distinct count
     "streaming_hourly_users": """
         SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
