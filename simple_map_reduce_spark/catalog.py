@@ -275,6 +275,36 @@ class Catalog:
             raise FileNotFoundError(f"no snapshot v{version} of {name!r}")
         return self.spark.read.parquet(snap)
 
+    def prune_versions(self, name: str, keep_last: int = 1) -> list[int]:
+        """Snapshot retention: drop all but the newest ``keep_last``
+        published snapshots of ``name`` and return the pruned version
+        ids. Hardlink trees are cheap but not free — one directory plus
+        one inode reference per data file per snapshot, forever — so a
+        table snapshotted per ingest epoch needs periodic retention,
+        exactly like a table format's ``expireSnapshots``.
+
+        Safety rules match :meth:`delete`'s: the name is validated
+        through ``_path`` (so dot-names and the reserved stage suffix
+        can never be addressed), only EXACT ``.{name}.v<digits>``
+        published trees are touched (half-built ``.tmp`` trees belong
+        to an in-flight snapshot and are left for its own cleanup or
+        ``delete``), and the live table is never involved — pruning is
+        metadata-only with respect to the current contents.
+        :meth:`restore` / :meth:`get_version` of a pruned version then
+        refuse with FileNotFoundError. Pruning drops OLDEST first, so
+        the surviving max keeps :meth:`snapshot` numbering monotonic;
+        only ``keep_last=0`` (drop everything) resets numbering to v1 —
+        callers holding version ids across a full wipe must not expect
+        them to stay unique."""
+        if keep_last < 0:
+            raise ValueError(f"keep_last must be >= 0, got {keep_last}")
+        self._path(name)  # validate the name before touching anything
+        versions = self.versions(name)
+        drop = versions[: len(versions) - keep_last] if keep_last else versions
+        for v in drop:
+            shutil.rmtree(os.path.join(self.root, f".{name}.v{v}"))
+        return drop
+
     def restore(self, name: str, version: int) -> None:
         """Roll the live table back to snapshot ``version`` (the
         snapshot itself survives — restores are repeatable). Same

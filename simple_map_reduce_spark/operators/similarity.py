@@ -1015,6 +1015,68 @@ class IvfIndex:
         )
         return report
 
+    def cluster_stats(self) -> DataFrame:
+        """Cluster-size skew report over the standing assignment table —
+        the maintenance signal for :meth:`rebuild`. After many
+        admission-gated ingests the FROZEN quantizer drifts: new data
+        concentrates in a few clusters, and per-check cost
+        (:meth:`neardup_check` / :meth:`search_ids`) grows with the
+        probed cluster's population, not the corpus mean.
+
+        Returns a BOUNDED frame (≤ n_centroids rows): (centroid_id,
+        n_vectors, share, skew) with ``skew = n_vectors / (total /
+        n_clusters)`` — skew 1.0 is perfectly balanced; a cluster at
+        skew k costs k× the balanced per-probe work. Centroids with no
+        assigned vectors appear with zeros (they waste a probe slot —
+        also a retrain signal). One groupBy over the bucketed
+        assignment table (pre-partitioned on centroid_id, no Exchange
+        above the scan) + a broadcast 1-row total."""
+        assign = self.catalog.get_bucketed(self.assign_table)
+        cents = self.catalog.get(self.centroids_table).select("centroid_id")
+        sizes = assign.groupBy("centroid_id").agg(
+            F.count("*").cast("bigint").alias("n_vectors")
+        )
+        per_cent = cents.join(sizes, "centroid_id", "left").select(
+            "centroid_id",
+            F.coalesce("n_vectors", F.lit(0).cast("bigint")).alias("n_vectors"),
+        )
+        tot = per_cent.agg(
+            F.sum("n_vectors").alias("total"),
+            F.count("*").cast("bigint").alias("k"),
+        )
+        return per_cent.crossJoin(F.broadcast(tot)).select(
+            "centroid_id",
+            "n_vectors",
+            (F.col("n_vectors").cast("double") / F.col("total")).alias("share"),
+            (
+                F.col("n_vectors").cast("double")
+                * F.col("k")
+                / F.col("total")
+            ).alias("skew"),
+        )
+
+    def rebuild(self, centroids: DataFrame | None = None) -> None:
+        """Retrain the quantizer over the CURRENT stored vectors and
+        re-publish all three index tables — the answer to a drifted /
+        skewed :meth:`cluster_stats` report. Pass a trained centroid
+        frame (``kmeans_refine`` over the stored vectors is the
+        standard move — its (centroid_id, cvec, cn) output is the
+        drop-in contract) or omit it to reseed id-ordered.
+
+        The stored vector set is read back through the session catalog
+        and **eagerly localCheckpoint-ed before the rewrite**: build()
+        overwrites the very tables the frame reads, and a lazy plan
+        re-evaluated mid-overwrite would race its own destination (use
+        ``checkpoint`` on a cluster for executor-loss durability).
+        Reports/epochs tables are untouched — a rebuild changes the
+        PHYSICAL layout (cluster membership), never admission history.
+        """
+        vectors = self.catalog.get_bucketed(self.vectors_table)
+        emb = vectors.select(
+            F.col("id").alias(self.id_col), F.col("vec").alias(self.vec_col)
+        ).localCheckpoint()
+        self.build(emb, centroids=centroids)
+
     def compact(self) -> dict[str, int]:
         """Compact the two append-heavy state tables back to ~one file
         per bucket (layout-preserving ``Catalog.compact_bucketed``) —

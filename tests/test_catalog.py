@@ -527,3 +527,37 @@ def test_compact_bucketed_refuses_foreign_stage_entry(spark, tmp_path):
         assert cat.get_bucketed("ft").count() == 20
     finally:
         spark.sql("DROP TABLE IF EXISTS ft__compacting")
+
+
+def test_prune_versions_retention_and_refusals(cat, spark, tmp_path):
+    """Retention drops oldest-first; pruned versions refuse
+    get_version/restore; surviving versions still restore; numbering
+    stays monotonic past a prune."""
+    import os
+
+    import pytest as _pytest
+
+    for i in range(4):
+        cat.put(spark.createDataFrame([(i,)], ["v"]), "snap_t")
+        assert cat.snapshot("snap_t") == i + 1
+    assert cat.versions("snap_t") == [1, 2, 3, 4]
+    assert cat.prune_versions("snap_t", keep_last=2) == [1, 2]
+    assert cat.versions("snap_t") == [3, 4]
+    with _pytest.raises(FileNotFoundError):
+        cat.get_version("snap_t", 1)
+    with _pytest.raises(FileNotFoundError):
+        cat.restore("snap_t", 2)
+    # surviving snapshot restores fine
+    cat.restore("snap_t", 3)
+    assert [r.v for r in cat.get("snap_t").collect()] == [2]
+    # numbering continues above the surviving max
+    assert cat.snapshot("snap_t") == 5
+    # keep_last=0 wipes; half-built .tmp trees are NOT touched
+    os.makedirs(os.path.join(cat.root, ".snap_t.v9.tmp"))
+    assert cat.prune_versions("snap_t", keep_last=0) == [3, 4, 5]
+    assert cat.versions("snap_t") == []
+    assert os.path.isdir(os.path.join(cat.root, ".snap_t.v9.tmp"))
+    with _pytest.raises(ValueError):
+        cat.prune_versions("snap_t", keep_last=-1)
+    with _pytest.raises(ValueError):
+        cat.prune_versions("bad/name")

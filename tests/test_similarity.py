@@ -642,3 +642,58 @@ def test_ivf_ingest_rerun_reproduces_original_report(spark, tmp_path):
         .filter("count > 1").count()
     )
     assert dup == 0
+
+
+def test_ivf_cluster_stats_and_rebuild_rebalances(spark, tmp_path):
+    """Index maintenance loop: seed a quantizer that leaves one cluster
+    holding nearly everything, read the skew off cluster_stats, retrain
+    with kmeans_refine via rebuild(), and verify (a) max skew drops,
+    (b) empty centroids appear with zeros pre-rebuild, (c) search over
+    the well-separated clusters returns identical results pre/post
+    (the quantizer changes the PHYSICAL layout, not these answers)."""
+    from pyspark.sql import functions as SF
+
+    from simple_map_reduce_spark.catalog import Catalog
+    from simple_map_reduce_spark.operators.similarity import (
+        IvfIndex,
+        kmeans_refine,
+    )
+
+    # ids 0,1 are near-identical x-axis seeds -> both seed centroids sit
+    # in the x cluster and every y vector piles onto one of them
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.01, 0.0, 0.0]),
+        (2, [0.98, 0.02, 0.0, 0.0]),
+        (3, [0.97, 0.01, 0.0, 0.0]),
+        (4, [0.0, 1.0, 0.0, 0.0]),
+        (5, [0.01, 0.99, 0.0, 0.0]),
+        (6, [0.02, 0.98, 0.0, 0.0]),
+        (7, [0.0, 0.97, 0.01, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cat = Catalog(spark, str(tmp_path / "mwh"))
+    idx = IvfIndex(cat, "m_t", n_centroids=2, nprobe=2)
+    idx.build(emb)
+    stats = {r.centroid_id: r for r in idx.cluster_stats().collect()}
+    assert sum(r.n_vectors for r in stats.values()) == 8
+    skew_before = max(r.skew for r in stats.values())
+    assert skew_before > 1.4  # the y cluster piled onto one centroid
+    before = sorted(map(tuple, idx.search_ids([0, 4], k=2).collect()))
+
+    idx.rebuild(
+        centroids=kmeans_refine(
+            cat.get_bucketed(idx.vectors_table).select(
+                SF.col("id").alias("vec_id"), SF.col("vec").alias("embedding")
+            ),
+            n_centroids=2,
+            iters=2,
+        )
+    )
+    stats2 = {r.centroid_id: r for r in idx.cluster_stats().collect()}
+    assert sum(r.n_vectors for r in stats2.values()) == 8
+    assert max(r.skew for r in stats2.values()) < skew_before
+    # balanced 4/4 split across the two refined centroids
+    assert sorted(r.n_vectors for r in stats2.values()) == [4, 4]
+    after = sorted(map(tuple, idx.search_ids([0, 4], k=2).collect()))
+    assert after == before
