@@ -247,78 +247,78 @@ QUERIES: dict[str, QueryFn] = {
 # so a behavior change can never ship on a stale green row again (round
 # 2's trigram-default change left jaccard_pairs unverified for a round).
 #
-# Round 6 window = the 9 NEW queries (hybrid retrieval + the tf
-# baseline ranker they fuse, hard negatives, LM quality + perplexity
-# filtering, RAG chunking, temperature mixture, curriculum, length
-# histogram, the IvfIndex.ingest admission-gate report) +
-# corpus_shuffle (its shuffle_positions core grew the group_cols path —
-# default-path semantics unchanged, re-verify anyway) +
-# embedding_neardup_idx (neardup_check refactored onto the shared
-# assigned-core) + the 39 remaining r3-dated rows (FINISHING the
-# freshness rotation: after this round no oracle-backed query's latest
-# driver row is older than r4; the r4 cohort starts rotating in r7).
+# Round 7 window = the 3 NEW queries (chunk-level ANN retrieval, the
+# LM-pruned pretraining manifest, the streaming semantic-ingest drive
+# with its sequential two-epoch oracle) + the 3 queries whose code
+# changed (semantic_ingest / incremental_neardup_idx: both ingest cores
+# gained the replay-safe corpus-candidate exclusion, ADVICE r6;
+# perplexity_prune: its threshold machinery refactored into the shared
+# _score_distribution that perplexity_keep_ids now also consumes) + the
+# 44 remaining r4-dated rows (FINISHING the freshness rotation: after
+# this round no oracle-backed query's latest driver row is older than
+# r5). embedding_neardup_idx also touches edited code
+# (_neardup_check_assigned gained the exclude_batch_ids parameter) but
+# its default path is PLAN-identical (the parameter defaults off, no
+# operator is added) and its r6 row is fresh — deliberately left
+# outside to make the 44-row cohort fit exactly.
 _CHANGED_THIS_ROUND = [
-    # r6: NEW queries ship their behavior this round
-    "rrf_fusion",
-    "hard_negatives",
-    "bigram_lm_quality",
-    "perplexity_prune",
-    "doc_chunks",
-    "mixture_temperature",
-    "curriculum_order",
-    "length_histogram",
-    # r6: shuffle_positions gained group_cols (curriculum_order); the
-    # ungrouped path is plan-identical but shares the edited code
-    "corpus_shuffle",
-    # r6: neardup_check refactored onto the shared assigned-core (same
-    # math; ingest now reuses the persisted assignment) — re-verify
-    "embedding_neardup_idx",
-    # r6: NEW — the full IvfIndex.ingest admission gate (corpus +
-    # intra-batch classes) finally carries a driver row
+    # r7: NEW queries ship their behavior this round
+    "chunk_ann_topk",
+    "pretraining_manifest_lm",
+    "streaming_semantic_ingest",
+    # r7: replay-safe corpus-candidate exclusion in both ingest cores
     "semantic_ingest",
+    "incremental_neardup_idx",
+    # r7: threshold machinery refactored into _score_distribution
+    "perplexity_prune",
 ]
 _ROTATION_FRONT = [
     *_CHANGED_THIS_ROUND,
-    # the 39 remaining r3-dated rows (unchanged code — pure freshness)
-    "corpus_prep",
-    "dedup_exact",
-    "distinct_tokens",
-    "doc_fingerprint",
-    "equi_join",
-    "events_windowed",
-    "filter_group_pct",
-    "image_resize",
-    "lang_id",
-    "left_join_order_counts",
-    "maple_filter_pct",
-    "maple_wordcount",
-    "minhash_buckets",
-    "multi_distinct",
-    "multimodal_meta",
-    "nation_segment_list",
-    "orders_by_month",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_regional_revenue",
-    "qty_outliers",
-    "redact_pii",
-    "regex_filter",
-    "sales_rollup",
-    "simhash_dup_pairs",
-    "simhash_sigs",
-    "similarity_topk",
-    "streaming_click_attribution",
-    "streaming_dedup",
-    "streaming_dedup_watermark",
-    "streaming_enriched",
-    "streaming_rollup",
-    "streaming_sessions",
-    "text_stats",
-    "token_counts",
-    "topk_customers",
-    "window_running",
-    "wordcount",
-    "wordcount_total",
+    # the 44 remaining r4-dated rows (unchanged code — pure freshness)
+    "asof_last_order",
+    "bigram_docfreq",
+    "bpe_pair_counts",
+    "cheapest_item_per_order",
+    "chunk_assignment",
+    "chunk_assignment_sharded",
+    "cohort_retention",
+    "corpus_splits",
+    "customer_order_seq",
+    "customer_spend_ntile",
+    "customers_without_orders",
+    "decontaminate",
+    "dedup_groups",
+    "deterministic_sample",
+    "disjunctive_revenue",
+    "dominant_suppliers",
+    "embedding_neardup",
+    "embedding_neardup_lsh",
+    "embedding_quantize",
+    "events_json",
+    "events_pivot",
+    "flag_priority_matrix",
+    "forecast_revenue",
+    "frame_sample",
+    "fuzzy_part_names",
+    "image_features",
+    "ivf_refined_centroids",
+    "ivf_refined_topk",
+    "jaccard_pairs",
+    "label_confusion",
+    "late_ship_priority",
+    "market_share",
+    "minhash_dup_pairs",
+    "mixture_weights",
+    "orders_sorted_limit",
+    "part_type_stats",
+    "parts_ordered",
+    "quality_filter",
+    "repetition_signals",
+    "similarity_topk_ivf",
+    "similarity_topk_lsh",
+    "span_dedup",
+    "stats_summary",
+    "vocab_encode",
 ]
 assert len(_ROTATION_FRONT) == 50
 assert set(_ROTATION_FRONT) <= set(QUERIES)
