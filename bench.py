@@ -127,6 +127,12 @@ EXTENDED_QUERIES = [
     "curriculum_order",
     "length_histogram",
     "semantic_ingest",
+    # r7: chunk-level ANN retrieval (index rebuild included, like
+    # semantic_ingest), the LM-pruned manifest, and the streaming form
+    # of the semantic admission gate (two-epoch drain, build included)
+    "chunk_ann_topk",
+    "pretraining_manifest_lm",
+    "streaming_semantic_ingest",
 ]
 
 

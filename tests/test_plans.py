@@ -528,3 +528,32 @@ def test_fleet_no_unbroadcast_cartesian(spark):
         "broadcast the small side or bucket-join; if the quadratic form "
         "is a labeled oracle tier, allowlist it HERE with a comment"
     )
+
+
+def test_chunk_ann_search_shape(spark):
+    """chunk_ann_topk's returned frame is the search + doc rollup over
+    the standing chunk index: centroids broadcast, no cartesian, and
+    the rollup windows partition by query/doc keys over
+    ≤ |queries|·k_chunks rows — the corpus-sized work all happened at
+    build time. (The display orderBy's rangepartitioning runs over the
+    ≤ |queries|·k_docs FINAL rows, so it is not asserted away.)"""
+    plan = _plan(spark, "chunk_ann_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan  # centroids / query side
+    # the probe top-nprobe and rescore top-k must use the two-stage
+    # window limit (partial below the exchange) like the other ANN paths
+    assert any(
+        "WindowGroupLimit" in l and "Partial" in l for l in plan.splitlines()
+    )
+
+
+def test_pretraining_manifest_lm_reuses_persisted_fluent_set(spark):
+    """The LM-pruned pipeline must read the fluent survivor set from the
+    persisted intermediate (the inner pipeline consumes it for pair
+    derivation, component vertices, and the survivor join — each would
+    otherwise re-train and re-score the whole bigram model) and never
+    plan a cartesian beyond the broadcast 1-row vocab total."""
+    plan = _plan(spark, "pretraining_manifest_lm")
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan.lower()
