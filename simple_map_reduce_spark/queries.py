@@ -260,7 +260,10 @@ QUERIES: dict[str, QueryFn] = {
 # (_neardup_check_assigned gained the exclude_batch_ids parameter) but
 # its default path is PLAN-identical (the parameter defaults off, no
 # operator is added) and its r6 row is fresh — deliberately left
-# outside to make the 44-row cohort fit exactly.
+# outside to make the 44-row cohort fit exactly. ivf_cluster_skew (the
+# r7 maintenance report, VERDICT item 6 "optionally a driver row") is
+# registered oracle-backed but also outside: local oracle parity
+# covers it now; it rotates into the r8 window.
 _CHANGED_THIS_ROUND = [
     # r7: NEW queries ship their behavior this round
     "chunk_ann_topk",

@@ -2531,6 +2531,64 @@ def q_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.ingest(new, SEM_INGEST_TAU).orderBy("vec_id", "matched_in")
 
 
+def q_ivf_cluster_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index-maintenance signal (``IvfIndex.cluster_stats``): the
+    bounded per-centroid population report over the standing IVF index
+    built on the embeddings table — skew 1.0 is balanced; a cluster at
+    skew k costs k× the balanced per-probe work in search/neardup
+    checks. Shares ``similarity_topk_ivf_idx``'s index root and build
+    (identical tables, rebuilt idempotently), so registering it adds no
+    extra corpus copy. The oracle recomputes the id-ordered quantizer
+    assignment and the count/share/skew arithmetic in SQL."""
+    from .catalog import Catalog
+    from .operators.similarity import IvfIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cat = Catalog(spark, _idx_root("ivf_idx_reg_", sf_dir))
+    idx = IvfIndex(
+        cat, "ivf_idx_reg", n_centroids=SIM_IVF_CENTROIDS, nprobe=SIM_IVF_NPROBE
+    )
+    idx.build(emb)
+    return idx.cluster_stats().orderBy("centroid_id")
+
+
+def ivf_cluster_skew_oracle() -> str:
+    """DuckDB twin of ``IvfIndex.cluster_stats`` over the id-ordered
+    quantizer: same assignment CTEs as ``similarity_topk_ivf_oracle``,
+    then per-centroid counts (empty centroids kept with zeros) and the
+    share/skew divisions in the same IEEE operation order."""
+    return f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+                   FROM embeddings),
+        cent AS (SELECT vec_id AS centroid_id, vec AS cvec
+                 FROM v ORDER BY vec_id LIMIT {SIM_IVF_CENTROIDS}),
+        asg AS (
+            SELECT id, centroid_id FROM (
+                SELECT v.vec_id AS id, centroid_id,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY {_cos_sql('v.vec', 'cvec')} DESC, centroid_id)
+                           AS rn
+                FROM v, cent)
+            WHERE rn = 1),
+        sizes AS (
+            SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_vectors
+            FROM asg GROUP BY centroid_id),
+        pc AS (
+            SELECT c.centroid_id,
+                   CAST(coalesce(s.n_vectors, 0) AS BIGINT) AS n_vectors
+            FROM cent c LEFT JOIN sizes s ON c.centroid_id = s.centroid_id),
+        tot AS (
+            SELECT CAST(sum(n_vectors) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS k
+            FROM pc)
+        SELECT centroid_id, n_vectors,
+               CAST(n_vectors AS DOUBLE) / total AS share,
+               CAST(n_vectors AS DOUBLE) * k / total AS skew
+        FROM pc CROSS JOIN tot
+    """
+
+
 def q_streaming_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The semantic admission gate driven through STRUCTURED STREAMING
     (``IvfIndex.ingest_stream`` under the marker-last epoch-commit
@@ -3310,6 +3368,7 @@ EXT_QUERIES = {
     "mixture_temperature": q_mixture_temperature,
     "curriculum_order": q_curriculum_order,
     "length_histogram": q_length_histogram,
+    "ivf_cluster_skew": q_ivf_cluster_skew,
 }
 
 EXT_ORACLES = {
@@ -3545,4 +3604,5 @@ EXT_ORACLES = {
     "mixture_temperature": MIXTURE_TEMPERATURE_ORACLE,
     "curriculum_order": curriculum_order_oracle(),
     "length_histogram": LENGTH_HISTOGRAM_ORACLE,
+    "ivf_cluster_skew": ivf_cluster_skew_oracle(),
 }
