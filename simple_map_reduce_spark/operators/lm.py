@@ -337,3 +337,147 @@ def perplexity_prune_oracle_sql() -> str:
         FROM tot JOIN th USING (lang) JOIN kept USING (lang)
         LEFT JOIN uns USING (lang)
     """
+
+
+# Count-Min-Sketch parameters for the approximate LM tier: the model is
+# depth×width COUNTERS regardless of vocabulary size (eps ≈ e/width of
+# the total mass, failure prob ≈ e^-depth per lookup — Cormode & Muthu-
+# krishnan 2005). 3×8192 doubles broadcast in ~200 KB where the exact
+# model is vocabulary-sized and must be shuffle-joined.
+CMS_DEPTH = 3
+CMS_WIDTH = 8192
+
+
+def bigram_lm_scores_sketch(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Approximate :func:`bigram_lm_scores` with a Count-Min-Sketch
+    model [labeled-approximate tier, same policy as the HLL/GK
+    sketches: accuracy-gated in pytest, not oracle-twinned — the vocab
+    estimate is Spark's HLL, which DuckDB cannot reproduce].
+
+    Why it exists at 100 TB: the exact form's model tables are
+    VOCABULARY-sized and join onto the corpus bigram stream through a
+    posting-shaped shuffle. Here both the bigram and the context
+    (unigram) counts live in ``depth × width`` CMS tables — bounded by
+    the sketch parameters, never the vocabulary — small enough to
+    BROADCAST, so per-doc scoring is a chain of 2·depth broadcast hash
+    joins evaluated entirely scan-side: the only corpus-sized shuffles
+    are the CMS build itself (map-side combined into ≤ depth·width
+    groups) and the final per-doc aggregate. Bucket hashing reuses the
+    portable md5 idiom (seeded ``md5_long60 % width``), so the sketch
+    contents are deterministic — approximation error comes from hash
+    collisions, not RNG.
+
+    Count-Min only ever OVER-estimates (min over depth non-negative
+    overestimates), so ĉ_ab ≥ c_ab and ĉ_a ≥ c_a per lookup; the score
+    drift is two-sided but bounded by the sketch guarantee. Returns the
+    exact form's schema: (doc_id, n_bigrams, avg_logprob) with
+    ``n_bigrams`` EXACT (counting needs no model) — only the logprob is
+    approximate."""
+    from ..functions.hashes import md5_long60
+
+    toks = tracked_persist(
+        docs.select(F.col(id_col).alias("doc_id"), tokenize(text_col).alias("_toks"))
+    )
+    t = F.col("_toks")
+    n = F.size(t)
+    pair_arr = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bi = tracked_persist(toks.select("doc_id", F.explode(pair_arr).alias("pair")))
+    uni = toks.select(F.explode(t).alias("w1"))
+
+    def _cms(stream: DataFrame, key: str, seed_base: int) -> DataFrame:
+        """(d, b, c): the depth×width counter table for a key stream —
+        ONE bounded-group aggregation (explode is scan-local)."""
+        rows = F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    (md5_long60(F.col(key), seed=seed_base + d) % F.lit(width)).alias(
+                        "b"
+                    ),
+                )
+                for d in range(depth)
+            ]
+        )
+        return (
+            stream.select(F.explode(rows).alias("x"))
+            .groupBy(F.col("x.d").alias("d"), F.col("x.b").alias("b"))
+            .agg(F.count("*").cast("bigint").alias("c"))
+        )
+
+    cms_ab = _cms(bi, "pair", 1000)
+    cms_a = _cms(uni, "w1", 2000)
+    vocab = uni.agg(F.approx_count_distinct("w1").cast("bigint").alias("v"))
+
+    # scoring: 2·depth BROADCAST joins, no vocab-sized shuffle — every
+    # bucket column is scan-local md5 arithmetic, every lookup a
+    # width-row broadcast hash join; least() folds the CMS min
+    est = bi.withColumn("w1", F.substring_index("pair", " ", 1))
+    for d in range(depth):
+        est = est.withColumn(
+            f"_bab{d}", md5_long60(F.col("pair"), seed=1000 + d) % F.lit(width)
+        ).join(
+            F.broadcast(
+                cms_ab.filter(F.col("d") == d).select(
+                    F.col("b").alias(f"_bab{d}"), F.col("c").alias(f"_cab{d}")
+                )
+            ),
+            f"_bab{d}",
+        )
+        est = est.withColumn(
+            f"_ba{d}", md5_long60(F.col("w1"), seed=2000 + d) % F.lit(width)
+        ).join(
+            F.broadcast(
+                cms_a.filter(F.col("d") == d).select(
+                    F.col("b").alias(f"_ba{d}"), F.col("c").alias(f"_ca{d}")
+                )
+            ),
+            f"_ba{d}",
+        )
+    c_ab = F.least(*[F.col(f"_cab{d}") for d in range(depth)])
+    c_a = F.least(*[F.col(f"_ca{d}") for d in range(depth)])
+    scored = (
+        est.crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log((c_ab + F.lit(1.0)) / (c_a + F.col("v")))
+                * F.lit(LM_SCALE)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("qlp"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("qlp").alias("s"),
+            F.count("*").cast("bigint").alias("n_bigrams"),
+        )
+    )
+    out = (
+        toks.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0).cast("bigint")).alias("n_bigrams"),
+            F.coalesce(
+                F.floor(F.col("s").cast("double") / F.col("n_bigrams") + F.lit(0.5))
+                .cast("bigint")
+                .cast("double")
+                / F.lit(float(LM_SCALE)),
+                F.lit(0.0),
+            ).alias("avg_logprob"),
+        )
+    )
+    return out

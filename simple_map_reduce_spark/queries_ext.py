@@ -2989,6 +2989,18 @@ def q_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_scores(docs)
 
 
+def q_bigram_lm_quality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch approximate LM scoring
+    (operators.lm.bigram_lm_scores_sketch) — the broadcastable-model
+    scale path beside the exact ``bigram_lm_quality``. ROWS-ONLY by
+    policy (the HLL vocab estimate has no DuckDB twin); error-bound
+    gates vs the exact tier live in tests/test_lm.py."""
+    from .operators.lm import bigram_lm_scores_sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_lm_scores_sketch(docs)
+
+
 def q_perplexity_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LM-score data selection (operators/lm.perplexity_prune_report):
     per-language median-value threshold over the bigram-LM score
@@ -3369,6 +3381,11 @@ EXT_QUERIES = {
     "curriculum_order": q_curriculum_order,
     "length_histogram": q_length_histogram,
     "ivf_cluster_skew": q_ivf_cluster_skew,
+    # rows-only by policy (HLL vocab estimate — no DuckDB twin);
+    # error-bound-gated vs the exact tier in tests/test_lm.py and
+    # kept OUT of the driver verification window like the other
+    # sketches
+    "bigram_lm_quality_sketch": q_bigram_lm_quality_sketch,
 }
 
 EXT_ORACLES = {

@@ -139,3 +139,61 @@ def test_perplexity_prune_keeps_at_least_half(spark):
 
     row = perplexity_prune_report(df).collect()[0]
     assert row.n_kept * 2 >= row.n_scored  # value threshold keeps ties
+
+
+def test_cms_lm_sketch_tracks_exact_scores(spark):
+    """Accuracy gate for the labeled-approximate LM tier (the HLL/GK
+    policy: error-bound pytest instead of a DuckDB oracle). Count-Min
+    only OVER-estimates counts, so with a width far above the corpus'
+    distinct-bigram count collisions are rare and scores sit near the
+    exact tier: n_bigrams must be EXACT (counting needs no model), and
+    the score drift bounded."""
+    from simple_map_reduce_spark.operators.lm import (
+        bigram_lm_scores,
+        bigram_lm_scores_sketch,
+    )
+    from simple_map_reduce_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    exact = {r.doc_id: r for r in bigram_lm_scores(docs).collect()}
+    approx = {r.doc_id: r for r in bigram_lm_scores_sketch(docs).collect()}
+    assert set(exact) == set(approx)
+    assert all(
+        approx[d].n_bigrams == exact[d].n_bigrams for d in exact
+    ), "n_bigrams is exact by construction"
+    scored = [d for d in exact if exact[d].n_bigrams > 0]
+    assert scored
+    diffs = sorted(
+        abs(approx[d].avg_logprob - exact[d].avg_logprob) for d in scored
+    )
+    # collisions shift ln((c_ab+1)/(c_a+V)) by at most the collision
+    # mass; HLL's vocab estimate shifts the smoothing denominator a few
+    # percent — both stay well inside these gates at smoke scale
+    mean_abs = sum(diffs) / len(diffs)
+    assert mean_abs < 0.05, f"mean |Δ| {mean_abs}"
+    assert diffs[int(0.95 * len(diffs))] < 0.15, f"p95 |Δ| {diffs[int(0.95*len(diffs))]}"
+
+
+def test_cms_lm_sketch_scoring_is_broadcast_only(spark):
+    """The point of the sketch tier: the scoring pass must contain NO
+    vocab-keyed shuffle — every model lookup is a broadcast hash join
+    on the bounded CMS tables; the only Exchanges are the CMS builds
+    (≤ depth·width groups) and the per-doc aggregate."""
+    from simple_map_reduce_spark.operators.lm import (
+        CMS_DEPTH,
+        bigram_lm_scores_sketch,
+    )
+    from simple_map_reduce_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = (
+        bigram_lm_scores_sketch(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 2 * CMS_DEPTH
+    # no shuffle keyed on the bigram/unigram text keys (the exact
+    # form's posting join shape)
+    assert "Exchange hashpartitioning(pair" not in plan
+    assert "Exchange hashpartitioning(w1" not in plan
