@@ -207,29 +207,88 @@ def chunk_ann_doc_topk(
     hits = idx.search_ids(qids, k=k_chunks)
     # bigint DIV, never double division (the repo's chunk-math idiom):
     # the packed id decodes exactly in 64-bit integer arithmetic
+    return _doc_rollup(
+        hits, F.expr(f"query_id DIV {CHUNK_ID_SPAN}"), "query_doc", k_docs
+    )
+
+
+def _doc_rollup(hits, query_key, qname: str, k_docs: int) -> DataFrame:
+    """The shared chunk→document rollup: max-sim per doc, min-chunk
+    tiebreak within a doc, doc-id-tiebroken per-query ranking.
+    ``query_key`` decodes the query column (aliased ``qname``);
+    ``hits`` is a search result (query_id, neighbor_id, score, rank)
+    over packed chunk ids. Two windows over ≤ |queries|·k_chunks rows."""
+    from pyspark.sql import Window
+
     per_doc = hits.select(
-        F.expr(f"query_id DIV {CHUNK_ID_SPAN}").alias("query_doc"),
+        query_key.alias(qname),
         F.expr(f"neighbor_id DIV {CHUNK_ID_SPAN}").alias("doc_id"),
         F.expr(f"neighbor_id % {CHUNK_ID_SPAN}").alias("chunk_id"),
         "score",
     )
-    w_chunk = Window.partitionBy("query_doc", "doc_id").orderBy(
+    w_chunk = Window.partitionBy(qname, "doc_id").orderBy(
         F.col("score").desc(), F.col("chunk_id")
     )
     best = per_doc.withColumn("rn", F.row_number().over(w_chunk)).filter(
         F.col("rn") == 1
     )
-    w_doc = Window.partitionBy("query_doc").orderBy(
+    w_doc = Window.partitionBy(qname).orderBy(
         F.col("score").desc(), F.col("doc_id")
     )
     return (
         best.withColumn("doc_rank", F.row_number().over(w_doc))
         .filter(F.col("doc_rank") <= k_docs)
         .select(
-            "query_doc",
+            qname,
             "doc_id",
             F.col("score").alias("best_score"),
             F.col("chunk_id").alias("best_chunk_id"),
             F.col("doc_rank").cast("bigint").alias("doc_rank"),
         )
+    )
+
+
+def chunk_ann_text_topk(
+    spark,
+    catalog,
+    index_name: str,
+    query_texts: list[str],
+    k_chunks: int = 20,
+    k_docs: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    dims: int = CHUNK_EMB_DIMS,
+) -> DataFrame:
+    """Free-text retrieval against a STANDING chunk index (built by
+    :func:`chunk_ann_doc_topk` or ``chunk_vectors`` + ``IvfIndex.build``
+    — this function never rebuilds): each query string embeds through
+    the SAME contract as the indexed chunks
+    (``functions.hashes.md5_slice_embedding``; a learned encoder slots
+    in identically) and searches via :meth:`IvfIndex.search`, the
+    arbitrary-vector path. Query ids are NEGATIVE (-(i+1) for the i-th
+    text) — outside the packed chunk-id space, so the self-exclusion
+    rule can never hide a corpus chunk from an external query.
+
+    Returns (query_idx, doc_id, best_score, best_chunk_id, doc_rank):
+    ``query_idx`` is the 0-based position in ``query_texts``."""
+    from ..functions.hashes import md5_slice_embedding
+    from .similarity import IvfIndex
+
+    if not query_texts:
+        raise ValueError("query_texts must be non-empty")
+    qdf = spark.createDataFrame(
+        [(-(i + 1), t) for i, t in enumerate(query_texts)],
+        "vec_id bigint, qtext string",
+    ).select(
+        "vec_id", md5_slice_embedding(F.col("qtext"), dims=dims).alias("embedding")
+    )
+    idx = IvfIndex(
+        catalog, index_name, n_centroids=n_centroids, nprobe=nprobe
+    )
+    hits = idx.search(qdf, k=k_chunks)
+    return _doc_rollup(
+        hits,
+        (-F.col("query_id") - F.lit(1)).cast("bigint"),
+        "query_idx",
+        k_docs,
     )

@@ -754,16 +754,53 @@ class IvfIndex:
 
     def search_ids(self, query_ids: list[int], k: int = 5) -> DataFrame:
         """Top-k neighbors for corpus vectors ``query_ids`` against the
-        standing index — pure read; only the (tiny) query/probe/candidate
+        standing index — the query-by-corpus-member convenience over
+        :meth:`search`; pure read, only the (tiny) query/probe/candidate
         side ever shuffles."""
-        cents = F.broadcast(self.catalog.get(self.centroids_table))
         vectors = self.catalog.get_bucketed(self.vectors_table)
-        assign = self.catalog.get_bucketed(self.assign_table)
         queries = vectors.filter(F.col("id").isin(query_ids)).select(
             F.col("id").alias("query_id"),
             F.col("vec").alias("qvec"),
             F.col("vn").alias("qn"),
         )
+        return self._search_prepped(queries, k)
+
+    def search(
+        self,
+        query_emb: DataFrame,
+        k: int = 5,
+        id_col: str | None = None,
+        vec_col: str | None = None,
+    ) -> DataFrame:
+        """Top-k neighbors for ARBITRARY query vectors — the general ANN
+        query path (a free-text/RAG query embeds OUTSIDE the corpus and
+        searches the standing index; :meth:`search_ids` is the
+        query-by-corpus-member convenience). ``query_emb`` is an
+        (id, vector) frame keyed like the index by default; query ids
+        are the caller's namespace — a query id that happens to equal a
+        corpus id excludes that one corpus vector from its own results
+        (the self-exclusion rule), so callers with external queries
+        should use ids outside the corpus id space (e.g. negatives).
+        Same math, same determinism contract, same funnel shape as
+        :meth:`search_ids` — the query side is prepped, broadcast, and
+        probed; nothing corpus-sized shuffles."""
+        queries = _prep(
+            query_emb,
+            id_col or self.id_col,
+            vec_col or self.vec_col,
+            "query_id",
+            "qvec",
+            "qn",
+            spread=False,
+        )
+        return self._search_prepped(queries, k)
+
+    def _search_prepped(self, queries: DataFrame, k: int) -> DataFrame:
+        """The one probe/rescore funnel behind both search forms:
+        ``queries`` carries (query_id, qvec, qn)."""
+        cents = F.broadcast(self.catalog.get(self.centroids_table))
+        vectors = self.catalog.get_bucketed(self.vectors_table)
+        assign = self.catalog.get_bucketed(self.assign_table)
         wq = Window.partitionBy("query_id").orderBy(
             F.col("csim").desc(), F.col("centroid_id")
         )

@@ -151,3 +151,39 @@ def test_chunk_ann_doc_topk_rollup_semantics(spark, tmp_path):
     assert all(r.query_doc == 0 for r in out)
     ranks = sorted(r.doc_rank for r in out)
     assert ranks == list(range(1, len(out) + 1))  # contiguous from 1
+
+
+def test_chunk_ann_text_topk_free_text_query(spark, tmp_path):
+    """The general ANN query path (IvfIndex.search over NEGATIVE
+    external ids): a free-text query equal to a doc's window text must
+    retrieve that doc's matching chunk at cosine 1.0, and its own
+    negative id can never collide with (or hide) a packed chunk id."""
+    from simple_map_reduce_spark.catalog import Catalog
+    from simple_map_reduce_spark.operators.chunking import (
+        chunk_ann_text_topk,
+        chunk_vectors,
+    )
+    from simple_map_reduce_spark.operators.similarity import IvfIndex
+
+    period = " ".join(f"p{i}" for i in range(16))
+    pattern = " ".join([period] * 4)
+    other = " ".join(f"z{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(0, pattern), (300, other)], "doc_id bigint, text string"
+    )
+    cat = Catalog(spark, str(tmp_path / "twh"))
+    idx = IvfIndex(cat, "txt_t", n_centroids=4, nprobe=2)
+    idx.build(chunk_vectors(docs).select("vec_id", "embedding"))
+
+    query = " ".join([period] * 2)  # == every window of the pattern doc
+    out = chunk_ann_text_topk(
+        spark, cat, "txt_t", [query, "unrelated words entirely"],
+        k_chunks=8, k_docs=2, n_centroids=4, nprobe=2,
+    ).collect()
+    q0 = [r for r in out if r.query_idx == 0]
+    by_doc = {r.doc_id: r for r in q0}
+    assert by_doc[0].best_score == 1.0 and by_doc[0].best_chunk_id == 0
+    assert by_doc[0].doc_rank == 1
+    # the second query exists and ranks contiguously from 1
+    q1 = sorted(r.doc_rank for r in out if r.query_idx == 1)
+    assert q1 and q1[0] == 1
