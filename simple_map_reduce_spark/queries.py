@@ -263,7 +263,10 @@ QUERIES: dict[str, QueryFn] = {
 # outside to make the 44-row cohort fit exactly. ivf_cluster_skew (the
 # r7 maintenance report, VERDICT item 6 "optionally a driver row") is
 # registered oracle-backed but also outside: local oracle parity
-# covers it now; it rotates into the r8 window.
+# covers it now; it rotates into the r8 window, as do the other
+# late-r7 registrations (chunk_hybrid_topk, and the rows-only
+# bigram_lm_quality_sketch which stays out permanently by the sketch
+# policy).
 _CHANGED_THIS_ROUND = [
     # r7: NEW queries ship their behavior this round
     "chunk_ann_topk",

@@ -3199,26 +3199,23 @@ def q_chunk_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_doc", "doc_rank")
 
 
-def chunk_ann_topk_oracle() -> str:
-    """DuckDB twin of :func:`q_chunk_ann_topk`: the chunk CTE
-    (token_chunks_oracle_sql), the hex-slice embedding
-    (duckdb_md5_slice_embedding), then exactly the stored-index IVF
-    math of ``similarity_topk_ivf_oracle`` over packed chunk ids,
-    followed by the two rollup windows. ``cv`` is MATERIALIZED — four
-    consumers (seeds, assignment, probes, rescoring) would otherwise
-    re-chunk and re-hash the corpus per reference."""
+def _chunk_index_ctes() -> str:
+    """The shared CTE prefix of every chunk-index oracle: the chunk CTE
+    (token_chunks_oracle_sql), the hex-slice embedding over packed
+    chunk ids, the id-ordered seed centroids, and the quantizer
+    assignment. ``cv`` is MATERIALIZED — multiple consumers (seeds,
+    assignment, probes, rescoring) would otherwise re-chunk and re-hash
+    the corpus per reference. ONE definition so the by-corpus-member
+    and by-external-vector oracles can never drift on the index
+    contract (the round-3 advice class)."""
     from .operators.chunking import (
         CHUNK_ID_SPAN,
         token_chunks_oracle_sql,
     )
     from .functions.hashes import duckdb_md5_slice_embedding
 
-    qids = ", ".join(
-        str(d * CHUNK_ID_SPAN) for d in CHUNK_ANN_QUERY_DOCS
-    )
     emb = duckdb_md5_slice_embedding("chunk_text")
-    return f"""
-        WITH ch AS ({token_chunks_oracle_sql()}),
+    return f"""ch AS ({token_chunks_oracle_sql()}),
         cv AS MATERIALIZED (
             SELECT doc_id * {CHUNK_ID_SPAN} + chunk_id AS id,
                    {emb} AS vec
@@ -3233,7 +3230,21 @@ def chunk_ann_topk_oracle() -> str:
                            ORDER BY {_cos_sql('c2.vec', 'cvec')} DESC, centroid_id)
                            AS rn
                 FROM cv c2, cent)
-            WHERE rn = 1),
+            WHERE rn = 1)"""
+
+
+def chunk_ann_topk_oracle() -> str:
+    """DuckDB twin of :func:`q_chunk_ann_topk`: the shared chunk-index
+    prefix (``_chunk_index_ctes``), then exactly the stored-index IVF
+    math of ``similarity_topk_ivf_oracle`` over packed chunk ids,
+    followed by the two rollup windows."""
+    from .operators.chunking import CHUNK_ID_SPAN
+
+    qids = ", ".join(
+        str(d * CHUNK_ID_SPAN) for d in CHUNK_ANN_QUERY_DOCS
+    )
+    return f"""
+        WITH {_chunk_index_ctes()},
         probes AS (
             SELECT query_id, centroid_id FROM (
                 SELECT q.id AS query_id, centroid_id,
@@ -3281,6 +3292,149 @@ def chunk_ann_topk_oracle() -> str:
               FROM best)
         WHERE doc_rank <= {CHUNK_ANN_K_DOCS}
     """
+
+
+# hybrid chunk retrieval: dense (free-text → chunk ANN → doc rollup)
+# ⊕ sparse (BM25 over the documents) fused with RRF — the flagship RAG
+# read path composed end to end. Query TEXTS are fixed constants; the
+# sparse term lists derive from them with the same whitespace split the
+# tokenizer reproduces (lowercase \w+ words only).
+CHUNK_HYBRID_QUERIES = [
+    (1, "hash join table scan"),
+    (2, "sort merge window batch"),
+    (3, "stream filter vector group"),
+]
+CHUNK_HYBRID_K = 10        # fused docs per query
+CHUNK_HYBRID_K_CHUNKS = 40  # dense chunk candidates
+CHUNK_HYBRID_K_DOCS = 20    # per-retriever doc candidates before fusion
+
+
+def q_chunk_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid RAG retrieval end to end: the SAME free-text queries run
+    through (a) the chunk-level ANN path (embed → ``IvfIndex.search``
+    with external negative ids → max-sim doc rollup) and (b) BM25 over
+    the documents, then reciprocal-rank fusion merges the two ranked
+    runs (``operators.retrieval.rrf_fuse``). Rebuilds the shared chunk
+    index idempotently (same root/tables as ``chunk_ann_topk``). The
+    oracle recomposes chunking, embedding, the IVF funnel with literal
+    query vectors, the rollup, the BM25 pipeline, and the fusion — the
+    whole hybrid journey checked bit-for-bit."""
+    from .catalog import Catalog
+    from .operators.chunking import chunk_ann_text_topk, chunk_vectors
+    from .operators.retrieval import bm25_topk, rrf_fuse
+    from .operators.similarity import IvfIndex
+
+    docs = load_table(spark, sf_dir, "documents")
+    cat = Catalog(spark, _idx_root("chunk_ann_", sf_dir))
+    idx = IvfIndex(
+        cat, "chunk_ann", n_centroids=SIM_IVF_CENTROIDS, nprobe=SIM_IVF_NPROBE
+    )
+    idx.build(chunk_vectors(docs).select("vec_id", "embedding"))
+    dense = chunk_ann_text_topk(
+        spark,
+        cat,
+        "chunk_ann",
+        [t for _, t in CHUNK_HYBRID_QUERIES],
+        k_chunks=CHUNK_HYBRID_K_CHUNKS,
+        k_docs=CHUNK_HYBRID_K_DOCS,
+        n_centroids=SIM_IVF_CENTROIDS,
+        nprobe=SIM_IVF_NPROBE,
+    )
+    dense_run = dense.select(
+        (F.col("query_idx") + F.lit(1)).cast("bigint").alias("query_id"),
+        "doc_id",
+        F.col("doc_rank").alias("rank"),
+    )
+    sparse_run = bm25_topk(
+        docs,
+        [(qid, t.split()) for qid, t in CHUNK_HYBRID_QUERIES],
+        k=CHUNK_HYBRID_K_DOCS,
+    ).select("query_id", "doc_id", "rank")
+    return rrf_fuse(dense_run, sparse_run, k=CHUNK_HYBRID_K)
+
+
+def _chunk_ann_text_run_sql() -> str:
+    """(query_id, doc_id, rank) oracle for the dense side of the hybrid
+    query: the shared chunk-index prefix, literal md5-slice query
+    vectors under NEGATIVE ids (the Spark side's external-id rule — a
+    negative id can never exclude a packed chunk), the IVF funnel, and
+    the doc rollup; query ids map back to the declared positives at the
+    end (qid = -query_id)."""
+    from .functions.hashes import duckdb_md5_slice_embedding
+    from .operators.chunking import CHUNK_ID_SPAN
+
+    vals = ", ".join(
+        f"(CAST({-i - 1} AS BIGINT), {duckdb_md5_slice_embedding(_sql_str(t))})"
+        for i, (_qid, t) in enumerate(CHUNK_HYBRID_QUERIES)
+    )
+    return f"""
+        WITH {_chunk_index_ctes()},
+        q AS (SELECT * FROM (VALUES {vals}) AS t(query_id, vec)),
+        probes AS (
+            SELECT query_id, centroid_id FROM (
+                SELECT q.query_id, centroid_id,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY {_cos_sql('q.vec', 'cvec')} DESC, centroid_id)
+                           AS rn
+                FROM q, cent)
+            WHERE rn <= {SIM_IVF_NPROBE}),
+        cand AS (
+            SELECT DISTINCT query_id, a.id AS neighbor_id
+            FROM probes p JOIN asg a ON p.centroid_id = a.centroid_id
+            WHERE a.id != p.query_id),
+        hits AS (
+            SELECT query_id, neighbor_id, score FROM (
+                SELECT query_id, neighbor_id, score,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC, neighbor_id)
+                           AS rank
+                FROM (SELECT cand.query_id, cand.neighbor_id,
+                             {_cos_sql('q.vec', 'c.vec')} AS score
+                      FROM cand
+                      JOIN q ON cand.query_id = q.query_id
+                      JOIN cv c ON cand.neighbor_id = c.id))
+            WHERE rank <= {CHUNK_HYBRID_K_CHUNKS}),
+        best AS (
+            SELECT query_id, doc_id, score FROM (
+                SELECT query_id,
+                       neighbor_id // {CHUNK_ID_SPAN} AS doc_id,
+                       score,
+                       row_number() OVER (
+                           PARTITION BY query_id,
+                                        neighbor_id // {CHUNK_ID_SPAN}
+                           ORDER BY score DESC,
+                                    neighbor_id % {CHUNK_ID_SPAN}) AS rn
+                FROM hits)
+            WHERE rn = 1)
+        SELECT CAST(-query_id AS BIGINT) AS query_id, doc_id, doc_rank AS rank
+        FROM (SELECT query_id, doc_id,
+                     CAST(row_number() OVER (
+                         PARTITION BY query_id
+                         ORDER BY score DESC, doc_id) AS BIGINT) AS doc_rank
+              FROM best)
+        WHERE doc_rank <= {CHUNK_HYBRID_K_DOCS}
+    """
+
+
+def _sql_str(s: str) -> str:
+    """Single-quoted SQL string literal (the query texts are plain
+    lowercase words, but escape anyway)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def chunk_hybrid_topk_oracle() -> str:
+    """RRF composition of the dense chunk-ANN run oracle and the BM25
+    oracle — the same composition the Spark side performs."""
+    from .operators.retrieval import rrf_fusion_oracle_sql
+
+    sparse = bm25_oracle_sql(
+        [(qid, t.split()) for qid, t in CHUNK_HYBRID_QUERIES],
+        k=CHUNK_HYBRID_K_DOCS,
+    )
+    return rrf_fusion_oracle_sql(
+        _chunk_ann_text_run_sql(), sparse, k=CHUNK_HYBRID_K
+    )
 
 
 def _lm_oracle() -> str:
@@ -3386,6 +3540,7 @@ EXT_QUERIES = {
     # kept OUT of the driver verification window like the other
     # sketches
     "bigram_lm_quality_sketch": q_bigram_lm_quality_sketch,
+    "chunk_hybrid_topk": q_chunk_hybrid_topk,
 }
 
 EXT_ORACLES = {
@@ -3622,4 +3777,5 @@ EXT_ORACLES = {
     "curriculum_order": curriculum_order_oracle(),
     "length_histogram": LENGTH_HISTOGRAM_ORACLE,
     "ivf_cluster_skew": ivf_cluster_skew_oracle(),
+    "chunk_hybrid_topk": chunk_hybrid_topk_oracle(),
 }

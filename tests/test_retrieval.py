@@ -215,3 +215,33 @@ def test_hard_negatives_removes_sparse_hits(spark):
     )
     got = {r.doc_id for r in hard_negatives(dense, sparse).collect()}
     assert got == {7, 9}  # 5 is lexically matched → not a hard negative
+
+
+def test_chunk_hybrid_topk_fuses_both_retrievers(spark):
+    """The hybrid RAG query must genuinely fuse TWO live runs: fused
+    rows must include docs found by both retrievers (rank_a>0 AND
+    rank_b>0) as well as single-retriever docs, per-query fused ranks
+    contiguous from 1, and the rrf score must equal the two reciprocal
+    terms exactly (one IEEE add of exact-integer reciprocals)."""
+    from simple_map_reduce_spark.queries import QUERIES
+    from simple_map_reduce_spark.operators.retrieval import RRF_K
+    from tests.conftest import SF_SMOKE
+
+    rows = QUERIES["chunk_hybrid_topk"](spark, SF_SMOKE).collect()
+    assert rows
+    both = [r for r in rows if r.rank_a > 0 and r.rank_b > 0]
+    only_a = [r for r in rows if r.rank_a > 0 and r.rank_b == 0]
+    only_b = [r for r in rows if r.rank_b > 0 and r.rank_a == 0]
+    assert both and (only_a or only_b), (
+        f"degenerate fusion: both={len(both)} a={len(only_a)} b={len(only_b)}"
+    )
+    for r in rows:
+        expect = (1.0 / (RRF_K + r.rank_a) if r.rank_a else 0.0) + (
+            1.0 / (RRF_K + r.rank_b) if r.rank_b else 0.0
+        )
+        assert r.rrf_score == expect
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.fused_rank)
+    for qid, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), (qid, ranks)
