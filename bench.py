@@ -133,6 +133,11 @@ EXTENDED_QUERIES = [
     "chunk_ann_topk",
     "pretraining_manifest_lm",
     "streaming_semantic_ingest",
+    "chunk_hybrid_topk",
+    "ivf_cluster_skew",
+    # the CMS LM prices the broadcast-model scale path against the
+    # exact tier's vocab-sized shuffle join (bigram_lm_quality above)
+    "bigram_lm_quality_sketch",
 ]
 
 
