@@ -590,15 +590,17 @@ class Catalog:
             entry = self._session_entry_at(name, path)
         except Exception:
             entry = None
-        if not entry:
+        if entry is None:
             raise ValueError(
                 f"compact_bucketed({name!r}): no session-catalog entry at "
                 f"{path!r} — the table was not written via put_bucketed "
                 "(use compact() for plain tables)"
-                if entry is None
-                else f"compact_bucketed({name!r}): the session-catalog "
-                "entry points at a different location — refusing to "
-                "rewrite an unrelated table's rows into this catalog"
+            )
+        if entry is False:
+            raise ValueError(
+                f"compact_bucketed({name!r}): the session-catalog entry "
+                "points at a different location — refusing to rewrite an "
+                "unrelated table's rows into this catalog"
             )
         self._drop_stage(name)  # stale stage from a crashed earlier run
         # the stage write below is an OVERWRITE saveAsTable: it would
