@@ -134,6 +134,7 @@ EXTENDED_QUERIES = [
     "pretraining_manifest_lm",
     "streaming_semantic_ingest",
     "chunk_hybrid_topk",
+    "pretraining_manifest_full",
     "ivf_cluster_skew",
     # the CMS LM prices the broadcast-model scale path against the
     # exact tier's vocab-sized shuffle join (bigram_lm_quality above)

@@ -685,6 +685,63 @@ class NearDupIndex:
 # ---------------------------------------------------------------------------
 
 
+def _contamination_pairs(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    min_shared: int,
+    max_bucket: int,
+) -> DataFrame:
+    """(bench_id, train_id, shared): the train↔benchmark n-gram overlap
+    pairs at ≥ ``min_shared`` shared shingles — the one funnel behind
+    both the per-bench report (:func:`decontaminate_report`) and the
+    applied train-side prune (:func:`contaminated_train_ids`). The
+    benchmark shingle set broadcasts (eval suites are KBs–MBs); the
+    train shingles are scanned once, capped, joined map-side."""
+    # persist the train shingle set: it feeds BOTH the frequency cap and
+    # the overlap join — without it the (100 TB) train corpus is scanned
+    # and tokenized twice (observed in the physical plan)
+    ts = tracked_persist(shingles(train, id_col, text_col, n))
+    if max_bucket:
+        freq = ts.groupBy("shingle").agg(F.count("*").alias("df_cnt"))
+        ts = ts.join(freq.filter(F.col("df_cnt") <= max_bucket), "shingle").drop(
+            "df_cnt"
+        )
+    bs = shingles(bench, id_col, text_col, n).withColumnRenamed("id", "bench_id")
+    return (
+        ts.join(F.broadcast(bs), "shingle")
+        .groupBy(F.col("bench_id"), F.col("id").alias("train_id"))
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+
+
+def contaminated_train_ids(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_shared: int = 3,
+    max_bucket: int = 1_000,
+) -> DataFrame:
+    """The APPLIED decontamination prune: the single id column of
+    training documents sharing ≥ ``min_shared`` n-gram shingles with
+    ANY benchmark document — exactly the ``train_id`` side of the
+    report's pair funnel, rolled to the train axis. A pretraining
+    pipeline anti-joins this before dedup (leaked eval passages are
+    precisely the fluent text every later quality stage keeps)."""
+    return (
+        _contamination_pairs(
+            train, bench, id_col, text_col, n, min_shared, max_bucket
+        )
+        .select(F.col("train_id").alias(id_col))
+        .distinct()
+    )
+
+
 def decontaminate_report(
     train: DataFrame,
     bench: DataFrame,
@@ -709,21 +766,8 @@ def decontaminate_report(
     row per benchmark doc (zero-hit docs included — a report with silent
     gaps would read as "clean" where it was "unchecked").
     """
-    # persist the train shingle set: it feeds BOTH the frequency cap and
-    # the overlap join — without it the (100 TB) train corpus is scanned
-    # and tokenized twice (observed in the physical plan)
-    ts = tracked_persist(shingles(train, id_col, text_col, n))
-    if max_bucket:
-        freq = ts.groupBy("shingle").agg(F.count("*").alias("df_cnt"))
-        ts = ts.join(freq.filter(F.col("df_cnt") <= max_bucket), "shingle").drop(
-            "df_cnt"
-        )
-    bs = shingles(bench, id_col, text_col, n).withColumnRenamed("id", "bench_id")
-    pair_shared = (
-        ts.join(F.broadcast(bs), "shingle")
-        .groupBy(F.col("bench_id"), F.col("id").alias("train_id"))
-        .agg(F.count("*").alias("shared"))
-        .filter(F.col("shared") >= min_shared)
+    pair_shared = _contamination_pairs(
+        train, bench, id_col, text_col, n, min_shared, max_bucket
     )
     per_bench = pair_shared.groupBy("bench_id").agg(
         F.count("*").alias("n_contaminated"),

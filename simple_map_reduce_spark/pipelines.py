@@ -163,6 +163,78 @@ def source_overlap_matrix(
     )
 
 
+def pretraining_manifest_full(
+    docs: DataFrame,
+    splits: dict[str, float],
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    decon_n: int = 3,
+    decon_min_shared: int = 3,
+    decon_max_bucket: int = 1_000,
+    **manifest_kwargs,
+) -> DataFrame:
+    """The GRAND composition — every quality stage this engine ships, in
+    the order a production pretraining prep runs:
+
+    1. Gopher quality filter;
+    2. benchmark DECONTAMINATION — drop training documents sharing ≥
+       ``decon_min_shared`` n-gram shingles with any document of
+       ``bench`` (``operators.dedup.contaminated_train_ids``; callers
+       pass disjoint train/bench frames — bench never trains);
+    3. CCNet LM-perplexity prune, model trained on the post-decon kept
+       corpus (``operators.lm.perplexity_keep_ids``);
+    4. lexical MinHash-LSH near-dup prune;
+    5. optional SemDeDup (pass ``emb=...`` through);
+    6. frozen train/val/test splits;
+    7. range-sharded packing.
+
+    Stage order is the contamination-then-cost order: decon runs BEFORE
+    the LM prune because a leaked benchmark passage is exactly the
+    fluent text the LM stage keeps; LM runs before dedup so the shuffle
+    stages price only fluent documents. Composition is by pre-filtering
+    (the inner pipeline re-applies the idempotent quality filter), and
+    both intermediate survivor sets persist — the LM scorer and the
+    inner pipeline each consume their input several times."""
+    from .cache import tracked_persist
+    from .operators.dedup import contaminated_train_ids
+    from .operators.lm import perplexity_keep_ids
+
+    kept = quality_kept_docs(docs, id_col, text_col, lang_col)
+    clean = tracked_persist(
+        kept.join(
+            contaminated_train_ids(
+                kept,
+                bench,
+                id_col,
+                text_col,
+                n=decon_n,
+                min_shared=decon_min_shared,
+                max_bucket=decon_max_bucket,
+            ),
+            id_col,
+            "anti",
+        )
+    )
+    fluent = tracked_persist(
+        clean.join(
+            perplexity_keep_ids(
+                clean, id_col=id_col, text_col=text_col, lang_col=lang_col
+            ),
+            id_col,
+        )
+    )
+    return pretraining_manifest(
+        fluent,
+        splits,
+        id_col=id_col,
+        text_col=text_col,
+        lang_col=lang_col,
+        **manifest_kwargs,
+    )
+
+
 def pretraining_manifest_lm(
     docs: DataFrame,
     splits: dict[str, float],

@@ -1294,35 +1294,19 @@ def q_pretraining_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def pretraining_manifest_oracle(sem: bool = False, lm: bool = False) -> str:
-    """One builder for ALL manifest oracles: the lexical-only pipeline,
-    (``sem=True``) the variant with the SemDeDup stage spliced between
-    the survivor CTE and the packing stages, and (``lm=True``) the
-    variant with the CCNet-style LM prune spliced between the quality
-    filter and the lexical dedup (the Spark stage order of
-    ``pipelines.pretraining_manifest_lm``). A single source keeps the
-    split-bucket CASE, the token count, and the prefix-sum / chunk SQL
-    provably in lockstep between the registered queries — the deltas
-    are the LM CTE chain feeding ``base`` and/or the sem CTE chain +
-    the surv2 NOT EXISTS filter."""
-    from .functions.hashes import duckdb_md5_long60
+def _lm_prune_ctes(src: str) -> str:
+    """The CCNet LM-prune CTE chain reading corpus CTE ``src`` and
+    emitting the fluent half as ``base`` — exactly
+    ``perplexity_keep_ids``' math (the LM model is trained on, and
+    scores, ``src`` itself)."""
+    from .operators.lm import THRESH_SCALE, bigram_lm_oracle_sql
 
-    if lm:
-        from .operators.lm import THRESH_SCALE, bigram_lm_oracle_sql
-
-        # the LM model is trained on (and scores) the QUALITY-KEPT
-        # corpus base0; base = the fluent half per language — exactly
-        # perplexity_keep_ids' math over quality_kept_docs
-        pre = f"""base0 AS MATERIALIZED (
-            SELECT doc_id, lang, text
-            FROM ({_qf_counts_sql("doc_id, lang, text")})
-            WHERE {_qf_pass_where()}),
-        lms AS MATERIALIZED ({bigram_lm_oracle_sql(src="base0")}),
+    return f"""lms AS MATERIALIZED ({bigram_lm_oracle_sql(src=src)}),
         lsc AS MATERIALIZED (
             SELECT b.doc_id, b.lang, s.n_bigrams,
                    CAST(floor(s.avg_logprob * {THRESH_SCALE} + 0.5)
                         AS BIGINT) AS qscore
-            FROM base0 b JOIN lms s ON s.doc_id = b.doc_id),
+            FROM {src} b JOIN lms s ON s.doc_id = b.doc_id),
         ldist AS (
             SELECT lang, qscore, CAST(count(*) AS BIGINT) AS cnt
             FROM lsc WHERE n_bigrams > 0 GROUP BY lang, qscore),
@@ -1341,17 +1325,90 @@ def pretraining_manifest_oracle(sem: bool = False, lm: bool = False) -> str:
             GROUP BY lang),
         base AS MATERIALIZED (
             SELECT b.doc_id, b.lang, b.text
-            FROM base0 b
+            FROM {src} b
             JOIN lsc ON lsc.doc_id = b.doc_id
             JOIN lth ON lth.lang = b.lang
             WHERE lsc.n_bigrams > 0 AND lsc.qscore >= lth.t),
         """
-    else:
-        pre = f"""base AS (
+
+
+def _decon_prune_ctes(src: str) -> str:
+    """The benchmark-decontamination CTE chain reading corpus CTE
+    ``src`` and emitting the uncontaminated remainder as ``base1`` —
+    exactly ``contaminated_train_ids``' funnel (same trigram shingles,
+    posting-list cap, ≥min_shared rule as ``decontaminate_oracle``;
+    renamed CTEs so they coexist with the dedup chain's tok/sh). The
+    benchmark side is the raw ``doc_id % {DECON_MOD} == 0`` split, the
+    registered queries' convention."""
+    g = JACCARD_N
+    shingle_body = f"""CASE WHEN len(t) >= {g}
+                 THEN list_transform(range(1, len(t) - 1),
+                      i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+                 ELSE [array_to_string(t, ' ')] END"""
+    return f"""dtok AS (SELECT doc_id, {_TOK} AS t FROM {src}),
+        dsh AS (
+            SELECT DISTINCT doc_id AS id, shingle FROM (
+                SELECT doc_id, unnest({shingle_body}) AS shingle
+                FROM dtok)),
+        btok AS (SELECT doc_id, {_TOK} AS t FROM documents
+                 WHERE doc_id % {DECON_MOD} = 0),
+        bsh AS (
+            SELECT DISTINCT doc_id AS bench_id, shingle FROM (
+                SELECT doc_id, unnest({shingle_body}) AS shingle
+                FROM btok)),
+        dfreq AS (SELECT shingle, count(*) AS df_cnt
+                  FROM dsh GROUP BY shingle),
+        dtsf AS (SELECT dsh.id, dsh.shingle
+                 FROM dsh JOIN dfreq USING (shingle)
+                 WHERE df_cnt <= {SKEW_CAP}),
+        dpair AS (
+            SELECT b.bench_id, t.id AS train_id, count(*) AS shared
+            FROM dtsf t JOIN bsh b USING (shingle)
+            GROUP BY 1, 2 HAVING count(*) >= {DECON_MIN_SHARED}),
+        base1 AS MATERIALIZED (
+            SELECT b.doc_id, b.lang, b.text FROM {src} b
+            WHERE NOT EXISTS (SELECT 1 FROM dpair p
+                              WHERE p.train_id = b.doc_id)),
+        """
+
+
+def pretraining_manifest_oracle(
+    sem: bool = False, lm: bool = False, decon: bool = False
+) -> str:
+    """One builder for ALL manifest oracles: the lexical-only pipeline,
+    (``sem=True``) the variant with the SemDeDup stage spliced between
+    the survivor CTE and the packing stages, (``lm=True``) the variant
+    with the CCNet-style LM prune between the quality filter and the
+    lexical dedup, and (``decon=True``) the benchmark-decontamination
+    stage before the LM prune — ``decon=True, lm=True, sem=True`` is
+    the GRAND composition of ``pipelines.pretraining_manifest_full``.
+    A single source keeps the split-bucket CASE, the token count, and
+    the prefix-sum / chunk SQL provably in lockstep between the
+    registered queries — the deltas are the stage CTE chains feeding
+    ``base`` and/or the surv2 NOT EXISTS filter."""
+    from .functions.hashes import duckdb_md5_long60
+
+    base_where = _qf_pass_where()
+    if decon:
+        # train split only: the bench docs never train
+        base_where = f"{base_where} AND doc_id % {DECON_MOD} != 0"
+    stage0 = "base0" if (lm or decon) else "base"
+    m0 = " MATERIALIZED" if (lm or decon) else ""
+    pre = f"""{stage0} AS{m0} (
             SELECT doc_id, lang, text
             FROM ({_qf_counts_sql("doc_id, lang, text")})
-            WHERE {_qf_pass_where()}),
+            WHERE {base_where}),
         """
+    cur = stage0
+    if decon:
+        pre += _decon_prune_ctes(cur)
+        cur = "base1"
+    if lm:
+        pre += _lm_prune_ctes(cur)
+        cur = "base"
+    elif decon:
+        pre += "base AS (SELECT * FROM base1),\n        "
+        cur = "base"
     bucket = f"{duckdb_md5_long60('CAST(doc_id AS VARCHAR)')} % 10000"
     items = list(SPLIT_FRACTIONS.items())
     acc, whens = 0.0, []
@@ -1461,6 +1518,42 @@ def pretraining_manifest_lm_oracle() -> str:
     """Manifest oracle + the LM prune CTE chain between the quality
     filter and the dedup reach (see :func:`pretraining_manifest_oracle`)."""
     return pretraining_manifest_oracle(lm=True)
+
+
+def q_pretraining_manifest_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GRAND composed pipeline (pipelines.pretraining_manifest_full):
+    Gopher quality filter → benchmark decontamination (the doc_id %
+    DECON_MOD == 0 split plays the eval suite, as in ``decontaminate``)
+    → CCNet LM-perplexity prune → lexical MinHash-LSH prune → SemDeDup
+    over the survivors' embeddings → frozen splits → sharded packing —
+    every quality stage this engine ships in one DataFrame program,
+    with the oracle recomposing all seven stages bit-for-bit."""
+    from .pipelines import pretraining_manifest_full
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = docs.filter(F.col("doc_id") % DECON_MOD == 0)
+    train = docs.filter(F.col("doc_id") % DECON_MOD != 0)
+    return pretraining_manifest_full(
+        train,
+        SPLIT_FRACTIONS,
+        bench,
+        decon_min_shared=DECON_MIN_SHARED,
+        decon_max_bucket=SKEW_CAP,
+        neardup_threshold=MINHASH_THRESHOLD,
+        max_bucket=SKEW_CAP,
+        span=100,
+        emb=emb,
+        sem_k=SEMDEDUP_K,
+        sem_iters=SEMDEDUP_ITERS,
+        sem_tau=SEMDEDUP_TAU,
+    )
+
+
+def pretraining_manifest_full_oracle() -> str:
+    """Manifest oracle with the decon + LM + sem chains all spliced in
+    (see :func:`pretraining_manifest_oracle`)."""
+    return pretraining_manifest_oracle(sem=True, lm=True, decon=True)
 
 
 def q_streaming_hourly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3541,6 +3634,7 @@ EXT_QUERIES = {
     # sketches
     "bigram_lm_quality_sketch": q_bigram_lm_quality_sketch,
     "chunk_hybrid_topk": q_chunk_hybrid_topk,
+    "pretraining_manifest_full": q_pretraining_manifest_full,
 }
 
 EXT_ORACLES = {
@@ -3778,4 +3872,5 @@ EXT_ORACLES = {
     "length_histogram": LENGTH_HISTOGRAM_ORACLE,
     "ivf_cluster_skew": ivf_cluster_skew_oracle(),
     "chunk_hybrid_topk": chunk_hybrid_topk_oracle(),
+    "pretraining_manifest_full": pretraining_manifest_full_oracle(),
 }

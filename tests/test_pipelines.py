@@ -193,3 +193,46 @@ def test_lm_manifest_prunes_the_unfluent_half_per_language(spark):
     # cluster's min id was pruned, so no subset claim vs base_ids)
     assert lm_ids
     assert len(lm_ids) < len(base_ids)
+
+
+def test_full_manifest_composes_all_prune_stages(spark):
+    """pretraining_manifest_full = quality → decon → LM → dedup → sem:
+    its doc set must be contained in the LM-pruned fluent set minus the
+    contaminated ids, every surviving doc is a train-split member, and
+    the decon stage genuinely removed documents at smoke scale."""
+    from pyspark.sql import functions as SF
+
+    from simple_map_reduce_spark.operators.dedup import contaminated_train_ids
+    from simple_map_reduce_spark.operators.lm import perplexity_keep_ids
+    from simple_map_reduce_spark.pipelines import quality_kept_docs
+    from simple_map_reduce_spark.queries import QUERIES
+    from simple_map_reduce_spark.queries_ext import DECON_MOD
+    from simple_map_reduce_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    bench = docs.filter(SF.col("doc_id") % DECON_MOD == 0)
+    train = docs.filter(SF.col("doc_id") % DECON_MOD != 0)
+    kept = quality_kept_docs(train)
+    contaminated = {
+        r.doc_id for r in contaminated_train_ids(kept, bench, "doc_id", "text").collect()
+    }
+    assert contaminated, "smoke data must exercise the decon stage"
+    clean = kept.join(
+        kept.sparkSession.createDataFrame(
+            [(i,) for i in contaminated], "doc_id bigint"
+        ),
+        "doc_id",
+        "anti",
+    )
+    fluent_ids = {r.doc_id for r in perplexity_keep_ids(clean).collect()}
+    full_ids = {
+        r.doc_id
+        for r in QUERIES["pretraining_manifest_full"](spark, SF_SMOKE)
+        .select("doc_id")
+        .collect()
+    }
+    assert full_ids
+    assert full_ids <= fluent_ids            # dedup/sem only ever remove
+    assert not (full_ids & contaminated)     # nothing contaminated trains
+    assert all(d % DECON_MOD != 0 for d in full_ids)  # bench never trains

@@ -557,3 +557,13 @@ def test_pretraining_manifest_lm_reuses_persisted_fluent_set(spark):
     assert "InMemoryTableScan" in plan
     assert "CartesianProduct" not in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_pretraining_manifest_full_shape(spark):
+    """The grand composition must keep the composed-pipeline plan
+    properties: persisted intermediates feed the multi-consumer stages
+    (decon survivors, fluent survivors, lexical survivors) and no
+    cartesian beyond the broadcast scalar totals."""
+    plan = _plan(spark, "pretraining_manifest_full")
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
