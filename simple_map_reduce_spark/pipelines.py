@@ -194,9 +194,17 @@ def pretraining_manifest_full(
     the LM prune because a leaked benchmark passage is exactly the
     fluent text the LM stage keeps; LM runs before dedup so the shuffle
     stages price only fluent documents. Composition is by pre-filtering
-    (the inner pipeline re-applies the idempotent quality filter), and
-    both intermediate survivor sets persist — the LM scorer and the
-    inner pipeline each consume their input several times."""
+    (the inner pipeline re-applies the idempotent quality filter).
+
+    The fluent survivor set is **eagerly localCheckpoint-ed**, not
+    lazily persisted: the inner pipeline's iterative stages (the CC
+    convergence loop, the Lloyd rounds) launch eager jobs that would
+    otherwise repeatedly drag the whole decon + LM lineage back through
+    evaluation before the lazy cache stabilizes — measured 6.7× slower
+    at sf0.1 (119.8s → 17.9s) with the lazy form. The decon survivor
+    set stays a lazy persist: it is consumed entirely within the one
+    fluent materialization. On a cluster, use ``checkpoint`` for the
+    same cut with executor-loss durability."""
     from .cache import tracked_persist
     from .operators.dedup import contaminated_train_ids
     from .operators.lm import perplexity_keep_ids
@@ -217,14 +225,12 @@ def pretraining_manifest_full(
             "anti",
         )
     )
-    fluent = tracked_persist(
-        clean.join(
-            perplexity_keep_ids(
-                clean, id_col=id_col, text_col=text_col, lang_col=lang_col
-            ),
-            id_col,
-        )
-    )
+    fluent = clean.join(
+        perplexity_keep_ids(
+            clean, id_col=id_col, text_col=text_col, lang_col=lang_col
+        ),
+        id_col,
+    ).localCheckpoint()
     return pretraining_manifest(
         fluent,
         splits,
