@@ -632,6 +632,37 @@ class NearDupIndex:
         )
         return pairs
 
+    def bucket_stats(self) -> DataFrame:
+        """LSH posting-list health report — the lexical twin of
+        ``IvfIndex.cluster_stats``: per BAND, how the candidate-
+        generation cost is distributed. After many ingests, hot band
+        buckets (stopword-phrase shingle patterns) concentrate
+        candidate-pair work; ``check``/``ingest`` already cap them at
+        query time (``max_bucket``), so ``n_over_cap``/``capped_rows``
+        report how much of the standing index that cap silently
+        excludes — the signal to re-shingle (larger n) or re-band.
+
+        Returns a BOUNDED frame (one row per band): (band_idx,
+        n_buckets, n_rows, max_bucket, n_over_cap, capped_rows). Two
+        aggregations over the (band_idx, band_hash)-bucketed table —
+        the per-bucket sizes groupBy reads pre-partitioned data with no
+        Exchange above the corpus scan."""
+        sizes = (
+            self._corpus_buckets()
+            .groupBy("band_idx", "band_hash")
+            .agg(F.count("*").cast("bigint").alias("bsz"))
+        )
+        over = F.col("bsz") > self.max_bucket
+        return sizes.groupBy("band_idx").agg(
+            F.count("*").cast("bigint").alias("n_buckets"),
+            F.sum("bsz").cast("bigint").alias("n_rows"),
+            F.max("bsz").cast("bigint").alias("max_bucket"),
+            F.sum(over.cast("bigint")).cast("bigint").alias("n_over_cap"),
+            F.sum(F.when(over, F.col("bsz")).otherwise(0))
+            .cast("bigint")
+            .alias("capped_rows"),
+        )
+
     def compact(self) -> dict[str, int]:
         """Compact all three append-heavy state tables back to ~one file
         per bucket (``Catalog.compact_bucketed`` — layout-preserving; the

@@ -678,6 +678,52 @@ def q_incremental_neardup_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.check(new)
 
 
+def q_lsh_bucket_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH posting-list health report (``NearDupIndex.bucket_stats``) —
+    the lexical twin of ``ivf_cluster_skew``: per band, bucket count,
+    row mass, the hottest bucket, and how much mass the query-time
+    ``max_bucket`` cap excludes (the re-shingle / re-band signal).
+    Shares ``incremental_neardup_idx``'s index root and build. The
+    oracle recomputes the MinHash band buckets over the same corpus
+    split and the per-band aggregation."""
+    from .catalog import Catalog
+    from .operators.dedup import NearDupIndex
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % INCR_MOD != 0)
+    cat = Catalog(spark, _idx_root("neardup_idx_reg_", sf_dir))
+    idx = NearDupIndex(
+        cat,
+        "neardup_idx_reg",
+        threshold=MINHASH_THRESHOLD,
+        max_bucket=SKEW_CAP,
+    )
+    idx.build(corpus)
+    return idx.bucket_stats().orderBy("band_idx")
+
+
+def lsh_bucket_skew_oracle() -> str:
+    """DuckDB twin of :func:`q_lsh_bucket_skew`: the shared shingle/
+    signature/band CTEs over the corpus split, per-bucket sizes, the
+    per-band rollup with the same over-cap arithmetic."""
+    src = f"(SELECT doc_id, text FROM documents WHERE doc_id % {INCR_MOD} != 0)"
+    return f"""
+        WITH {_shingle_cte(src)}, {_minhash_sig_sql()}, {_band_sql()},
+        sizes AS (
+            SELECT band_idx, band_hash, CAST(count(*) AS BIGINT) AS bsz
+            FROM buckets GROUP BY 1, 2)
+        SELECT CAST(band_idx AS INT) AS band_idx,
+               CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(sum(bsz) AS BIGINT) AS n_rows,
+               CAST(max(bsz) AS BIGINT) AS max_bucket,
+               CAST(sum(CASE WHEN bsz > {SKEW_CAP} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_over_cap,
+               CAST(sum(CASE WHEN bsz > {SKEW_CAP} THEN bsz ELSE 0 END)
+                    AS BIGINT) AS capped_rows
+        FROM sizes GROUP BY band_idx
+    """
+
+
 BM25_QUERIES = [
     (1, ["hash", "join"]),
     (2, ["sort", "merge", "scan"]),
@@ -3628,6 +3674,7 @@ EXT_QUERIES = {
     "curriculum_order": q_curriculum_order,
     "length_histogram": q_length_histogram,
     "ivf_cluster_skew": q_ivf_cluster_skew,
+    "lsh_bucket_skew": q_lsh_bucket_skew,
     # rows-only by policy (HLL vocab estimate — no DuckDB twin);
     # error-bound-gated vs the exact tier in tests/test_lm.py and
     # kept OUT of the driver verification window like the other
@@ -3871,6 +3918,7 @@ EXT_ORACLES = {
     "curriculum_order": curriculum_order_oracle(),
     "length_histogram": LENGTH_HISTOGRAM_ORACLE,
     "ivf_cluster_skew": ivf_cluster_skew_oracle(),
+    "lsh_bucket_skew": lsh_bucket_skew_oracle(),
     "chunk_hybrid_topk": chunk_hybrid_topk_oracle(),
     "pretraining_manifest_full": pretraining_manifest_full_oracle(),
 }

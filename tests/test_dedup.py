@@ -523,3 +523,33 @@ def test_neardup_ingest_rerun_reproduces_original_report(spark, tmp_path):
     second = sorted(map(tuple, idx.ingest(batch).collect()))
     assert second == first
     assert {r.matched_in for r in idx.ingest(batch).collect()} == {"corpus", "batch"}
+
+
+def test_neardup_bucket_stats_reports_cap_exclusions(spark, tmp_path):
+    """bucket_stats must count the hot buckets the query-time cap
+    excludes: with max_bucket=1, a 3-doc identical-text corpus puts all
+    three in one bucket per band → every band reports n_over_cap=1 and
+    capped_rows=3; a diverse corpus with a high cap reports zero."""
+    from simple_map_reduce_spark.catalog import Catalog
+    from simple_map_reduce_spark.operators.dedup import NearDupIndex
+
+    cat = Catalog(spark, str(tmp_path / "bswh"))
+    idx = NearDupIndex(cat, "bs", threshold=0.3, max_bucket=1)
+    idx.build(
+        spark.createDataFrame(
+            [(1, BASE), (2, BASE), (3, BASE)], "doc_id bigint, text string"
+        )
+    )
+    rows = idx.bucket_stats().collect()
+    assert rows and all(r.n_rows == 3 for r in rows)
+    assert all(r.max_bucket == 3 and r.n_over_cap == 1 for r in rows)
+    assert all(r.capped_rows == 3 for r in rows)
+
+    idx2 = NearDupIndex(cat, "bs2", threshold=0.3, max_bucket=1000)
+    idx2.build(
+        spark.createDataFrame(
+            [(1, BASE), (2, FAR)], "doc_id bigint, text string"
+        )
+    )
+    rows2 = idx2.bucket_stats().collect()
+    assert all(r.n_over_cap == 0 and r.capped_rows == 0 for r in rows2)
