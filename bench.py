@@ -137,6 +137,7 @@ EXTENDED_QUERIES = [
     "pretraining_manifest_full",
     "ivf_cluster_skew",
     "lsh_bucket_skew",
+    "chunk_semantic_ingest",
     # the CMS LM prices the broadcast-model scale path against the
     # exact tier's vocab-sized shuffle join (bigram_lm_quality above)
     "bigram_lm_quality_sketch",

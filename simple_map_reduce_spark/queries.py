@@ -265,7 +265,7 @@ QUERIES: dict[str, QueryFn] = {
 # registered oracle-backed but also outside: local oracle parity
 # covers it now; it rotates into the r8 window, as do the other
 # late-r7 registrations (chunk_hybrid_topk, pretraining_manifest_full,
-# lsh_bucket_skew, and the rows-only
+# lsh_bucket_skew, chunk_semantic_ingest, and the rows-only
 # bigram_lm_quality_sketch which stays out permanently by the sketch
 # policy).
 _CHANGED_THIS_ROUND = [

@@ -2670,6 +2670,114 @@ def q_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.ingest(new, SEM_INGEST_TAU).orderBy("vec_id", "matched_in")
 
 
+# chunk-level semantic admission: tau for the CHUNK index is high —
+# md5-slice vectors of all-positive components sit near each other, so
+# only (near-)identical window text should gate (exact-duplicate spans)
+CHUNK_INGEST_TAU = 0.999
+
+
+def q_chunk_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level semantic dedup on ingest: the 1-in-10 batch docs are
+    CHUNKED and admitted into the standing chunk index under
+    ``IvfIndex.ingest``'s near-dup gate — a batch chunk is rejected
+    when an indexed corpus chunk (or a smaller-id batch chunk) carries
+    (near-)identical window text, the admission-time form of span
+    dedup (compare ``span_dedup``'s batch form). Composes
+    ``chunk_vectors`` with the ingest gate; the report decodes packed
+    chunk ids back to (doc_id, chunk_id) on both sides. Rebuild-priced
+    like the other index gates. The oracle recomposes chunking,
+    embedding, the split quantizer assignment, and both match classes
+    in SQL."""
+    from .catalog import Catalog
+    from .operators.chunking import CHUNK_ID_SPAN, chunk_vectors
+    from .operators.similarity import IvfIndex
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % INCR_MOD != 0)
+    batch = docs.filter(F.col("doc_id") % INCR_MOD == 0)
+    cat = Catalog(spark, _idx_root("chunk_sem_ingest_", sf_dir))
+    idx = IvfIndex(cat, "chunk_sem_ingest", n_centroids=SIM_IVF_CENTROIDS)
+    idx.build(chunk_vectors(corpus).select("vec_id", "embedding"))
+    report = idx.ingest(
+        chunk_vectors(batch).select("vec_id", "embedding"), CHUNK_INGEST_TAU
+    )
+    return report.select(
+        F.expr(f"vec_id DIV {CHUNK_ID_SPAN}").alias("doc_id"),
+        F.expr(f"vec_id % {CHUNK_ID_SPAN}").alias("chunk_id"),
+        "centroid_id",
+        F.expr(f"kept_id DIV {CHUNK_ID_SPAN}").alias("kept_doc"),
+        F.expr(f"kept_id % {CHUNK_ID_SPAN}").alias("kept_chunk"),
+        "sim",
+        "matched_in",
+    ).orderBy("doc_id", "chunk_id", "matched_in")
+
+
+def chunk_semantic_ingest_oracle() -> str:
+    """DuckDB twin of :func:`q_chunk_semantic_ingest`: the shared chunk
+    CTEs split into corpus/batch by the packed id's doc part, id-ordered
+    seed centroids from the CORPUS chunks, rounded-sim assignment of
+    both sides, then exactly ``semantic_ingest_oracle``'s two match
+    classes with the packed-id decode."""
+    from .operators.chunking import CHUNK_ID_SPAN
+
+    span, tau = CHUNK_ID_SPAN, CHUNK_INGEST_TAU
+    return f"""
+        WITH {_chunk_index_ctes()},
+        corp AS (SELECT * FROM cv WHERE (id // {span}) % {INCR_MOD} != 0),
+        bat AS (SELECT * FROM cv WHERE (id // {span}) % {INCR_MOD} = 0),
+        ccent AS (SELECT id AS centroid_id, vec AS cvec
+                  FROM corp ORDER BY id LIMIT {SIM_IVF_CENTROIDS}),
+        asgc AS (
+            SELECT id, centroid_id FROM (
+                SELECT c2.id, centroid_id,
+                       row_number() OVER (
+                           PARTITION BY c2.id
+                           ORDER BY {_cos_sql('c2.vec', 'cvec')} DESC, centroid_id)
+                           AS rn
+                FROM corp c2, ccent)
+            WHERE rn = 1),
+        asgb AS MATERIALIZED (
+            SELECT id AS vec_id, centroid_id FROM (
+                SELECT b.id, centroid_id,
+                       row_number() OVER (
+                           PARTITION BY b.id
+                           ORDER BY {_cos_sql('b.vec', 'cvec')} DESC, centroid_id)
+                           AS rn
+                FROM bat b, ccent)
+            WHERE rn = 1),
+        corpus_scored AS (
+            SELECT b.vec_id, b.centroid_id, a.id AS cid,
+                   {_cos_sql('q.vec', 'c.vec')} AS sim
+            FROM asgb b
+            JOIN asgc a ON b.centroid_id = a.centroid_id
+            JOIN cv q ON b.vec_id = q.id
+            JOIN cv c ON a.id = c.id),
+        batch_scored AS (
+            SELECT b.vec_id, b.centroid_id, b2.vec_id AS cid,
+                   {_cos_sql('q.vec', 'c.vec')} AS sim
+            FROM asgb b
+            JOIN asgb b2 ON b.centroid_id = b2.centroid_id
+                         AND b2.vec_id < b.vec_id
+            JOIN cv q ON b.vec_id = q.id
+            JOIN cv c ON b2.vec_id = c.id),
+        rep AS (
+            SELECT vec_id, centroid_id, min(cid) AS kept_id,
+                   arg_min(sim, cid) AS sim, 'corpus' AS matched_in
+            FROM corpus_scored WHERE sim >= {tau} GROUP BY 1, 2
+            UNION ALL
+            SELECT vec_id, centroid_id, min(cid) AS kept_id,
+                   arg_min(sim, cid) AS sim, 'batch' AS matched_in
+            FROM batch_scored WHERE sim >= {tau} GROUP BY 1, 2)
+        SELECT vec_id // {span} AS doc_id,
+               vec_id % {span} AS chunk_id,
+               centroid_id,
+               kept_id // {span} AS kept_doc,
+               kept_id % {span} AS kept_chunk,
+               sim, matched_in
+        FROM rep
+    """
+
+
 def q_ivf_cluster_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The index-maintenance signal (``IvfIndex.cluster_stats``): the
     bounded per-centroid population report over the standing IVF index
@@ -3675,6 +3783,7 @@ EXT_QUERIES = {
     "length_histogram": q_length_histogram,
     "ivf_cluster_skew": q_ivf_cluster_skew,
     "lsh_bucket_skew": q_lsh_bucket_skew,
+    "chunk_semantic_ingest": q_chunk_semantic_ingest,
     # rows-only by policy (HLL vocab estimate — no DuckDB twin);
     # error-bound-gated vs the exact tier in tests/test_lm.py and
     # kept OUT of the driver verification window like the other
@@ -3919,6 +4028,7 @@ EXT_ORACLES = {
     "length_histogram": LENGTH_HISTOGRAM_ORACLE,
     "ivf_cluster_skew": ivf_cluster_skew_oracle(),
     "lsh_bucket_skew": lsh_bucket_skew_oracle(),
+    "chunk_semantic_ingest": chunk_semantic_ingest_oracle(),
     "chunk_hybrid_topk": chunk_hybrid_topk_oracle(),
     "pretraining_manifest_full": pretraining_manifest_full_oracle(),
 }

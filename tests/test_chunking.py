@@ -187,3 +187,59 @@ def test_chunk_ann_text_topk_free_text_query(spark, tmp_path):
     # the second query exists and ranks contiguously from 1
     q1 = sorted(r.doc_rank for r in out if r.query_idx == 1)
     assert q1 and q1[0] == 1
+
+
+def test_chunk_semantic_ingest_gates_duplicate_spans(spark, tmp_path):
+    """Span-level semantic dedup on ingest: a batch doc repeating an
+    INDEXED doc's 16-token period has every chunk rejected as a corpus
+    match (identical window text → md5 vectors at cosine 1.0); an
+    intra-batch twin pair rejects the larger doc's chunks as batch
+    matches; novel text is admitted into the index tables."""
+    from simple_map_reduce_spark.catalog import Catalog
+    from simple_map_reduce_spark.operators.chunking import (
+        CHUNK_ID_SPAN,
+        chunk_vectors,
+    )
+    from simple_map_reduce_spark.operators.similarity import IvfIndex
+
+    period = " ".join(f"p{i}" for i in range(16))
+    pattern = " ".join([period] * 4)
+    novel = " ".join(f"n{i}" for i in range(40))
+    twin = " ".join(f"t{i}" for i in range(16)) + " " + " ".join(f"t{i}" for i in range(16))
+    cat = Catalog(spark, str(tmp_path / "cswh"))
+    idx = IvfIndex(cat, "cs_t", n_centroids=4)
+    idx.build(
+        chunk_vectors(
+            spark.createDataFrame([(1, pattern)], "doc_id bigint, text string")
+        ).select("vec_id", "embedding")
+    )
+    batch = spark.createDataFrame(
+        [(100, pattern), (200, novel), (300, twin), (400, twin)],
+        "doc_id bigint, text string",
+    )
+    report = idx.ingest(
+        chunk_vectors(batch).select("vec_id", "embedding"), tau=0.999
+    ).collect()
+    by = {}
+    for r in report:
+        by.setdefault(r.vec_id // CHUNK_ID_SPAN, []).append(r)
+    # every chunk of the corpus-duplicate doc is rejected: chunk 0 as a
+    # corpus match; its identical chunks 1,2 additionally as intra-batch
+    # duplicates of chunk 0 (the min-id chain — both classes are right)
+    assert {r.vec_id % CHUNK_ID_SPAN for r in by[100]} == {0, 1, 2}
+    corpus_rows = [r for r in by[100] if r.matched_in == "corpus"]
+    assert corpus_rows and all(
+        r.kept_id // CHUNK_ID_SPAN == 1 for r in corpus_rows
+    )
+    batch_rows = [r for r in by[100] if r.matched_in == "batch"]
+    assert all(r.kept_id == 100 * CHUNK_ID_SPAN for r in batch_rows)
+    # intra-batch twins: the larger doc's chunks reject as 'batch'
+    assert {r.matched_in for r in by[400]} == {"batch"}
+    assert all(r.kept_id // CHUNK_ID_SPAN == 300 for r in by[400])
+    # novel doc fully admitted (no report rows), lands in the index
+    assert 200 not in by
+    stored_docs = {
+        r.id // CHUNK_ID_SPAN
+        for r in cat.get_bucketed(idx.vectors_table).select("id").collect()
+    }
+    assert 200 in stored_docs and 100 not in stored_docs
