@@ -300,7 +300,11 @@ class Catalog:
             raise ValueError(f"keep_last must be >= 0, got {keep_last}")
         self._path(name)  # validate the name before touching anything
         versions = self.versions(name)
-        drop = versions[: len(versions) - keep_last] if keep_last else versions
+        # Clamp: keep_last may exceed the snapshot count (e.g. a keep-4
+        # policy on day 3 of daily snapshots) — a negative slice bound
+        # would wrap around and delete from the FRONT, destroying exactly
+        # the copies the policy promised to keep.
+        drop = versions[: max(0, len(versions) - keep_last)] if keep_last else versions
         for v in drop:
             shutil.rmtree(os.path.join(self.root, f".{name}.v{v}"))
         return drop

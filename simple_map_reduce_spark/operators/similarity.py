@@ -1081,15 +1081,22 @@ class IvfIndex:
             F.sum("n_vectors").alias("total"),
             F.count("*").cast("bigint").alias("k"),
         )
+        # Guard the divisions: on an EMPTY assignment table (built then
+        # fully pruned, or a fresh catalog) total = 0 and an unguarded
+        # divide would emit null/NaN for every centroid, poisoning any
+        # maintenance trigger comparing `skew > k`. Empty index → all
+        # shares/skews are a well-defined 0.0.
         return per_cent.crossJoin(F.broadcast(tot)).select(
             "centroid_id",
             "n_vectors",
-            (F.col("n_vectors").cast("double") / F.col("total")).alias("share"),
-            (
-                F.col("n_vectors").cast("double")
-                * F.col("k")
-                / F.col("total")
-            ).alias("skew"),
+            F.when(
+                F.col("total") > 0,
+                F.col("n_vectors").cast("double") / F.col("total"),
+            ).otherwise(F.lit(0.0)).alias("share"),
+            F.when(
+                F.col("total") > 0,
+                F.col("n_vectors").cast("double") * F.col("k") / F.col("total"),
+            ).otherwise(F.lit(0.0)).alias("skew"),
         )
 
     def rebuild(self, centroids: DataFrame | None = None) -> None:

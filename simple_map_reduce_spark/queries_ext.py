@@ -3587,8 +3587,18 @@ def q_chunk_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids=SIM_IVF_CENTROIDS,
         nprobe=SIM_IVF_NPROBE,
     )
+    # Map the dense run's list POSITION back to the DECLARED qid — the
+    # fusion joins on query_id, so aligning by position alone would be
+    # correct only while the declared qids happen to be 1..N (ADVICE
+    # r7: an edited constant would misalign both engines identically
+    # and the oracle couldn't catch it).
+    qid_by_pos = F.array(
+        *[F.lit(qid).cast("bigint") for qid, _ in CHUNK_HYBRID_QUERIES]
+    )
     dense_run = dense.select(
-        (F.col("query_idx") + F.lit(1)).cast("bigint").alias("query_id"),
+        F.element_at(qid_by_pos, (F.col("query_idx") + 1).cast("int")).alias(
+            "query_id"
+        ),
         "doc_id",
         F.col("doc_rank").alias("rank"),
     )
@@ -3605,14 +3615,22 @@ def _chunk_ann_text_run_sql() -> str:
     query: the shared chunk-index prefix, literal md5-slice query
     vectors under NEGATIVE ids (the Spark side's external-id rule — a
     negative id can never exclude a packed chunk), the IVF funnel, and
-    the doc rollup; query ids map back to the declared positives at the
-    end (qid = -query_id)."""
+    the doc rollup; the internal negative ids map back to the DECLARED
+    qids through an explicit (position, qid) VALUES table at the end —
+    the same mapping the Spark side performs — so the alignment survives
+    edits to the declared qid constants."""
     from .functions.hashes import duckdb_md5_slice_embedding
     from .operators.chunking import CHUNK_ID_SPAN
 
     vals = ", ".join(
         f"(CAST({-i - 1} AS BIGINT), {duckdb_md5_slice_embedding(_sql_str(t))})"
         for i, (_qid, t) in enumerate(CHUNK_HYBRID_QUERIES)
+    )
+    # Positional internal id → DECLARED qid, mirroring the Spark side's
+    # explicit element_at mapping (never assume qid == position + 1).
+    qmap_vals = ", ".join(
+        f"({i + 1}, CAST({qid} AS BIGINT))"
+        for i, (qid, _t) in enumerate(CHUNK_HYBRID_QUERIES)
     )
     return f"""
         WITH {_chunk_index_ctes()},
@@ -3654,12 +3672,14 @@ def _chunk_ann_text_run_sql() -> str:
                                     neighbor_id % {CHUNK_ID_SPAN}) AS rn
                 FROM hits)
             WHERE rn = 1)
-        SELECT CAST(-query_id AS BIGINT) AS query_id, doc_id, doc_rank AS rank
+        SELECT qmap.qid AS query_id, doc_id, doc_rank AS rank
         FROM (SELECT query_id, doc_id,
                      CAST(row_number() OVER (
                          PARTITION BY query_id
                          ORDER BY score DESC, doc_id) AS BIGINT) AS doc_rank
-              FROM best)
+              FROM best) r
+        JOIN (SELECT * FROM (VALUES {qmap_vals}) AS m(pos, qid)) qmap
+          ON qmap.pos = -r.query_id
         WHERE doc_rank <= {CHUNK_HYBRID_K_DOCS}
     """
 

@@ -541,6 +541,14 @@ def test_prune_versions_retention_and_refusals(cat, spark, tmp_path):
         cat.put(spark.createDataFrame([(i,)], ["v"]), "snap_t")
         assert cat.snapshot("snap_t") == i + 1
     assert cat.versions("snap_t") == [1, 2, 3, 4]
+    # keep_last EXCEEDING the snapshot count prunes NOTHING (ADVICE r7
+    # high: the unclamped slice went negative and deleted from the
+    # front — a keep-6 policy on day 4 of daily snapshots must be a
+    # no-op, not destroy the oldest audit copies)
+    assert cat.prune_versions("snap_t", keep_last=6) == []
+    assert cat.versions("snap_t") == [1, 2, 3, 4]
+    assert cat.prune_versions("snap_t", keep_last=4) == []
+    assert cat.versions("snap_t") == [1, 2, 3, 4]
     assert cat.prune_versions("snap_t", keep_last=2) == [1, 2]
     assert cat.versions("snap_t") == [3, 4]
     with _pytest.raises(FileNotFoundError):
