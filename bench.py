@@ -141,6 +141,17 @@ EXTENDED_QUERIES = [
     # the CMS LM prices the broadcast-model scale path against the
     # exact tier's vocab-sized shuffle join (bigram_lm_quality above)
     "bigram_lm_quality_sketch",
+    # r8: standing-index READ-path rows — the warmup builds the index
+    # once per process, the measured reps price the serving path alone
+    # (VERDICT r7 item 3: rebuild-priced rows swing 2-4x on identical
+    # code; these are the round-over-round comparable numbers)
+    "similarity_topk_ivf_read",
+    "embedding_neardup_read",
+    "incremental_neardup_read",
+    "chunk_ann_topk_read",
+    # r8: takedown journeys (build + O(|deleted|) tombstone + read)
+    "ivf_delete_search",
+    "neardup_delete_check",
 ]
 
 

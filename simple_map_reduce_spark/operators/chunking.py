@@ -203,6 +203,32 @@ def chunk_ann_doc_topk(
         catalog, index_name, n_centroids=n_centroids, nprobe=nprobe
     )
     idx.build(vecs.select("vec_id", "embedding"))
+    return chunk_ann_doc_search(
+        catalog, index_name, query_doc_ids,
+        k_chunks=k_chunks, k_docs=k_docs,
+        n_centroids=n_centroids, nprobe=nprobe,
+    )
+
+
+def chunk_ann_doc_search(
+    catalog,
+    index_name: str,
+    query_doc_ids: list[int],
+    k_chunks: int = 20,
+    k_docs: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """The SEARCH half of :func:`chunk_ann_doc_topk` against a STANDING
+    chunk index — the serving-path form: no chunking, no build, just the
+    probe/rescore funnel plus the doc rollup. This is what a retrieval
+    service pays per query once the index exists; the build-included
+    sibling prices the pipeline bootstrap."""
+    from .similarity import IvfIndex
+
+    idx = IvfIndex(
+        catalog, index_name, n_centroids=n_centroids, nprobe=nprobe
+    )
     qids = [int(d) * CHUNK_ID_SPAN for d in query_doc_ids]
     hits = idx.search_ids(qids, k=k_chunks)
     # bigint DIV, never double division (the repo's chunk-math idiom):

@@ -417,6 +417,22 @@ class NearDupIndex:
     _SHINGLE_KEYS = ("id", "h")
     _BUCKET_KEYS = ("band_idx", "band_hash")
 
+    @property
+    def tombstones_table(self) -> str:
+        from .tombstones import tombstones_table
+
+        return tombstones_table(self.name)
+
+    def _live_buckets(self) -> DataFrame:
+        """The corpus bucket table minus tombstoned ids (broadcast
+        anti-join — no Exchange above the bucketed scan; plan-identical
+        while no delete has ever run). Every candidate funnel reads
+        through this, so a deleted document can never surface as a
+        near-dup match or a bucket-stats row."""
+        from .tombstones import live
+
+        return live(self.catalog, self.name, self._corpus_buckets())
+
     def _derive(self, df: DataFrame) -> tuple[DataFrame, DataFrame]:
         """(shingles, buckets) for a batch — the ONE place text is
         tokenized. The shingle frame is persisted so the bucket branch
@@ -428,7 +444,13 @@ class NearDupIndex:
         return sh, lsh_band_buckets(sig, self.num_hashes, self.bands)
 
     def build(self, corpus_df: DataFrame) -> None:
-        """Bootstrap (or rebuild) the index from a standing corpus."""
+        """Bootstrap (or rebuild) the index from a standing corpus. Any
+        standing tombstones are dropped LAST — a rebuild replaces the
+        state wholesale, and the drop-last order means a crash mid-build
+        can only leave extra ids hidden (conservative), never a deleted
+        id resurrected."""
+        from .tombstones import drop_tombstones
+
         sh, bk = self._derive(corpus_df)
         self.catalog.put_bucketed(
             sh, self.shingles_table, self._SHINGLE_KEYS, self.num_buckets
@@ -443,6 +465,7 @@ class NearDupIndex:
             self.num_buckets,
         )
         untrack(sh)
+        drop_tombstones(self.catalog, self.name)
 
     def _corpus_buckets(self) -> DataFrame:
         """The corpus bucket table, read THROUGH the session catalog so
@@ -470,12 +493,15 @@ class NearDupIndex:
     def check(self, new_df: DataFrame) -> DataFrame:
         """Near-dup pairs (id_new, id_corpus, jaccard ≥ threshold) of a
         new batch against the standing index — pure read, no writes; the
-        corpus sides are catalog table scans."""
+        corpus sides are catalog table scans. Candidates come from the
+        LIVE bucket view, so a tombstoned document never matches (the
+        shingle/size tables stay raw — the verify is an inner join on
+        already-filtered candidate ids)."""
         shn, _ = self._derive(new_df)
         return _asymmetric_neardup_check(
             shn,
             self._corpus_shingles(),
-            self._corpus_buckets(),
+            self._live_buckets(),
             self.num_hashes,
             self.bands,
             self.threshold,
@@ -523,7 +549,16 @@ class NearDupIndex:
         release, a long-running ingest loop (see :meth:`ingest_stream`)
         would pin a cache per batch for the life of the process. The
         corpus scans are bucketed catalog reads, never cached (see
-        :meth:`_corpus_buckets`)."""
+        :meth:`_corpus_buckets`).
+
+        A batch containing a TOMBSTONED id is refused outright (one
+        broadcast semi-join, zero cost while no delete has ever run):
+        the appends anti-join physically-present ids, so a tombstoned id
+        would be reported accepted yet stay invisible to every read —
+        vacuum first, then re-admit (see :mod:`.tombstones`)."""
+        from .tombstones import refuse_tombstoned
+
+        refuse_tombstoned(self.catalog, self.name, new_df.select(self.id_col))
         shn, bn = self._derive(new_df)
         bn = tracked_persist(bn)  # feeds the self-join (both sides) + append
         bc = self._corpus_buckets()  # bucketed scan: cap + join + anti-join
@@ -543,9 +578,16 @@ class NearDupIndex:
         # re-derives the ORIGINAL report (intra-batch rows stay
         # matched_in='batch' instead of re-detecting as corpus matches).
         # Broadcast anti-join on the tiny batch-id set: no Exchange is
-        # added above the bucketed corpus scan.
+        # added above the bucketed corpus scan. The check side also
+        # reads LIVE (tombstoned corpus docs must not match); the
+        # have-sets below stay PHYSICAL — retry idempotence is about
+        # what's on disk, not what's visible.
+        from .tombstones import live
+
         batch_ids = shn.select("id").distinct()
-        bc_check = bc.join(F.broadcast(batch_ids), "id", "left_anti")
+        bc_check = live(self.catalog, self.name, bc).join(
+            F.broadcast(batch_ids), "id", "left_anti"
+        )
         corpus_pairs = _asymmetric_neardup_check(
             shn,
             self._corpus_shingles(),
@@ -646,9 +688,12 @@ class NearDupIndex:
         n_buckets, n_rows, max_bucket, n_over_cap, capped_rows). Two
         aggregations over the (band_idx, band_hash)-bucketed table —
         the per-bucket sizes groupBy reads pre-partitioned data with no
-        Exchange above the corpus scan."""
+        Exchange above the corpus scan. Counts are LIVE (tombstoned
+        documents excluded): the report feeds re-shingle/re-band
+        decisions about the index users actually query; the residual
+        physical cost of tombstoned rows is :meth:`vacuum`'s job."""
         sizes = (
-            self._corpus_buckets()
+            self._live_buckets()
             .groupBy("band_idx", "band_hash")
             .agg(F.count("*").cast("bigint").alias("bsz"))
         )
@@ -662,6 +707,51 @@ class NearDupIndex:
             .cast("bigint")
             .alias("capped_rows"),
         )
+
+    def delete(self, ids) -> int:
+        """Tombstone ``ids`` (list[int] or a single-column DataFrame) —
+        the takedown path, mirroring
+        :meth:`~..similarity.IvfIndex.delete`. O(|ids|): ONE atomic
+        parquet append of the newly-deleted ids; no corpus-sized table
+        is touched. :meth:`check` / :meth:`ingest` / :meth:`bucket_stats`
+        honor the tombstones from the moment the append commits (a
+        broadcast anti-join adding no Exchange above the bucketed
+        scans). Physical purging is :meth:`vacuum`; until then a
+        tombstoned id cannot be re-admitted (:meth:`ingest` refuses).
+        Returns how many ids were newly tombstoned."""
+        from .tombstones import append_tombstones
+
+        return append_tombstones(self.catalog, self.name, ids)
+
+    def vacuum(self) -> int:
+        """Physically purge tombstoned documents: rewrite the bucket,
+        size, and shingle tables without them (layout-preserving
+        bucketed overwrites), then drop the tombstone table LAST. All
+        three live frames are eagerly localCheckpoint-ed BEFORE the
+        first overwrite — they read the very tables being rewritten
+        (use ``checkpoint`` on a cluster for executor-loss durability).
+        Crash safety is the drop-last ordering: every crash prefix
+        leaves the tombstones in force, so reads stay correct and a
+        retry heals. Returns the number of tombstoned ids purged."""
+        from .tombstones import drop_tombstones, read_tombstones
+
+        ts = read_tombstones(self.catalog, self.name)
+        if ts is None:
+            return 0
+        n = ts.count()
+        bts = F.broadcast(ts)
+        bk = self._corpus_buckets().join(bts, "id", "left_anti").localCheckpoint()
+        sz = self._corpus_sizes().join(bts, "id", "left_anti").localCheckpoint()
+        sh = self._corpus_shingles().join(bts, "id", "left_anti").localCheckpoint()
+        self.catalog.put_bucketed(
+            bk, self.buckets_table, self._BUCKET_KEYS, self.num_buckets
+        )
+        self.catalog.put_bucketed(sz, self.sizes_table, "id", self.num_buckets)
+        self.catalog.put_bucketed(
+            sh, self.shingles_table, self._SHINGLE_KEYS, self.num_buckets
+        )
+        drop_tombstones(self.catalog, self.name)
+        return n
 
     def compact(self) -> dict[str, int]:
         """Compact all three append-heavy state tables back to ~one file

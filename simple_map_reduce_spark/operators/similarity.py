@@ -735,9 +735,34 @@ class IvfIndex:
     def vectors_table(self) -> str:
         return f"{self.name}__vectors"
 
+    @property
+    def tombstones_table(self) -> str:
+        from .tombstones import tombstones_table
+
+        return tombstones_table(self.name)
+
+    def _live_assign(self) -> DataFrame:
+        """The assignment table minus tombstoned ids (broadcast
+        anti-join — no Exchange above the bucketed scan; plan-identical
+        when no delete has ever run). Every candidate funnel reads
+        through this, so a deleted vector can never surface as a
+        neighbor, a near-dup match, or a cluster-stats row."""
+        from .tombstones import live
+
+        return live(
+            self.catalog, self.name, self.catalog.get_bucketed(self.assign_table)
+        )
+
     def build(self, emb: DataFrame, centroids: DataFrame | None = None) -> None:
         """Assign the corpus to the quantizer (id-ordered seeds, or pass
-        a ``kmeans_refine``-trained frame) and persist all three tables."""
+        a ``kmeans_refine``-trained frame) and persist all three tables.
+        A (re)build REPLACES the index state, so any standing tombstones
+        are dropped LAST — the caller supplied the corpus, deletions
+        against the old state don't constrain it, and the drop-last
+        order means a crash mid-build can only leave extra ids hidden
+        (conservative), never a deleted id resurrected."""
+        from .tombstones import drop_tombstones
+
         cents, assign = ivf_assign(
             emb, self.n_centroids, self.id_col, self.vec_col, centroids
         )
@@ -751,13 +776,19 @@ class IvfIndex:
             "id",
             self.num_buckets,
         )
+        drop_tombstones(self.catalog, self.name)
 
     def search_ids(self, query_ids: list[int], k: int = 5) -> DataFrame:
         """Top-k neighbors for corpus vectors ``query_ids`` against the
         standing index — the query-by-corpus-member convenience over
         :meth:`search`; pure read, only the (tiny) query/probe/candidate
-        side ever shuffles."""
-        vectors = self.catalog.get_bucketed(self.vectors_table)
+        side ever shuffles. A tombstoned query id is treated as absent —
+        no result rows — exactly as if it had never been admitted."""
+        from .tombstones import live
+
+        vectors = live(
+            self.catalog, self.name, self.catalog.get_bucketed(self.vectors_table)
+        )
         queries = vectors.filter(F.col("id").isin(query_ids)).select(
             F.col("id").alias("query_id"),
             F.col("vec").alias("qvec"),
@@ -797,10 +828,13 @@ class IvfIndex:
 
     def _search_prepped(self, queries: DataFrame, k: int) -> DataFrame:
         """The one probe/rescore funnel behind both search forms:
-        ``queries`` carries (query_id, qvec, qn)."""
+        ``queries`` carries (query_id, qvec, qn). Candidates come from
+        the LIVE assignment view, so tombstoned vectors never reach the
+        rescore (the vector table itself can stay raw — the rescore is
+        an inner join on already-filtered candidate ids)."""
         cents = F.broadcast(self.catalog.get(self.centroids_table))
         vectors = self.catalog.get_bucketed(self.vectors_table)
-        assign = self.catalog.get_bucketed(self.assign_table)
+        assign = self._live_assign()
         wq = Window.partitionBy("query_id").orderBy(
             F.col("csim").desc(), F.col("centroid_id")
         )
@@ -900,7 +934,7 @@ class IvfIndex:
         keeps the unfiltered funnel (a batch id genuinely present in the
         corpus should surface as a corpus match there)."""
         vectors = self.catalog.get_bucketed(self.vectors_table)
-        assign = self.catalog.get_bucketed(self.assign_table)
+        assign = self._live_assign()
         cand = (
             assign.join(F.broadcast(bassign), "centroid_id")
             .withColumnRenamed("id", "cid")
@@ -973,9 +1007,19 @@ class IvfIndex:
         surfaces as a candidate and silently drops out of the
         exact-rescore inner join — a missed detection until the retry
         heals it, never a wrong pair (the reverse order would hide the
-        id from the candidate funnel entirely, same exposure)."""
-        from ..cache import tracked_persist, untrack
+        id from the candidate funnel entirely, same exposure).
 
+        A batch containing a TOMBSTONED id is refused outright (one
+        broadcast semi-join, zero cost while no delete has ever run):
+        the appends anti-join physically-present ids, so a tombstoned id
+        would be reported accepted yet stay invisible to every read —
+        vacuum first, then re-admit (see :mod:`.tombstones`)."""
+        from ..cache import tracked_persist, untrack
+        from .tombstones import refuse_tombstoned
+
+        refuse_tombstoned(
+            self.catalog, self.name, batch_emb.select(F.col(self.id_col))
+        )
         cents = self.catalog.get(self.centroids_table)
         # ONE broadcast-centroid assignment pass, persisted: the corpus
         # check, the intra-batch self-join (both sides), and the appends
@@ -1067,8 +1111,11 @@ class IvfIndex:
         assigned vectors appear with zeros (they waste a probe slot —
         also a retrain signal). One groupBy over the bucketed
         assignment table (pre-partitioned on centroid_id, no Exchange
-        above the scan) + a broadcast 1-row total."""
-        assign = self.catalog.get_bucketed(self.assign_table)
+        above the scan) + a broadcast 1-row total. Counts are LIVE
+        (tombstoned vectors excluded): the report feeds rebuild/maintain
+        decisions about the index users actually query. The residual
+        physical cost of tombstoned rows is :meth:`vacuum`'s job."""
+        assign = self._live_assign()
         cents = self.catalog.get(self.centroids_table).select("centroid_id")
         sizes = assign.groupBy("centroid_id").agg(
             F.count("*").cast("bigint").alias("n_vectors")
@@ -1114,12 +1161,71 @@ class IvfIndex:
         ``checkpoint`` on a cluster for executor-loss durability).
         Reports/epochs tables are untouched — a rebuild changes the
         PHYSICAL layout (cluster membership), never admission history.
+
+        A rebuild reads the LIVE vector set and ``build`` drops the
+        tombstones after publishing, so it doubles as a :meth:`vacuum`
+        with retraining: tombstoned vectors are physically gone from the
+        new tables. Crash mid-rebuild leaves the tombstones in force —
+        reads stay correct through any partial rewrite.
         """
-        vectors = self.catalog.get_bucketed(self.vectors_table)
+        from .tombstones import live
+
+        vectors = live(
+            self.catalog, self.name, self.catalog.get_bucketed(self.vectors_table)
+        )
         emb = vectors.select(
             F.col("id").alias(self.id_col), F.col("vec").alias(self.vec_col)
         ).localCheckpoint()
         self.build(emb, centroids=centroids)
+
+    def delete(self, ids) -> int:
+        """Tombstone ``ids`` (list[int] or a single-column DataFrame) —
+        the takedown path. O(|ids|): ONE atomic parquet append of the
+        newly-deleted ids (anti-joined against the standing tombstone
+        set, so a crashed-and-retried delete converges); no corpus-sized
+        table is touched. Every read path (:meth:`search` /
+        :meth:`search_ids` / :meth:`neardup_check` /
+        :meth:`cluster_stats`) honors the tombstones from the moment the
+        append commits, via a broadcast anti-join that adds no Exchange
+        above the bucketed scans. Physical purging is :meth:`vacuum` /
+        :meth:`rebuild`; until then a tombstoned id cannot be
+        re-admitted (:meth:`ingest` refuses — see :mod:`.tombstones`).
+        Returns how many ids were newly tombstoned."""
+        from .tombstones import append_tombstones
+
+        return append_tombstones(self.catalog, self.name, ids)
+
+    def vacuum(self) -> int:
+        """Physically purge tombstoned vectors: rewrite the assignment
+        and vector tables without them (layout-preserving bucketed
+        overwrite), then drop the tombstone table LAST. Both live frames
+        are eagerly localCheckpoint-ed BEFORE the first overwrite — they
+        read the very tables being rewritten (use ``checkpoint`` on a
+        cluster for executor-loss durability). Crash safety is the
+        drop-last ordering: every crash prefix leaves the tombstones in
+        force, so reads stay correct and a retry heals. The quantizer is
+        untouched (same centroids, same cluster ids) — retraining is
+        :meth:`rebuild`. Returns the number of tombstoned ids purged."""
+        from .tombstones import drop_tombstones, read_tombstones
+
+        ts = read_tombstones(self.catalog, self.name)
+        if ts is None:
+            return 0
+        n = ts.count()
+        assign_live = self._live_assign().localCheckpoint()
+        vectors_live = (
+            self.catalog.get_bucketed(self.vectors_table)
+            .join(F.broadcast(ts), "id", "left_anti")
+            .localCheckpoint()
+        )
+        self.catalog.put_bucketed(
+            assign_live, self.assign_table, "centroid_id", self.num_buckets
+        )
+        self.catalog.put_bucketed(
+            vectors_live, self.vectors_table, "id", self.num_buckets
+        )
+        drop_tombstones(self.catalog, self.name)
+        return n
 
     def compact(self) -> dict[str, int]:
         """Compact the two append-heavy state tables back to ~one file

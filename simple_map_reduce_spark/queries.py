@@ -247,85 +247,83 @@ QUERIES: dict[str, QueryFn] = {
 # so a behavior change can never ship on a stale green row again (round
 # 2's trigram-default change left jaccard_pairs unverified for a round).
 #
-# Round 7 window = the 3 NEW queries (chunk-level ANN retrieval, the
-# LM-pruned pretraining manifest, the streaming semantic-ingest drive
-# with its sequential two-epoch oracle) + the 3 queries whose code
-# changed (semantic_ingest / incremental_neardup_idx: both ingest cores
-# gained the replay-safe corpus-candidate exclusion, ADVICE r6;
-# perplexity_prune: its threshold machinery refactored into the shared
-# _score_distribution that perplexity_keep_ids now also consumes) + the
-# 44 remaining r4-dated rows (FINISHING the freshness rotation: after
-# this round no oracle-backed query's latest driver row is older than
-# r5). embedding_neardup_idx also touches edited code
-# (_neardup_check_assigned gained the exclude_batch_ids parameter) but
-# its default path is PLAN-identical (the parameter defaults off, no
-# operator is added) and its r6 row is fresh — deliberately left
-# outside to make the 44-row cohort fit exactly. ivf_cluster_skew (the
-# r7 maintenance report, VERDICT item 6 "optionally a driver row") is
-# registered oracle-backed but also outside: local oracle parity
-# covers it now; it rotates into the r8 window, as do the other
-# late-r7 registrations (chunk_hybrid_topk, pretraining_manifest_full,
-# lsh_bucket_skew, chunk_semantic_ingest, and the rows-only
-# bigram_lm_quality_sketch which stays out permanently by the sketch
-# policy).
+# Round 8 window = the 6 NEW queries (the four standing-index READ-path
+# forms similarity_topk_ivf_read / embedding_neardup_read /
+# incremental_neardup_read / chunk_ann_topk_read, and the two takedown
+# journeys ivf_delete_search / neardup_delete_check — VERDICT r7 items
+# 2 and 3) + the 2 queries whose code changed (chunk_hybrid_topk: the
+# dense run now maps list position to the DECLARED qid on both engines,
+# ADVICE r7; ivf_cluster_skew: empty-index division guard, ADVICE r7)
+# + the other 3 late-r7 registrations that shipped with no driver row
+# ever (pretraining_manifest_full, chunk_semantic_ingest,
+# lsh_bucket_skew — VERDICT r7 item 1: after this round only the 3
+# policy sketches lack driver history) + the 39 oldest (r5-dated) green
+# rows, alphabetical. The index-backed queries all traverse the new
+# tombstone plumbing, but with no tombstone table the live view is
+# IDENTITY (driver runs build fresh indexes; build drops tombstones) —
+# plan-identical default path, the embedding_neardup_idx-r7 precedent —
+# so only the two with real output-affecting edits are in
+# _CHANGED_THIS_ROUND. 9 r5-dated rows (status_priority_sets …
+# waiting_suppliers, alphabetical tail) remain for the r9 window.
 _CHANGED_THIS_ROUND = [
-    # r7: NEW queries ship their behavior this round
-    "chunk_ann_topk",
-    "pretraining_manifest_lm",
-    "streaming_semantic_ingest",
-    # r7: replay-safe corpus-candidate exclusion in both ingest cores
-    "semantic_ingest",
-    "incremental_neardup_idx",
-    # r7: threshold machinery refactored into _score_distribution
-    "perplexity_prune",
+    # r8: NEW queries ship their behavior this round
+    "similarity_topk_ivf_read",
+    "embedding_neardup_read",
+    "incremental_neardup_read",
+    "chunk_ann_topk_read",
+    "ivf_delete_search",
+    "neardup_delete_check",
+    # r8: explicit qid mapping in the dense fusion run (ADVICE r7)
+    "chunk_hybrid_topk",
+    # r8: empty-index division guard (ADVICE r7; identical on non-empty)
+    "ivf_cluster_skew",
 ]
 _ROTATION_FRONT = [
     *_CHANGED_THIS_ROUND,
-    # the 44 remaining r4-dated rows (unchanged code — pure freshness)
-    "asof_last_order",
-    "bigram_docfreq",
-    "bpe_pair_counts",
-    "cheapest_item_per_order",
-    "chunk_assignment",
-    "chunk_assignment_sharded",
-    "cohort_retention",
-    "corpus_splits",
-    "customer_order_seq",
-    "customer_spend_ntile",
-    "customers_without_orders",
-    "decontaminate",
-    "dedup_groups",
-    "deterministic_sample",
-    "disjunctive_revenue",
-    "dominant_suppliers",
-    "embedding_neardup",
-    "embedding_neardup_lsh",
-    "embedding_quantize",
-    "events_json",
-    "events_pivot",
-    "flag_priority_matrix",
-    "forecast_revenue",
-    "frame_sample",
-    "fuzzy_part_names",
-    "image_features",
-    "ivf_refined_centroids",
-    "ivf_refined_topk",
-    "jaccard_pairs",
-    "label_confusion",
-    "late_ship_priority",
-    "market_share",
-    "minhash_dup_pairs",
-    "mixture_weights",
-    "orders_sorted_limit",
-    "part_type_stats",
-    "parts_ordered",
-    "quality_filter",
-    "repetition_signals",
-    "similarity_topk_ivf",
-    "similarity_topk_lsh",
-    "span_dedup",
-    "stats_summary",
-    "vocab_encode",
+    # late-r7 registrations with no driver row ever (VERDICT r7 item 1)
+    "pretraining_manifest_full",
+    "chunk_semantic_ingest",
+    "lsh_bucket_skew",
+    # the 39 oldest (r5-dated) green rows — pure freshness rotation
+    "audio_features",
+    "big_orders",
+    "bm25_topk",
+    "bpe_train",
+    "bpe_word_segments",
+    "column_filter",
+    "dedup_prune",
+    "incremental_neardup",
+    "min_cost_supplier",
+    "mom_revenue_growth",
+    "monthly_gapfill",
+    "moving_avg_3m",
+    "nation_full_outer",
+    "nation_trade_volume",
+    "order_count_histogram",
+    "part_metrics_unpivot",
+    "part_name_features",
+    "pretraining_manifest",
+    "pretraining_manifest_sem",
+    "pricey_parts_dense",
+    "priority_trailing_week",
+    "priority_union",
+    "profit_by_nation_year",
+    "promo_revenue",
+    "purchase_click_burst",
+    "qty_median_by_flag",
+    "qty_quartiles",
+    "returned_revenue_top",
+    "rich_inactive_customers",
+    "sales_cube",
+    "salted_join_segments",
+    "salted_type_rollup",
+    "segment_except",
+    "segment_intersect",
+    "segment_priority_grid",
+    "semdedup_prune",
+    "sessionize_batch",
+    "similarity_topk_ivf_idx",
+    "source_overlap",
 ]
 assert len(_ROTATION_FRONT) == 50
 assert set(_ROTATION_FRONT) <= set(QUERIES)

@@ -2210,13 +2210,20 @@ def source_overlap_oracle() -> str:
     """
 
 
-def incremental_neardup_oracle() -> str:
+def incremental_neardup_oracle(corpus_extra_pred: str = "TRUE") -> str:
     """Asymmetric LSH: new-batch buckets ⋈ corpus buckets, corpus-side
-    hot-bucket cap, Jaccard verify over the two hashed shingle sets."""
+    hot-bucket cap, Jaccard verify over the two hashed shingle sets.
+
+    ``corpus_extra_pred`` (over ``id``) narrows the CORPUS side — the
+    tombstone-delete twin: the hot-bucket cap, candidate join, and
+    verify all see only live documents, exactly
+    ``NearDupIndex._live_buckets``'s contract (the cap is computed on
+    the live view on both engines)."""
     return f"""
         WITH {_SHINGLE_CTE}, {_hashed_shingle_cte()},
         hn AS (SELECT * FROM hsh WHERE id % {INCR_MOD} = 0),
-        hc AS (SELECT * FROM hsh WHERE id % {INCR_MOD} != 0),
+        hc AS (SELECT * FROM hsh
+               WHERE id % {INCR_MOD} != 0 AND ({corpus_extra_pred})),
         sig_n AS ({_sig_select_sql('hn')}),
         sig_c AS ({_sig_select_sql('hc')}),
         bn AS ({_band_select_sql('sig_n')}),
@@ -2497,10 +2504,15 @@ def similarity_topk_lsh_oracle() -> str:
     """
 
 
-def similarity_topk_ivf_oracle() -> str:
+def similarity_topk_ivf_oracle(live_pred: str = "TRUE") -> str:
     """DuckDB twin of ``cosine_topk_ivf``: id-ordered deterministic
     centroids, rounded-sim assignment (centroid_id tiebreak), nprobe
-    probe list per query, candidate union, rounded rescoring, top-k."""
+    probe list per query, candidate union, rounded rescoring, top-k.
+
+    ``live_pred`` (over ``a.id``) narrows the CANDIDATE side only — the
+    tombstone-delete twin: the quantizer still trains on the full
+    corpus (deletion never retrains), but tombstoned ids can't surface
+    as neighbors, exactly ``IvfIndex._live_assign``'s contract."""
     ids = ", ".join(str(i) for i in SIM_QUERY_IDS)
     return f"""
         WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
@@ -2527,7 +2539,7 @@ def similarity_topk_ivf_oracle() -> str:
         cand AS (
             SELECT DISTINCT query_id, a.id AS neighbor_id
             FROM probes p JOIN asg a ON p.centroid_id = a.centroid_id
-            WHERE a.id != p.query_id),
+            WHERE a.id != p.query_id AND ({live_pred})),
         scored AS (
             SELECT query_id, neighbor_id, {_cos_sql('q.vec', 'c.vec')} AS score
             FROM cand
@@ -3716,6 +3728,205 @@ def _chunks_oracle() -> str:
     return token_chunks_oracle_sql()
 
 
+# ---------------------------------------------------------------------------
+# Standing-index READ-path pricing + takedown (tombstone) journeys
+# ---------------------------------------------------------------------------
+#
+# Every index-backed query above rebuilds its index per invocation so
+# the result is a pure function of the inputs (the oracle-purity
+# contract) — which makes their bench rows fixed-overhead-dominated:
+# they swing 2–4× window-to-window on identical code (BENCH_r07_local
+# notes) and drown real regressions. The `_read` forms below price the
+# READ path alone — the number a serving user actually pays per query
+# once the index stands. Mechanism: a process-level build memo — the
+# first invocation in a process builds the standing index (bench's
+# unmeasured warmup; the driver's fresh process pays it once before
+# the compare), every later invocation searches only. The index is
+# never mutated by a read, so repeat invocations are pure. The oracle
+# is the SAME SQL as the rebuild-priced sibling: identical math, the
+# index tables are materialized intermediates.
+
+_STANDING_BUILT: set[tuple[str, str]] = set()
+
+
+def _standing_index(kind: str, sf_dir: str, build_fn) -> None:
+    """Run ``build_fn`` once per (kind, sf_dir) per process."""
+    key = (kind, sf_dir)
+    if key not in _STANDING_BUILT:
+        build_fn()
+        _STANDING_BUILT.add(key)
+
+
+def q_similarity_topk_ivf_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``similarity_topk_ivf_idx``'s READ path: top-k over the STANDING
+    IVF index — probe the broadcast quantizer, join the bucketed posting
+    lists, rescore candidates. No build in the measured path; only the
+    query/probe/candidate funnel ever shuffles."""
+    from .catalog import Catalog
+    from .operators.similarity import IvfIndex
+
+    cat = Catalog(spark, _idx_root("ivf_read_", sf_dir))
+    idx = IvfIndex(
+        cat, "ivf_read", n_centroids=SIM_IVF_CENTROIDS, nprobe=SIM_IVF_NPROBE
+    )
+    _standing_index(
+        "ivf_read", sf_dir,
+        lambda: idx.build(load_table(spark, sf_dir, "embeddings")),
+    )
+    return idx.search_ids(SIM_QUERY_IDS, k=SIM_K)
+
+
+def q_embedding_neardup_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``embedding_neardup_idx``'s READ path: the semantic near-dup
+    check of the 1-in-10 batch against the STANDING corpus index —
+    per-check cost ∝ |batch| × probed-cluster population, never
+    |corpus|; the corpus is never re-assigned or shuffled."""
+    from .catalog import Catalog
+    from .operators.similarity import IvfIndex
+
+    cat = Catalog(spark, _idx_root("semdup_read_", sf_dir))
+    idx = IvfIndex(cat, "semdup_read", n_centroids=SEMDEDUP_K)
+    _standing_index(
+        "semdup_read", sf_dir,
+        lambda: idx.build(
+            load_table(spark, sf_dir, "embeddings").filter(
+                F.col("vec_id") % INCR_MOD != 0
+            )
+        ),
+    )
+    new = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % INCR_MOD == 0
+    )
+    return idx.neardup_check(new, SEMDEDUP_TAU).orderBy("vec_id")
+
+
+def q_incremental_neardup_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``incremental_neardup_idx``'s READ path: the lexical near-dup
+    check of the 1-in-10 batch against the STANDING MinHash-LSH index —
+    only the batch is tokenized and shuffled; the corpus is scanned as
+    pre-partitioned hashed-int parquet."""
+    from .catalog import Catalog
+    from .operators.dedup import NearDupIndex
+
+    cat = Catalog(spark, _idx_root("neardup_read_", sf_dir))
+    idx = NearDupIndex(
+        cat, "neardup_read", threshold=MINHASH_THRESHOLD, max_bucket=SKEW_CAP
+    )
+    _standing_index(
+        "neardup_read", sf_dir,
+        lambda: idx.build(
+            load_table(spark, sf_dir, "documents").filter(
+                F.col("doc_id") % INCR_MOD != 0
+            )
+        ),
+    )
+    new = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % INCR_MOD == 0
+    )
+    return idx.check(new)
+
+
+def q_chunk_ann_topk_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``chunk_ann_topk``'s READ path: chunk-level ANN retrieval against
+    the STANDING chunk index (``chunk_ann_doc_search``) — the per-query
+    serving cost of the RAG read path: probe/rescore funnel + two
+    bounded rollup windows, nothing corpus-sized."""
+    from .catalog import Catalog
+    from .operators.chunking import chunk_ann_doc_search, chunk_vectors
+    from .operators.similarity import IvfIndex
+
+    cat = Catalog(spark, _idx_root("chunk_read_", sf_dir))
+
+    def build() -> None:
+        docs = load_table(spark, sf_dir, "documents")
+        idx = IvfIndex(
+            cat,
+            "chunk_ann_read",
+            n_centroids=SIM_IVF_CENTROIDS,
+            nprobe=SIM_IVF_NPROBE,
+        )
+        idx.build(chunk_vectors(docs).select("vec_id", "embedding"))
+
+    _standing_index("chunk_ann_read", sf_dir, build)
+    return chunk_ann_doc_search(
+        cat,
+        "chunk_ann_read",
+        CHUNK_ANN_QUERY_DOCS,
+        k_chunks=CHUNK_ANN_K_CHUNKS,
+        k_docs=CHUNK_ANN_K_DOCS,
+        n_centroids=SIM_IVF_CENTROIDS,
+        nprobe=SIM_IVF_NPROBE,
+    ).orderBy("query_doc", "doc_rank")
+
+
+# takedown journeys: delete admitted ids from the standing indexes,
+# then prove every read path behaves as if they were never admitted.
+# The residues are chosen DISJOINT from the query-id sets (a tombstoned
+# query id is treated as absent — a different, separately-tested rule).
+IVF_DELETE_MOD = 9
+# residue 5 (5, 14, 23, …): disjoint from SIM_QUERY_IDS and chosen so
+# the takedown VISIBLY changes the sf0.01 result (baseline neighbors
+# 149/365/482 are ≡5 mod 9) — a residue missing the baseline would let
+# a no-op delete pass the driver gate
+IVF_DELETE_RESIDUE = 5
+
+
+def q_ivf_delete_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Takedown on the vector index: build, tombstone every vec_id ≡
+    {IVF_DELETE_RESIDUE} (mod {IVF_DELETE_MOD}) (``IvfIndex.delete`` —
+    one O(|deleted|) atomic append), then search. The oracle narrows
+    the CANDIDATE side only: deletion never retrains the quantizer, it
+    just makes the ids unreachable — ``_live_assign``'s contract,
+    checked bit-for-bit."""
+    from .catalog import Catalog
+    from .operators.similarity import IvfIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cat = Catalog(spark, _idx_root("ivf_del_", sf_dir))
+    idx = IvfIndex(
+        cat, "ivf_del", n_centroids=SIM_IVF_CENTROIDS, nprobe=SIM_IVF_NPROBE
+    )
+    idx.build(emb)
+    idx.delete(
+        emb.filter(
+            F.col("vec_id") % IVF_DELETE_MOD == IVF_DELETE_RESIDUE
+        ).select("vec_id")
+    )
+    return idx.search_ids(SIM_QUERY_IDS, k=SIM_K)
+
+
+# corpus docs doc_id ≡ 2 (mod 10) taken down — a residue that VISIBLY
+# changes the sf0.01 result (baseline matches include corpus docs 92
+# and 332), so a no-op delete cannot pass the driver gate
+NEARDUP_DELETE_RESIDUE = 2
+
+
+def q_neardup_delete_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Takedown on the lexical index: build over the 90% corpus,
+    tombstone every doc_id ≡ {NEARDUP_DELETE_RESIDUE} (mod {INCR_MOD})
+    (``NearDupIndex.delete``), then check the 1-in-10 batch. The oracle
+    narrows the corpus side everywhere the Spark side's live view
+    reaches — candidate generation AND the hot-bucket cap are computed
+    on the live set on both engines."""
+    from .catalog import Catalog
+    from .operators.dedup import NearDupIndex
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % INCR_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % INCR_MOD != 0)
+    cat = Catalog(spark, _idx_root("neardup_del_", sf_dir))
+    idx = NearDupIndex(
+        cat, "neardup_del", threshold=MINHASH_THRESHOLD, max_bucket=SKEW_CAP
+    )
+    idx.build(corpus)
+    idx.delete(
+        docs.filter(
+            F.col("doc_id") % INCR_MOD == NEARDUP_DELETE_RESIDUE
+        ).select("doc_id")
+    )
+    return idx.check(new)
+
+
 LENGTH_HISTOGRAM_ORACLE = r"""
     SELECT CAST(length(bin(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)))
                 AS BIGINT) AS bucket,
@@ -3804,6 +4015,15 @@ EXT_QUERIES = {
     "ivf_cluster_skew": q_ivf_cluster_skew,
     "lsh_bucket_skew": q_lsh_bucket_skew,
     "chunk_semantic_ingest": q_chunk_semantic_ingest,
+    # r8: standing-index READ-path pricing (build memoized per process —
+    # bench's warmup builds, the measured reps price the serving path)
+    "similarity_topk_ivf_read": q_similarity_topk_ivf_read,
+    "embedding_neardup_read": q_embedding_neardup_read,
+    "incremental_neardup_read": q_incremental_neardup_read,
+    "chunk_ann_topk_read": q_chunk_ann_topk_read,
+    # r8: takedown journeys (tombstone delete honored by every read)
+    "ivf_delete_search": q_ivf_delete_search,
+    "neardup_delete_check": q_neardup_delete_check,
     # rows-only by policy (HLL vocab estimate — no DuckDB twin);
     # error-bound-gated vs the exact tier in tests/test_lm.py and
     # kept OUT of the driver verification window like the other
@@ -4049,6 +4269,20 @@ EXT_ORACLES = {
     "ivf_cluster_skew": ivf_cluster_skew_oracle(),
     "lsh_bucket_skew": lsh_bucket_skew_oracle(),
     "chunk_semantic_ingest": chunk_semantic_ingest_oracle(),
+    # the _read forms share their rebuild-priced siblings' oracles —
+    # identical math, the index tables are materialized intermediates
+    "similarity_topk_ivf_read": similarity_topk_ivf_oracle(),
+    "embedding_neardup_read": embedding_neardup_idx_oracle(),
+    "incremental_neardup_read": incremental_neardup_oracle(),
+    "chunk_ann_topk_read": chunk_ann_topk_oracle(),
+    # takedown twins: the live predicate narrows the corpus/candidate
+    # side exactly where the Spark live view reaches
+    "ivf_delete_search": similarity_topk_ivf_oracle(
+        live_pred=f"a.id % {IVF_DELETE_MOD} != {IVF_DELETE_RESIDUE}"
+    ),
+    "neardup_delete_check": incremental_neardup_oracle(
+        corpus_extra_pred=f"id % {INCR_MOD} != {NEARDUP_DELETE_RESIDUE}"
+    ),
     "chunk_hybrid_topk": chunk_hybrid_topk_oracle(),
     "pretraining_manifest_full": pretraining_manifest_full_oracle(),
 }
