@@ -149,15 +149,33 @@ EXTENDED_QUERIES = [
     "embedding_neardup_read",
     "incremental_neardup_read",
     "chunk_ann_topk_read",
+    "bm25_topk_read",
     # r8: takedown journeys (build + O(|deleted|) tombstone + read)
     "ivf_delete_search",
     "neardup_delete_check",
 ]
 
 
+def _await_idle_window() -> float:
+    """Block until the host looks idle, or the wait budget runs out —
+    the fix for three consecutive contaminated driver records: timings
+    taken at loadavg 7+ measure the co-tenant load, not this code, so
+    WAITING for the window beats annotating a junk record after the
+    fact. Controlled by SPARK_GRAFT_BENCH_IDLE_WAIT_SEC (default 900;
+    0 disables). Returns the seconds actually waited."""
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT_SEC", "900"))
+    threshold = max(2.0, (os.cpu_count() or 1) / 5)
+    waited = 0.0
+    while waited < budget and os.getloadavg()[0] > threshold:
+        time.sleep(30)
+        waited += 30
+    return waited
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    idle_waited = _await_idle_window()
     spark = get_session(app_name="smr-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -218,6 +236,10 @@ def main() -> None:
         # driver record started at loadavg 8 and read as a regression while
         # the idle record showed a 15% improvement)
         "contaminated": load_start[0] > max(2.0, (os.cpu_count() or 1) / 5),
+        # seconds spent waiting for an idle window before starting (the
+        # r7 verdict's "schedule it inside an idle window" — a record
+        # that still stamps contaminated exhausted this budget)
+        "idle_waited_sec": idle_waited,
         "reps": reps,
     }
     if errors:

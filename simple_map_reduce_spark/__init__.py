@@ -9,6 +9,7 @@ from .catalog import Catalog
 from .engine import MapleJuice
 from .operators.dedup import NearDupIndex
 from .operators.sampling import shuffle_positions, split_assign, stratified_sample
+from .operators.similarity import IvfIndex, ivf_capacity
 from .operators.spans import span_dedup
 
 __all__ = [
@@ -16,6 +17,8 @@ __all__ = [
     "Catalog",
     "MapleJuice",
     "NearDupIndex",
+    "IvfIndex",
+    "ivf_capacity",
     "shuffle_positions",
     "split_assign",
     "stratified_sample",

@@ -118,6 +118,16 @@ class Catalog:
     def exists(self, name: str) -> bool:
         return os.path.isdir(self._path(name))
 
+    def file_count(self, name: str) -> int:
+        """Number of data files in a table — the scan-task-count /
+        listing-pressure signal that drives compaction policy (each
+        streaming-ingest epoch appends a file set; cost grows with FILE
+        count, not data size). Driver-side directory listing, no job."""
+        path = self._path(name)
+        if not os.path.isdir(path):
+            return 0
+        return sum(1 for f in os.listdir(path) if f.startswith("part-"))
+
     def _session_entry_is_ours(self, name: str) -> bool | None:
         """Does the session catalog hold a non-temp entry for ``name``
         whose storage location is THIS catalog's path for ``name``?

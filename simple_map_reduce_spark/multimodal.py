@@ -158,6 +158,148 @@ def resize_images(media: DataFrame, target: int = 64, strict: bool = False) -> D
     return media.select("doc_id", "content").mapInPandas(run, RESIZE_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# REAL decoders (no external codec needed) — proof the Arrow-batched
+# decode contract carries real bytes, not just the deterministic fake.
+# RIFF/WAV and PPM/PGM are fully specified, header+raster formats a few
+# dozen lines of stdlib/numpy parse; formats that genuinely need a codec
+# (JPEG/MP3/MP4) keep the strict-mode stubs above. The registry/oracle
+# rows stay on the deterministic-fake tier — DuckDB can recompute md5,
+# not PCM — so these are pytest-gated against hand-built fixtures.
+# ---------------------------------------------------------------------------
+
+WAV_FEATURES_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_channels int, n_samples bigint, rms double"
+)
+
+PPM_FEATURES_SCHEMA = (
+    "doc_id bigint, width int, height int, n_channels int, feature array<double>"
+)
+
+
+def _parse_wav(payload: bytes) -> tuple[int, int, int, float]:
+    """Parse a RIFF/WAVE container (PCM 8/16-bit): (sample_rate,
+    n_channels, n_samples_per_channel, rms in [0, 1]). Chunk-walks the
+    container (fmt may be followed by LIST/fact chunks before data), so
+    real-world writers' layouts parse too. Raises ValueError on
+    malformed bytes — a corrupt blob should fail the batch loudly, not
+    ship a silent zero feature."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, csz = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + csz]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + csz + (csz & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _brate, _balign, bits = fmt
+    if audio_format != 1 or bits not in (8, 16) or n_channels < 1:
+        raise ValueError(f"unsupported WAV (format={audio_format}, bits={bits})")
+    if bits == 16:
+        x = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2").astype(np.float64)
+        x /= 32768.0
+    else:  # 8-bit PCM is unsigned, midpoint 128
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    n_samples = len(x) // n_channels
+    rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+    return sample_rate, n_channels, n_samples, rms
+
+
+def decode_wav_features(media: DataFrame) -> DataFrame:
+    """REAL audio decode for RIFF/WAV (PCM 8/16-bit) — the same Arrow
+    batch shape, schema discipline, and partitioning as the stub tier
+    (``decode_audio_features``), but the bytes are actually parsed:
+    sample rate and channel count from the fmt chunk, the per-channel
+    sample count from the data chunk, RMS over the normalized samples
+    (numpy-vectorized per batch — the per-row Python is header parsing
+    only)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                sr, nch, n, rms = _parse_wav(bytes(content))
+                rows.append((doc_id, sr, nch, n, rms))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "sample_rate", "n_channels", "n_samples", "rms"],
+            )
+
+    return media.select("doc_id", "content").mapInPandas(run, WAV_FEATURES_SCHEMA)
+
+
+def _parse_pnm(payload: bytes) -> tuple[int, int, int, list[float]]:
+    """Parse a binary PPM (P6) / PGM (P5) image: (width, height,
+    n_channels, feature) where the feature is the per-channel mean
+    intensity in [0, 1] padded to 4 entries with the all-channel mean —
+    the same 4-dim feature shape as the stub tier, derived from real
+    pixels. Handles the full header grammar (whitespace runs and ``#``
+    comments between tokens). Raises ValueError on malformed bytes."""
+    import numpy as np
+
+    if payload[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PGM/PPM (P5/P6)")
+    n_channels = 3 if payload[:2] == b"P6" else 1
+    # header tokenizer: magic, width, height, maxval — comments to EOL
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        if pos >= len(payload):
+            raise ValueError("truncated PNM header")
+        c = payload[pos : pos + 1]
+        if c == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace byte after maxval
+    width, height, maxval = tokens
+    if not (0 < maxval < 65536) or width < 1 or height < 1:
+        raise ValueError(f"bad PNM header ({width}x{height}, maxval={maxval})")
+    dtype = np.uint8 if maxval < 256 else ">u2"
+    n_px = width * height * n_channels
+    if len(payload) - pos < n_px * (1 if maxval < 256 else 2):
+        raise ValueError("truncated PNM raster")
+    raster = np.frombuffer(payload, dtype=dtype, count=n_px, offset=pos)
+    img = raster.astype(np.float64).reshape(height, width, n_channels) / maxval
+    means = [float(img[:, :, c].mean()) for c in range(n_channels)]
+    overall = float(img.mean())
+    feature = (means + [overall] * 4)[:4]
+    return width, height, n_channels, feature
+
+
+def decode_ppm_features(media: DataFrame) -> DataFrame:
+    """REAL image decode for binary PPM/PGM — the drop-in proof for the
+    image contract (``decode_image_features``'s schema, real pixels):
+    dimensions from the parsed header, the 4-dim feature from actual
+    per-channel mean intensities."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                w, h, c, feat = _parse_pnm(bytes(content))
+                rows.append((doc_id, w, h, c, feat))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "n_channels", "feature"]
+            )
+
+    return media.select("doc_id", "content").mapInPandas(run, PPM_FEATURES_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_n: int = 10, strict: bool = False) -> DataFrame:
     """Video frame sampling stub: emits 0..n rows per input (UDTF shape —
     one row per sampled frame). Real impl would seek with ffmpeg."""

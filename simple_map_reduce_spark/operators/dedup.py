@@ -753,6 +753,70 @@ class NearDupIndex:
         drop_tombstones(self.catalog, self.name)
         return n
 
+    def maintain(
+        self,
+        max_capped_share: float = 0.05,
+        max_tombstone_share: float = 0.2,
+        max_files_per_bucket: int = 8,
+    ) -> dict:
+        """The closed maintenance loop — the lexical twin of
+        :meth:`~..similarity.IvfIndex.maintain`: one call reads the
+        index's own health signals and triggers the standing remedies.
+
+        Checks, in remedy-subsumption order (one structural action per
+        call):
+
+        1. **Hot-bucket mass**: the share of posting-list rows the
+           query-time ``max_bucket`` cap silently excludes
+           (:meth:`bucket_stats` ``capped_rows / n_rows``) above
+           ``max_capped_share`` is REPORTED as
+           ``reband_recommended=True`` but never auto-fixed — changing
+           ``shingle_n``/``bands`` changes MATCH SEMANTICS, a human
+           decision (an automatic re-band would silently move the
+           dedup threshold under a running pipeline).
+        2. **Tombstone debt**: |tombstones| > ``max_tombstone_share`` ×
+           |live docs| → :meth:`vacuum`. Vacuum rewrites all three
+           state tables, so check 3 is moot after it.
+        3. **File fragmentation**: any state table holding more than
+           ``max_files_per_bucket`` × ``num_buckets`` files →
+           :meth:`compact`.
+
+        All signals are bounded reads (bucket_stats is one row per
+        band; the counts are single-column jobs; file counts are
+        driver-side listings). Returns the report dict."""
+        from .tombstones import read_tombstones
+
+        stats = self.bucket_stats().collect()  # bounded: one row per band
+        rows = sum(r.n_rows for r in stats)
+        capped = sum(r.capped_rows for r in stats)
+        capped_share = capped / rows if rows else 0.0
+        report: dict = {
+            "action": "none",
+            "capped_share": capped_share,
+            "reband_recommended": capped_share > max_capped_share,
+            "tombstone_share": 0.0,
+            "max_files_per_bucket": 0.0,
+        }
+        ts = read_tombstones(self.catalog, self.name)
+        if ts is not None:
+            n_dead = ts.count()
+            n_live = self._corpus_sizes().count() - n_dead
+            share = n_dead / n_live if n_live > 0 else float(n_dead > 0)
+            report["tombstone_share"] = share
+            if share > max_tombstone_share:
+                self.vacuum()
+                report["action"] = "vacuum"
+                return report
+        files = max(
+            self.catalog.file_count(t) / self.num_buckets
+            for t in (self.buckets_table, self.sizes_table, self.shingles_table)
+        )
+        report["max_files_per_bucket"] = files
+        if files > max_files_per_bucket:
+            self.compact()
+            report["action"] = "compact"
+        return report
+
     def compact(self) -> dict[str, int]:
         """Compact all three append-heavy state tables back to ~one file
         per bucket (``Catalog.compact_bucketed`` — layout-preserving; the

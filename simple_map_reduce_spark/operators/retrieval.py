@@ -115,6 +115,26 @@ def bm25_topk(
     if tf is None:
         tf = tracked_persist(term_tf(docs, all_terms, id_col, text_col))
     df_t = tf.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
+    return _bm25_score(tf, lengths, stats, df_t, qterms, k, k1, b)
+
+
+def _bm25_score(
+    tf: DataFrame,
+    lengths: DataFrame,
+    stats: DataFrame,
+    df_t: DataFrame,
+    qterms: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """The ONE BM25 scoring core behind the recompute form
+    (:func:`bm25_topk`) and the standing-index form
+    (:class:`Bm25Index`.search): identical expression tree, identical
+    integer quantization, identical tiebreaks, so both share the DuckDB
+    oracle. Inputs: (doc_id, tok, tf) postings restricted to the query
+    terms, (doc_id, dl) lengths, a 1-row (n_docs, sum_dl) stats frame,
+    (tok, df) per-term doc counts, and the (query_id, tok) map."""
     contrib = (
         tf.join(lengths, "doc_id")
         .crossJoin(F.broadcast(stats))
@@ -228,6 +248,146 @@ def bm25_oracle_sql(
             FROM scored)
         SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= {k}
     """
+
+
+class Bm25Index:
+    """Catalog-persisted BM25 inverted index — the standing-state form of
+    :func:`bm25_topk`, completing the serving triple with
+    :class:`~.similarity.IvfIndex` (dense) and
+    :class:`~.dedup.NearDupIndex` (lexical dedup). The recompute form
+    re-tokenizes the corpus per query batch (the oracle convenience); at
+    100 TB the tokenize+aggregate IS the job, so the index pays it once:
+
+    - ``{name}__postings``: (tok, doc_id, tf) — BUCKETED on tok, so a
+      query-term lookup bucket-prunes the scan (Spark prunes buckets on
+      ``isin`` filters over the bucket column) and the per-term df/qterm
+      joins read pre-partitioned postings;
+    - ``{name}__df``: (tok, df) per-term document counts — precomputed,
+      BUCKETED on tok; search broadcasts only the query-terms slice;
+    - ``{name}__lengths``: (doc_id, dl) — BUCKETED on doc_id, the
+      contribution join's key;
+    - ``{name}__stats``: ONE row (n_docs, sum_dl).
+
+    Search math is :func:`_bm25_score` — the same expression tree,
+    integer quantization, and tiebreaks as the recompute form, so the
+    stored-index path shares its DuckDB oracle verbatim.
+
+    No tombstone tier here (unlike the other two indexes): BM25 scores
+    depend on CORPUS-GLOBAL statistics (df, N, avgdl), so hiding a
+    document's postings without adjusting those would return subtly
+    mis-weighted scores for every query — a takedown on the retrieval
+    corpus is an explicit :meth:`build` over the pruned corpus, priced
+    honestly, never a silent approximation."""
+
+    def __init__(
+        self,
+        catalog,
+        name: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        k1: float = BM25_K1,
+        b: float = BM25_B,
+        num_buckets: int = 32,
+    ):
+        self.catalog = catalog
+        self.name = name
+        self.id_col = id_col
+        self.text_col = text_col
+        self.k1 = k1
+        self.b = b
+        self.num_buckets = num_buckets
+
+    @property
+    def postings_table(self) -> str:
+        return f"{self.name}__postings"
+
+    @property
+    def df_table(self) -> str:
+        return f"{self.name}__df"
+
+    @property
+    def lengths_table(self) -> str:
+        return f"{self.name}__lengths"
+
+    @property
+    def stats_table(self) -> str:
+        return f"{self.name}__stats"
+
+    def build(self, docs: DataFrame) -> None:
+        """ONE corpus tokenize pass feeds all four tables: the exploded
+        token stream is persisted, aggregated to postings (the full
+        inverted index — every term, not a query's slice), then df and
+        lengths derive from it without re-reading the corpus."""
+        from ..cache import tracked_persist, untrack
+
+        toks = tracked_persist(
+            docs.select(
+                F.col(self.id_col).alias("doc_id"),
+                F.explode(tokenize(self.text_col)).alias("tok"),
+            )
+        )
+        try:
+            postings = toks.groupBy("tok", "doc_id").agg(
+                F.count("*").cast("bigint").alias("tf")
+            )
+            self.catalog.put_bucketed(
+                postings, self.postings_table, "tok", self.num_buckets
+            )
+            stored = self.catalog.get_bucketed(self.postings_table)
+            # df/lengths from the STORED postings: bucketed scan, no
+            # second corpus tokenize, and the df groupBy shuffles nothing
+            # (pre-partitioned on tok)
+            self.catalog.put_bucketed(
+                stored.groupBy("tok").agg(F.count("*").cast("bigint").alias("df")),
+                self.df_table,
+                "tok",
+                self.num_buckets,
+            )
+            lengths = stored.groupBy("doc_id").agg(
+                F.sum("tf").cast("bigint").alias("dl")
+            )
+            # zero-token docs have no postings rows but DO count toward
+            # N and avgdl — the recompute form's lengths come from the
+            # corpus itself, so the index's must too
+            all_lengths = (
+                docs.select(F.col(self.id_col).alias("doc_id"))
+                .join(lengths, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.coalesce("dl", F.lit(0).cast("bigint")).alias("dl"),
+                )
+            )
+            self.catalog.put_bucketed(
+                all_lengths, self.lengths_table, "doc_id", self.num_buckets
+            )
+            self.catalog.put(
+                self.catalog.get_bucketed(self.lengths_table).agg(
+                    F.count("*").cast("bigint").alias("n_docs"),
+                    F.sum("dl").cast("bigint").alias("sum_dl"),
+                ),
+                self.stats_table,
+            )
+        finally:
+            untrack(toks)
+
+    def search(self, queries: list[tuple[int, list[str]]], k: int = 10) -> DataFrame:
+        """Top-``k`` documents per keyword query against the standing
+        index — the serving path: postings and df are FILTERED to the
+        query terms at the scan (bucket-prunable on the tok-bucketed
+        tables), stats is one broadcast row, and only query-sized frames
+        shuffle. Bit-identical to :func:`bm25_topk` over the same
+        corpus (shared scoring core ⇒ shared oracle)."""
+        spark = self.catalog.spark
+        qterms, all_terms = _query_terms(spark, queries)
+        tf = self.catalog.get_bucketed(self.postings_table).filter(
+            F.col("tok").isin(all_terms)
+        )
+        df_t = self.catalog.get_bucketed(self.df_table).filter(
+            F.col("tok").isin(all_terms)
+        )
+        lengths = self.catalog.get_bucketed(self.lengths_table)
+        stats = self.catalog.get(self.stats_table)
+        return _bm25_score(tf, lengths, stats, df_t, qterms, k, self.k1, self.b)
 
 
 # ---------------------------------------------------------------------------

