@@ -150,6 +150,7 @@ EXTENDED_QUERIES = [
     "incremental_neardup_read",
     "chunk_ann_topk_read",
     "bm25_topk_read",
+    "chunk_hybrid_topk_read",
     # r8: takedown journeys (build + O(|deleted|) tombstone + read)
     "ivf_delete_search",
     "neardup_delete_check",

@@ -8,6 +8,7 @@ from .session import get_session
 from .catalog import Catalog
 from .engine import MapleJuice
 from .operators.dedup import NearDupIndex
+from .operators.retrieval import Bm25Index
 from .operators.sampling import shuffle_positions, split_assign, stratified_sample
 from .operators.similarity import IvfIndex, ivf_capacity
 from .operators.spans import span_dedup
@@ -18,6 +19,7 @@ __all__ = [
     "MapleJuice",
     "NearDupIndex",
     "IvfIndex",
+    "Bm25Index",
     "ivf_capacity",
     "shuffle_positions",
     "split_assign",

@@ -3568,6 +3568,25 @@ CHUNK_HYBRID_K_CHUNKS = 40  # dense chunk candidates
 CHUNK_HYBRID_K_DOCS = 20    # per-retriever doc candidates before fusion
 
 
+def _hybrid_dense_run(dense: DataFrame) -> DataFrame:
+    """Map the dense run's list POSITION back to the DECLARED qid — the
+    fusion joins on query_id, so aligning by position alone would be
+    correct only while the declared qids happen to be 1..N (ADVICE r7:
+    an edited constant would misalign both engines identically and the
+    oracle couldn't catch it). ONE definition shared by the rebuild-
+    priced and standing-index hybrid forms."""
+    qid_by_pos = F.array(
+        *[F.lit(qid).cast("bigint") for qid, _ in CHUNK_HYBRID_QUERIES]
+    )
+    return dense.select(
+        F.element_at(qid_by_pos, (F.col("query_idx") + 1).cast("int")).alias(
+            "query_id"
+        ),
+        "doc_id",
+        F.col("doc_rank").alias("rank"),
+    )
+
+
 def q_chunk_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid RAG retrieval end to end: the SAME free-text queries run
     through (a) the chunk-level ANN path (embed → ``IvfIndex.search``
@@ -3599,21 +3618,7 @@ def q_chunk_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids=SIM_IVF_CENTROIDS,
         nprobe=SIM_IVF_NPROBE,
     )
-    # Map the dense run's list POSITION back to the DECLARED qid — the
-    # fusion joins on query_id, so aligning by position alone would be
-    # correct only while the declared qids happen to be 1..N (ADVICE
-    # r7: an edited constant would misalign both engines identically
-    # and the oracle couldn't catch it).
-    qid_by_pos = F.array(
-        *[F.lit(qid).cast("bigint") for qid, _ in CHUNK_HYBRID_QUERIES]
-    )
-    dense_run = dense.select(
-        F.element_at(qid_by_pos, (F.col("query_idx") + 1).cast("int")).alias(
-            "query_id"
-        ),
-        "doc_id",
-        F.col("doc_rank").alias("rank"),
-    )
+    dense_run = _hybrid_dense_run(dense)
     sparse_run = bm25_topk(
         docs,
         [(qid, t.split()) for qid, t in CHUNK_HYBRID_QUERIES],
@@ -3826,14 +3831,9 @@ def q_incremental_neardup_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.check(new)
 
 
-def q_bm25_topk_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``bm25_topk``'s READ path: the standing catalog-persisted
-    inverted index (``operators.retrieval.Bm25Index`` — postings/df
-    bucketed on tok, lengths on doc_id, one-row stats). The serving
-    query filters postings and df to the query terms at the scan
-    (bucket-prunable) and shuffles only query-sized frames; the shared
-    scoring core makes it bit-identical to the recompute form, so the
-    oracle is the same SQL."""
+def _ensure_bm25_read_index(spark: SparkSession, sf_dir: str):
+    """The standing BM25 inverted index over `documents`, built once per
+    process — shared by the sparse read row AND the hybrid read row."""
     from .catalog import Catalog
     from .operators.retrieval import Bm25Index
 
@@ -3843,16 +3843,14 @@ def q_bm25_topk_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bm25_read", sf_dir,
         lambda: idx.build(load_table(spark, sf_dir, "documents")),
     )
-    return idx.search(BM25_QUERIES, k=BM25_K)
+    return idx
 
 
-def q_chunk_ann_topk_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``chunk_ann_topk``'s READ path: chunk-level ANN retrieval against
-    the STANDING chunk index (``chunk_ann_doc_search``) — the per-query
-    serving cost of the RAG read path: probe/rescore funnel + two
-    bounded rollup windows, nothing corpus-sized."""
+def _ensure_chunk_read_index(spark: SparkSession, sf_dir: str):
+    """The standing chunk-vector IVF index, built once per process —
+    shared by the dense chunk read row AND the hybrid read row."""
     from .catalog import Catalog
-    from .operators.chunking import chunk_ann_doc_search, chunk_vectors
+    from .operators.chunking import chunk_vectors
     from .operators.similarity import IvfIndex
 
     cat = Catalog(spark, _idx_root("chunk_read_", sf_dir))
@@ -3868,6 +3866,28 @@ def q_chunk_ann_topk_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx.build(chunk_vectors(docs).select("vec_id", "embedding"))
 
     _standing_index("chunk_ann_read", sf_dir, build)
+    return cat
+
+
+def q_bm25_topk_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``bm25_topk``'s READ path: the standing catalog-persisted
+    inverted index (``operators.retrieval.Bm25Index`` — postings/df
+    bucketed on tok, lengths on doc_id, one-row stats). The serving
+    query filters postings and df to the query terms at the scan
+    (bucket-prunable) and shuffles only query-sized frames; the shared
+    scoring core makes it bit-identical to the recompute form, so the
+    oracle is the same SQL."""
+    return _ensure_bm25_read_index(spark, sf_dir).search(BM25_QUERIES, k=BM25_K)
+
+
+def q_chunk_ann_topk_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``chunk_ann_topk``'s READ path: chunk-level ANN retrieval against
+    the STANDING chunk index (``chunk_ann_doc_search``) — the per-query
+    serving cost of the RAG read path: probe/rescore funnel + two
+    bounded rollup windows, nothing corpus-sized."""
+    from .operators.chunking import chunk_ann_doc_search
+
+    cat = _ensure_chunk_read_index(spark, sf_dir)
     return chunk_ann_doc_search(
         cat,
         "chunk_ann_read",
@@ -3877,6 +3897,38 @@ def q_chunk_ann_topk_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids=SIM_IVF_CENTROIDS,
         nprobe=SIM_IVF_NPROBE,
     ).orderBy("query_doc", "doc_rank")
+
+
+def q_chunk_hybrid_topk_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``chunk_hybrid_topk``'s READ path — the full RAG SERVING journey
+    against standing state only: the same free-text queries run through
+    (a) the standing chunk IVF index (shared with ``chunk_ann_topk_read``)
+    and (b) the standing BM25 inverted index (shared with
+    ``bm25_topk_read``), fused with RRF. This is the number a retrieval
+    service pays per hybrid query once both indexes exist — the
+    rebuild-priced sibling prices the bootstrap. Same math end to end ⇒
+    same oracle."""
+    from .operators.chunking import chunk_ann_text_topk
+    from .operators.retrieval import rrf_fuse
+
+    cat = _ensure_chunk_read_index(spark, sf_dir)
+    bidx = _ensure_bm25_read_index(spark, sf_dir)
+    dense = chunk_ann_text_topk(
+        spark,
+        cat,
+        "chunk_ann_read",
+        [t for _, t in CHUNK_HYBRID_QUERIES],
+        k_chunks=CHUNK_HYBRID_K_CHUNKS,
+        k_docs=CHUNK_HYBRID_K_DOCS,
+        n_centroids=SIM_IVF_CENTROIDS,
+        nprobe=SIM_IVF_NPROBE,
+    )
+    dense_run = _hybrid_dense_run(dense)
+    sparse_run = bidx.search(
+        [(qid, t.split()) for qid, t in CHUNK_HYBRID_QUERIES],
+        k=CHUNK_HYBRID_K_DOCS,
+    ).select("query_id", "doc_id", "rank")
+    return rrf_fuse(dense_run, sparse_run, k=CHUNK_HYBRID_K)
 
 
 # takedown journeys: delete admitted ids from the standing indexes,
@@ -4042,6 +4094,7 @@ EXT_QUERIES = {
     "incremental_neardup_read": q_incremental_neardup_read,
     "chunk_ann_topk_read": q_chunk_ann_topk_read,
     "bm25_topk_read": q_bm25_topk_read,
+    "chunk_hybrid_topk_read": q_chunk_hybrid_topk_read,
     # r8: takedown journeys (tombstone delete honored by every read)
     "ivf_delete_search": q_ivf_delete_search,
     "neardup_delete_check": q_neardup_delete_check,
@@ -4297,6 +4350,7 @@ EXT_ORACLES = {
     "incremental_neardup_read": incremental_neardup_oracle(),
     "chunk_ann_topk_read": chunk_ann_topk_oracle(),
     "bm25_topk_read": bm25_oracle_sql(BM25_QUERIES, k=BM25_K),
+    "chunk_hybrid_topk_read": chunk_hybrid_topk_oracle(),
     # takedown twins: the live predicate narrows the corpus/candidate
     # side exactly where the Spark live view reaches
     "ivf_delete_search": similarity_topk_ivf_oracle(
