@@ -167,7 +167,11 @@ def _await_idle_window() -> float:
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT_SEC", "900"))
     threshold = max(2.0, (os.cpu_count() or 1) / 5)
     waited = 0.0
-    while waited < budget and os.getloadavg()[0] > threshold:
+    # gate on BOTH the 1- and 5-minute averages: a just-drained load
+    # (test suite finished a minute ago) reads 1-min ≈ 0 while the
+    # caches/scheduler are still churning — a window like that measured
+    # a broad 1.28x inflation on untouched queries (r8, discarded)
+    while waited < budget and max(os.getloadavg()[:2]) > threshold:
         time.sleep(30)
         waited += 30
     return waited
