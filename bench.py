@@ -151,6 +151,8 @@ EXTENDED_QUERIES = [
     "chunk_ann_topk_read",
     "bm25_topk_read",
     "chunk_hybrid_topk_read",
+    # r8: incremental inverted-index maintenance (build + ingest + read)
+    "bm25_ingest_topk",
     # r8: takedown journeys (build + O(|deleted|) tombstone + read)
     "ivf_delete_search",
     "neardup_delete_check",

@@ -334,21 +334,13 @@ class Bm25Index:
                 postings, self.postings_table, "tok", self.num_buckets
             )
             stored = self.catalog.get_bucketed(self.postings_table)
-            # df/lengths from the STORED postings: bucketed scan, no
-            # second corpus tokenize, and the df groupBy shuffles nothing
-            # (pre-partitioned on tok)
-            self.catalog.put_bucketed(
-                stored.groupBy("tok").agg(F.count("*").cast("bigint").alias("df")),
-                self.df_table,
-                "tok",
-                self.num_buckets,
-            )
+            # lengths from the STORED postings (bucketed scan, no second
+            # corpus tokenize); zero-token docs have no postings rows
+            # but DO count toward N and avgdl — the recompute form's
+            # lengths come from the corpus itself, so the index's must
             lengths = stored.groupBy("doc_id").agg(
                 F.sum("tf").cast("bigint").alias("dl")
             )
-            # zero-token docs have no postings rows but DO count toward
-            # N and avgdl — the recompute form's lengths come from the
-            # corpus itself, so the index's must too
             all_lengths = (
                 docs.select(F.col(self.id_col).alias("doc_id"))
                 .join(lengths, "doc_id", "left")
@@ -360,13 +352,7 @@ class Bm25Index:
             self.catalog.put_bucketed(
                 all_lengths, self.lengths_table, "doc_id", self.num_buckets
             )
-            self.catalog.put(
-                self.catalog.get_bucketed(self.lengths_table).agg(
-                    F.count("*").cast("bigint").alias("n_docs"),
-                    F.sum("dl").cast("bigint").alias("sum_dl"),
-                ),
-                self.stats_table,
-            )
+            self._rederive_stats()
         finally:
             untrack(toks)
 
@@ -388,6 +374,104 @@ class Bm25Index:
         lengths = self.catalog.get_bucketed(self.lengths_table)
         stats = self.catalog.get(self.stats_table)
         return _bm25_score(tf, lengths, stats, df_t, qterms, k, self.k1, self.b)
+
+    def ingest(self, docs: DataFrame) -> int:
+        """Admit new documents into the standing inverted index — the
+        sparse-retrieval twin of the dedup/ANN indexes' ``ingest``
+        (all three standing indexes now share the build/search/ingest
+        surface). Returns how many documents were newly admitted.
+
+        Steps, in crash-safety order:
+
+        1. **postings append** — the batch's (tok, doc_id, tf) rows,
+           anti-joined against doc_ids already present (broadcast
+           semi-probe restricted to batch ids first, the NearDupIndex
+           retry idiom), so a retried half-failed ingest tops up
+           instead of double-counting a document's tf.
+        2. **lengths append** — same anti-join healing; zero-token
+           docs get their explicit dl=0 row (they carry no postings,
+           so the lengths table is the admission record — which is why
+           the dedup probe below reads lengths, not postings).
+        3. **df/stats re-derive** — OVERWRITTEN from the stored
+           postings/lengths. Deliberately NOT a delta-merge: add-based
+           merges double-count under crash-retry (append succeeded,
+           merge crashed, retry re-adds), while re-derivation is
+           idempotent under ANY prefix of this sequence. The df
+           aggregate reads the tok-bucketed postings pre-partitioned —
+           a columnar scan with NO Exchange, not a corpus shuffle —
+           and a crash between 2 and 3 leaves df/stats STALE but
+           consistent (scores use the pre-ingest corpus statistics;
+           the retry heals them), never mixed.
+
+        Unlike the dedup indexes there is no admission GATE here — a
+        retrieval corpus admits everything; dedup belongs to the
+        NearDupIndex/IvfIndex tier. Re-ingesting an already-admitted
+        doc_id is a no-op (the anti-joins), so ingest composes with the
+        marker-last epoch protocol if driven from a stream."""
+        from ..cache import tracked_persist, untrack
+
+        batch_ids = docs.select(
+            F.col(self.id_col).alias("doc_id")
+        ).distinct()
+        have = (
+            self.catalog.get_bucketed(self.lengths_table)
+            .join(F.broadcast(batch_ids), "doc_id", "left_semi")
+            .select("doc_id")
+        )
+        fresh = tracked_persist(
+            docs.select(
+                F.col(self.id_col).alias("doc_id"), F.col(self.text_col)
+            ).join(F.broadcast(have), "doc_id", "left_anti")
+        )
+        try:
+            n_new = fresh.count()
+            if n_new:
+                toks = fresh.select(
+                    "doc_id", F.explode(tokenize(self.text_col)).alias("tok")
+                )
+                postings = toks.groupBy("tok", "doc_id").agg(
+                    F.count("*").cast("bigint").alias("tf")
+                )
+                self.catalog.append_bucketed(
+                    postings, self.postings_table, "tok", self.num_buckets
+                )
+                lengths = fresh.select(
+                    "doc_id", token_count(self.text_col).alias("dl")
+                )
+                self.catalog.append_bucketed(
+                    lengths, self.lengths_table, "doc_id", self.num_buckets
+                )
+            # re-derive even when nothing appended: the n_new == 0 case
+            # INCLUDES the crash-retry whose appends landed but whose
+            # stats pass didn't — skipping here would leave df/stats
+            # stale forever (caught by the crash-heal test). A true
+            # no-op ingest pays one bucketed postings scan for it.
+            self._rederive_stats()
+            return n_new
+        finally:
+            untrack(fresh)
+
+    def _rederive_stats(self) -> None:
+        """Rebuild df and stats from the STORED postings/lengths —
+        idempotent (safe under any crash-retry), and the df groupBy
+        reads the tok-bucketed postings with no Exchange above the
+        scan. Eagerly localCheckpoint-ed before the overwrite: the df
+        frame reads the very table it replaces (use ``checkpoint`` on a
+        cluster for executor-loss durability)."""
+        df_new = (
+            self.catalog.get_bucketed(self.postings_table)
+            .groupBy("tok")
+            .agg(F.count("*").cast("bigint").alias("df"))
+            .localCheckpoint()
+        )
+        self.catalog.put_bucketed(df_new, self.df_table, "tok", self.num_buckets)
+        self.catalog.put(
+            self.catalog.get_bucketed(self.lengths_table).agg(
+                F.count("*").cast("bigint").alias("n_docs"),
+                F.sum("dl").cast("bigint").alias("sum_dl"),
+            ),
+            self.stats_table,
+        )
 
 
 # ---------------------------------------------------------------------------

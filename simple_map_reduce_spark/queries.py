@@ -247,10 +247,11 @@ QUERIES: dict[str, QueryFn] = {
 # so a behavior change can never ship on a stale green row again (round
 # 2's trigram-default change left jaccard_pairs unverified for a round).
 #
-# Round 8 window = the 8 NEW queries (the six standing-index READ-path
+# Round 8 window = the 9 NEW queries (the six standing-index READ-path
 # forms similarity_topk_ivf_read / embedding_neardup_read /
 # incremental_neardup_read / chunk_ann_topk_read / bm25_topk_read /
-# chunk_hybrid_topk_read, and the two takedown journeys
+# chunk_hybrid_topk_read, the incremental inverted-index journey
+# bm25_ingest_topk, and the two takedown journeys
 # ivf_delete_search / neardup_delete_check — VERDICT r7 items 2 and 3)
 # + the 2 queries whose code changed (chunk_hybrid_topk: the
 # dense run now maps list position to the DECLARED qid on both engines,
@@ -258,15 +259,15 @@ QUERIES: dict[str, QueryFn] = {
 # + the other 3 late-r7 registrations that shipped with no driver row
 # ever (pretraining_manifest_full, chunk_semantic_ingest,
 # lsh_bucket_skew — VERDICT r7 item 1: after this round only the 3
-# policy sketches lack driver history) + the 37 oldest (r5-dated) green
+# policy sketches lack driver history) + the 36 oldest (r5-dated) green
 # rows, alphabetical. The index-backed queries all traverse the new
 # tombstone plumbing, but with no tombstone table the live view is
 # IDENTITY (driver runs build fresh indexes; build drops tombstones) —
 # plan-identical default path, the embedding_neardup_idx-r7 precedent —
 # so only the two with real output-affecting edits are in
-# _CHANGED_THIS_ROUND. 11 r5-dated rows (similarity_topk_ivf_idx,
-# source_overlap, status_priority_sets … waiting_suppliers,
-# alphabetical tail) remain for the r9 window.
+# _CHANGED_THIS_ROUND. 12 r5-dated rows (sessionize_batch,
+# similarity_topk_ivf_idx, source_overlap, status_priority_sets …
+# waiting_suppliers, alphabetical tail) remain for the r9 window.
 _CHANGED_THIS_ROUND = [
     # r8: NEW queries ship their behavior this round
     "similarity_topk_ivf_read",
@@ -275,6 +276,7 @@ _CHANGED_THIS_ROUND = [
     "chunk_ann_topk_read",
     "bm25_topk_read",
     "chunk_hybrid_topk_read",
+    "bm25_ingest_topk",
     "ivf_delete_search",
     "neardup_delete_check",
     # r8: explicit qid mapping in the dense fusion run (ADVICE r7)
@@ -325,7 +327,6 @@ _ROTATION_FRONT = [
     "segment_intersect",
     "segment_priority_grid",
     "semdedup_prune",
-    "sessionize_batch",
 ]
 assert len(_ROTATION_FRONT) == 50
 assert set(_ROTATION_FRONT) <= set(QUERIES)

@@ -3899,6 +3899,27 @@ def q_chunk_ann_topk_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_doc", "doc_rank")
 
 
+def q_bm25_ingest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental inverted-index maintenance end to end
+    (``Bm25Index.ingest``): build the standing index over the 90%
+    corpus, ADMIT the 1-in-10 batch (postings/lengths appends with
+    anti-join retry healing; df and stats re-derived idempotently from
+    the stored postings — the tok-bucketed aggregate adds no Exchange),
+    then search. The post-ingest index must be indistinguishable from
+    one built over the full corpus, so the oracle is the UNSPLIT BM25
+    SQL — the strongest possible check that the incremental path
+    reconstructs every corpus-global statistic exactly."""
+    from .catalog import Catalog
+    from .operators.retrieval import Bm25Index
+
+    docs = load_table(spark, sf_dir, "documents")
+    cat = Catalog(spark, _idx_root("bm25_ing_", sf_dir))
+    idx = Bm25Index(cat, "bm25_ing")
+    idx.build(docs.filter(F.col("doc_id") % INCR_MOD != 0))
+    idx.ingest(docs.filter(F.col("doc_id") % INCR_MOD == 0))
+    return idx.search(BM25_QUERIES, k=BM25_K)
+
+
 def q_chunk_hybrid_topk_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``chunk_hybrid_topk``'s READ path — the full RAG SERVING journey
     against standing state only: the same free-text queries run through
@@ -4095,6 +4116,7 @@ EXT_QUERIES = {
     "chunk_ann_topk_read": q_chunk_ann_topk_read,
     "bm25_topk_read": q_bm25_topk_read,
     "chunk_hybrid_topk_read": q_chunk_hybrid_topk_read,
+    "bm25_ingest_topk": q_bm25_ingest_topk,
     # r8: takedown journeys (tombstone delete honored by every read)
     "ivf_delete_search": q_ivf_delete_search,
     "neardup_delete_check": q_neardup_delete_check,
@@ -4351,6 +4373,9 @@ EXT_ORACLES = {
     "chunk_ann_topk_read": chunk_ann_topk_oracle(),
     "bm25_topk_read": bm25_oracle_sql(BM25_QUERIES, k=BM25_K),
     "chunk_hybrid_topk_read": chunk_hybrid_topk_oracle(),
+    # the ingest journey's oracle is the UNSPLIT full-corpus SQL: the
+    # incremental path must reconstruct every corpus-global statistic
+    "bm25_ingest_topk": bm25_oracle_sql(BM25_QUERIES, k=BM25_K),
     # takedown twins: the live predicate narrows the corpus/candidate
     # side exactly where the Spark live view reaches
     "ivf_delete_search": similarity_topk_ivf_oracle(

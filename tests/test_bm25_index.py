@@ -79,6 +79,81 @@ def test_build_counts_zero_token_docs(spark, tmp_path):
     assert got == want
 
 
+def test_ingest_matches_full_build(spark, tmp_path):
+    """THE incremental-maintenance contract: after build(90%) +
+    ingest(10%), every search result — hence every corpus-global
+    statistic (df, N, avgdl) — is bit-identical to one build over the
+    full corpus."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    cat = Catalog(spark, str(tmp_path / "iwh"))
+    idx = Bm25Index(cat, "i_t")
+    idx.build(docs.filter(F.col("doc_id") % 10 != 0))
+    n = idx.ingest(docs.filter(F.col("doc_id") % 10 == 0))
+    assert n == docs.filter(F.col("doc_id") % 10 == 0).count()
+    cat2 = Catalog(spark, str(tmp_path / "iwh_ref"))
+    ref = Bm25Index(cat2, "i_ref")
+    ref.build(docs)
+    got = sorted(map(tuple, idx.search(QUERIES, k=7).collect()))
+    want = sorted(map(tuple, ref.search(QUERIES, k=7).collect()))
+    assert got == want and got
+    # re-ingesting the same batch is a no-op (anti-join healing)
+    assert idx.ingest(docs.filter(F.col("doc_id") % 10 == 0)) == 0
+    assert sorted(map(tuple, idx.search(QUERIES, k=7).collect())) == want
+
+
+def test_ingest_crash_between_appends_and_stats_heals(spark, tmp_path):
+    """Crash window: postings+lengths appended, df/stats NOT yet
+    re-derived → scores use the stale (pre-ingest) corpus statistics —
+    consistent, never mixed — and the retried ingest (a no-op append)
+    still re-derives, healing to the full-build state."""
+    a = spark.createDataFrame(
+        [(1, "hash join hash"), (2, "scan filter")], "doc_id bigint, text string"
+    )
+    b = spark.createDataFrame([(3, "hash scan")], "doc_id bigint, text string")
+    cat = Catalog(spark, str(tmp_path / "cwh"))
+    idx = Bm25Index(cat, "c_t")
+    idx.build(a)
+    # emulate the crash: run only the append half of ingest
+    from pyspark.sql import functions as SF
+
+    from simple_map_reduce_spark.functions.text import token_count, tokenize
+
+    toks = b.select("doc_id", SF.explode(tokenize("text")).alias("tok"))
+    cat.append_bucketed(
+        toks.groupBy("tok", "doc_id").agg(SF.count("*").cast("bigint").alias("tf")),
+        idx.postings_table, "tok", idx.num_buckets,
+    )
+    cat.append_bucketed(
+        b.select("doc_id", token_count("text").alias("dl")),
+        idx.lengths_table, "doc_id", idx.num_buckets,
+    )
+    # stale-but-consistent: stats still say n_docs=2
+    assert cat.get(idx.stats_table).collect()[0].n_docs == 2
+    # the retry: appends anti-join to nothing, stats re-derive
+    assert idx.ingest(b) == 0
+    assert cat.get(idx.stats_table).collect()[0].n_docs == 3
+    cat2 = Catalog(spark, str(tmp_path / "cwh_ref"))
+    ref = Bm25Index(cat2, "c_ref")
+    ref.build(a.unionByName(b))
+    q = [(1, ["hash", "scan"])]
+    assert sorted(map(tuple, idx.search(q, k=5).collect())) == sorted(
+        map(tuple, ref.search(q, k=5).collect())
+    )
+
+
+def test_ingest_zero_token_doc_counts_in_stats(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "zwh"))
+    idx = Bm25Index(cat, "z_t")
+    idx.build(
+        spark.createDataFrame([(1, "hash join")], "doc_id bigint, text string")
+    )
+    assert idx.ingest(
+        spark.createDataFrame([(2, "???")], "doc_id bigint, text string")
+    ) == 1
+    stats = cat.get(idx.stats_table).collect()[0]
+    assert stats.n_docs == 2 and stats.sum_dl == 2  # dl(2)=0 still counts
+
+
 def test_rebuild_overwrite_is_clean(spark, tmp_path):
     """build() over a new corpus replaces all four tables — no stale
     postings from the previous corpus survive."""
