@@ -193,8 +193,14 @@ def _parse_wav(payload: bytes) -> tuple[int, int, int, float]:
     pos, fmt, data = 12, None, None
     while pos + 8 <= len(payload):
         cid, csz = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        if pos + 8 + csz > len(payload):
+            # a declared size past the payload would silently truncate
+            # the chunk (short RMS read) — fail loudly instead
+            raise ValueError(f"chunk {cid!r} size {csz} exceeds payload")
         body = payload[pos + 8 : pos + 8 + csz]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("fmt chunk shorter than 16 bytes")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body

@@ -784,7 +784,7 @@ class NearDupIndex:
         All signals are bounded reads (bucket_stats is one row per
         band; the counts are single-column jobs; file counts are
         driver-side listings). Returns the report dict."""
-        from .tombstones import read_tombstones
+        from .tombstones import live, read_tombstones
 
         stats = self.bucket_stats().collect()  # bounded: one row per band
         rows = sum(r.n_rows for r in stats)
@@ -800,7 +800,11 @@ class NearDupIndex:
         ts = read_tombstones(self.catalog, self.name)
         if ts is not None:
             n_dead = ts.count()
-            n_live = self._corpus_sizes().count() - n_dead
+            # count live docs DIRECTLY (the IvfIndex.maintain idiom):
+            # delete() accepts absent ids harmlessly, so subtracting
+            # |tombstones| from the corpus count would deflate n_live
+            # and trigger premature vacuums (ADVICE r8)
+            n_live = live(self.catalog, self.name, self._corpus_sizes()).count()
             share = n_dead / n_live if n_live > 0 else float(n_dead > 0)
             report["tombstone_share"] = share
             if share > max_tombstone_share:
@@ -836,7 +840,13 @@ class NearDupIndex:
             ),
         }
 
-    def ingest_stream(self, stream_df: DataFrame, checkpoint_dir: str) -> None:
+    def ingest_stream(
+        self,
+        stream_df: DataFrame,
+        checkpoint_dir: str,
+        maintain_every: int = 0,
+        maintain_kwargs: dict | None = None,
+    ) -> None:
         """Continuous-ingest form: drain a streaming source through
         :meth:`ingest` one micro-batch at a time via ``foreachBatch`` —
         the standard Structured-Streaming pattern for sinks with their
@@ -846,6 +856,11 @@ class NearDupIndex:
         the batches had been ingested sequentially in batch mode.
         Uses Trigger.AvailableNow: processes what exists, then stops
         (drop the trigger for a long-running continuous ingest).
+
+        ``maintain_every=N`` runs :meth:`maintain` (with
+        ``maintain_kwargs``) after every Nth committed epoch — the
+        scheduler the maintain docstring asks for: at 100 TB the loop
+        nobody has to remember to invoke is the only loop that runs.
 
         Replay safety: the marker-last epoch-commit protocol, shared
         with :meth:`~..similarity.IvfIndex.ingest_stream` — see
@@ -862,6 +877,8 @@ class NearDupIndex:
             self.reports_table,
             self.epochs_table,
             self.ingest,
+            maintain_fn=lambda: self.maintain(**(maintain_kwargs or {})),
+            maintain_every=maintain_every,
         )
 
 

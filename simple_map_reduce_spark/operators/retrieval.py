@@ -188,9 +188,13 @@ def bm25_oracle_sql(
     k: int = 10,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    where: str | None = None,
 ) -> str:
     """DuckDB twin of :func:`bm25_topk` — same tokenizer, same idf/tf
     expression tree, same integer quantization, same tiebreaks.
+    ``where`` narrows the corpus (the takedown oracle: BM25 over the
+    pruned corpus IS the live-view contract — every corpus-global
+    statistic recomputed over the survivors).
 
     The ``k1+1`` factor is CAST to DOUBLE: a bare ``2.2`` literal types
     as DECIMAL(2,1) in DuckDB, making ``tf·(k1+1)`` exact decimal where
@@ -205,11 +209,12 @@ def bm25_oracle_sql(
     )
     terms = sorted({t for _, ts in queries for t in ts})
     termlist = ", ".join(f"'{t}'" for t in terms)
+    src = f"(SELECT * FROM documents WHERE {where})" if where else "documents"
     return rf"""
         WITH lengths AS (
             SELECT doc_id,
                    CAST(len(regexp_extract_all(lower(text), '\w+')) AS BIGINT) AS dl
-            FROM documents),
+            FROM {src}),
         stats AS (
             SELECT CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(dl) AS BIGINT) AS sum_dl
@@ -218,7 +223,7 @@ def bm25_oracle_sql(
             SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
             FROM (SELECT doc_id,
                          unnest(regexp_extract_all(lower(text), '\w+')) AS tok
-                  FROM documents)
+                  FROM {src})
             WHERE tok IN ({termlist})
             GROUP BY doc_id, tok),
         df_t AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
@@ -272,12 +277,21 @@ class Bm25Index:
     integer quantization, and tiebreaks as the recompute form, so the
     stored-index path shares its DuckDB oracle verbatim.
 
-    No tombstone tier here (unlike the other two indexes): BM25 scores
-    depend on CORPUS-GLOBAL statistics (df, N, avgdl), so hiding a
-    document's postings without adjusting those would return subtly
-    mis-weighted scores for every query — a takedown on the retrieval
-    corpus is an explicit :meth:`build` over the pruned corpus, priced
-    honestly, never a silent approximation."""
+    Takedown (:meth:`delete`/:meth:`vacuum`) shares the other two
+    indexes' tombstone tier (``operators/tombstones.py``) with one
+    BM25-specific wrinkle: scores depend on CORPUS-GLOBAL statistics
+    (df, N, avgdl), so hiding a document's postings while serving the
+    PRECOMPUTED df/stats tables would mis-weight every query. The
+    resolution: while tombstones are outstanding, :meth:`search`
+    recomputes df from the live, query-term-filtered postings (the
+    frame it already scans — a bounded extra aggregate) and N/avgdl
+    from one aggregate over the live lengths table (a 2-column bucketed
+    scan) — EXACT at all times, with zero multi-table crash window
+    (delete is one atomic append, same as the other indexes).
+    :meth:`vacuum` rewrites the state tables and restores the
+    precomputed fast path. Degraded-but-exact until vacuum is the
+    honest trade at 100 TB: a takedown of 100 ids must not rewrite a
+    corpus-sized postings table eagerly."""
 
     def __init__(
         self,
@@ -313,12 +327,27 @@ class Bm25Index:
     def stats_table(self) -> str:
         return f"{self.name}__stats"
 
+    @property
+    def tombstones_table(self) -> str:
+        from .tombstones import tombstones_table
+
+        return tombstones_table(self.name)
+
+    @property
+    def reports_table(self) -> str:
+        return f"{self.name}__reports"
+
+    @property
+    def epochs_table(self) -> str:
+        return f"{self.name}__epochs"
+
     def build(self, docs: DataFrame) -> None:
         """ONE corpus tokenize pass feeds all four tables: the exploded
         token stream is persisted, aggregated to postings (the full
         inverted index — every term, not a query's slice), then df and
         lengths derive from it without re-reading the corpus."""
         from ..cache import tracked_persist, untrack
+        from .tombstones import drop_tombstones
 
         toks = tracked_persist(
             docs.select(
@@ -353,6 +382,11 @@ class Bm25Index:
                 all_lengths, self.lengths_table, "doc_id", self.num_buckets
             )
             self._rederive_stats()
+            # a (re)build REPLACES the index state — drop stale
+            # tombstones LAST (the IvfIndex.build ordering argument: a
+            # crash mid-build can only leave extra ids hidden, never a
+            # deleted id resurrected)
+            drop_tombstones(self.catalog, self.name)
         finally:
             untrack(toks)
 
@@ -362,18 +396,164 @@ class Bm25Index:
         query terms at the scan (bucket-prunable on the tok-bucketed
         tables), stats is one broadcast row, and only query-sized frames
         shuffle. Bit-identical to :func:`bm25_topk` over the same
-        corpus (shared scoring core ⇒ shared oracle)."""
+        corpus (shared scoring core ⇒ shared oracle).
+
+        With tombstones outstanding (takedown awaiting :meth:`vacuum`)
+        the read degrades but stays EXACT: postings and lengths are
+        anti-joined against the broadcast tombstone set (no Exchange
+        added above the bucketed scans), df is re-aggregated from the
+        live query-term postings (the frame this query already scans),
+        and N/avgdl from one aggregate over the live lengths — every
+        corpus-global statistic reflects the pruned corpus, so the
+        result is bit-identical to a fresh build without the deleted
+        docs. With no tombstone table (the steady state) this is the
+        plan-identical precomputed fast path."""
         spark = self.catalog.spark
+        from .tombstones import read_tombstones
+
         qterms, all_terms = _query_terms(spark, queries)
         tf = self.catalog.get_bucketed(self.postings_table).filter(
             F.col("tok").isin(all_terms)
         )
-        df_t = self.catalog.get_bucketed(self.df_table).filter(
-            F.col("tok").isin(all_terms)
-        )
         lengths = self.catalog.get_bucketed(self.lengths_table)
-        stats = self.catalog.get(self.stats_table)
+        ts = read_tombstones(self.catalog, self.name)
+        if ts is None:
+            df_t = self.catalog.get_bucketed(self.df_table).filter(
+                F.col("tok").isin(all_terms)
+            )
+            stats = self.catalog.get(self.stats_table)
+        else:
+            dead = F.broadcast(ts.select(F.col("id").alias("doc_id")))
+            tf = tf.join(dead, "doc_id", "left_anti")
+            lengths = lengths.join(dead, "doc_id", "left_anti")
+            # the stored df/stats count tombstoned docs — recompute both
+            # from the live view (df over the already-filtered postings
+            # frame; stats is one 2-column aggregate) so scores stay
+            # exact between delete and vacuum
+            df_t = tf.groupBy("tok").agg(
+                F.count("*").cast("bigint").alias("df")
+            )
+            stats = lengths.agg(
+                F.count("*").cast("bigint").alias("n_docs"),
+                F.sum("dl").cast("bigint").alias("sum_dl"),
+            )
         return _bm25_score(tf, lengths, stats, df_t, qterms, k, self.k1, self.b)
+
+    def delete(self, ids) -> int:
+        """Tombstone ``ids`` — the takedown path, same O(|ids|) single
+        atomic append as the other two standing indexes. From the moment
+        it commits, :meth:`search` behaves as if the docs were never
+        admitted (live postings/lengths + recomputed-exact df/N/avgdl —
+        see :meth:`search`); a tombstoned id cannot be re-admitted until
+        :meth:`vacuum` (ingest refuses). Returns how many ids were newly
+        tombstoned."""
+        from .tombstones import append_tombstones
+
+        return append_tombstones(self.catalog, self.name, ids)
+
+    def vacuum(self) -> int:
+        """Physically purge tombstoned documents: rewrite postings and
+        lengths without them (layout-preserving bucketed overwrites),
+        re-derive df/stats from the purged tables (restoring the
+        precomputed fast path), then drop the tombstone table LAST —
+        every crash prefix leaves the tombstones in force, so
+        :meth:`search`'s live view keeps every read exact and a retry
+        heals. Returns the number of tombstoned ids purged."""
+        from .tombstones import drop_tombstones, read_tombstones
+
+        ts = read_tombstones(self.catalog, self.name)
+        if ts is None:
+            return 0
+        n = ts.count()
+        dead = F.broadcast(ts.select(F.col("id").alias("doc_id")))
+        post = (
+            self.catalog.get_bucketed(self.postings_table)
+            .join(dead, "doc_id", "left_anti")
+            .localCheckpoint()
+        )
+        lens = (
+            self.catalog.get_bucketed(self.lengths_table)
+            .join(dead, "doc_id", "left_anti")
+            .localCheckpoint()
+        )
+        self.catalog.put_bucketed(
+            post, self.postings_table, "tok", self.num_buckets
+        )
+        self.catalog.put_bucketed(
+            lens, self.lengths_table, "doc_id", self.num_buckets
+        )
+        self._rederive_stats()
+        drop_tombstones(self.catalog, self.name)
+        return n
+
+    def compact(self) -> dict[str, int]:
+        """Compact the two append-heavy state tables back to ~one file
+        per bucket (layout-preserving ``Catalog.compact_bucketed``) —
+        the sparse-retrieval twin of the other indexes' ``compact``.
+        df is overwritten whole by every stats re-derive and stats is
+        one row, so neither fragments. Returns {table: new_file_count}."""
+        return {
+            self.postings_table: self.catalog.compact_bucketed(
+                self.postings_table, "tok", self.num_buckets
+            ),
+            self.lengths_table: self.catalog.compact_bucketed(
+                self.lengths_table, "doc_id", self.num_buckets
+            ),
+        }
+
+    def maintain(
+        self,
+        max_tombstone_share: float = 0.2,
+        max_files_per_bucket: int = 8,
+    ) -> dict:
+        """The closed maintenance loop — the sparse-retrieval member of
+        the triple (``IvfIndex.maintain`` / ``NearDupIndex.maintain``),
+        with the two signals that apply to an inverted index (no
+        quantizer to drift, no banding semantics to re-tune):
+
+        1. **Tombstone debt**: |tombstones| > ``max_tombstone_share`` ×
+           |live docs| → :meth:`vacuum`. Extra urgency here vs the other
+           indexes: between delete and vacuum every search pays the
+           recomputed-stats path (one live-lengths aggregate per query),
+           so vacuum also restores the precomputed fast path. Vacuum
+           rewrites both state tables, so check 2 is moot after it.
+        2. **File fragmentation**: either state table holding more than
+           ``max_files_per_bucket`` × ``num_buckets`` files →
+           :meth:`compact`.
+
+        All signals are bounded (two count jobs + driver-side file
+        listings). Returns the report dict."""
+        from .tombstones import live, read_tombstones
+
+        report: dict = {
+            "action": "none",
+            "tombstone_share": 0.0,
+            "max_files_per_bucket": 0.0,
+        }
+        ts = read_tombstones(self.catalog, self.name)
+        if ts is not None:
+            n_dead = ts.count()
+            n_live = live(
+                self.catalog,
+                self.name,
+                self.catalog.get_bucketed(self.lengths_table),
+                "doc_id",
+            ).count()
+            share = n_dead / n_live if n_live > 0 else float(n_dead > 0)
+            report["tombstone_share"] = share
+            if share > max_tombstone_share:
+                self.vacuum()
+                report["action"] = "vacuum"
+                return report
+        files = max(
+            self.catalog.file_count(t) / self.num_buckets
+            for t in (self.postings_table, self.lengths_table)
+        )
+        report["max_files_per_bucket"] = files
+        if files > max_files_per_bucket:
+            self.compact()
+            report["action"] = "compact"
+        return report
 
     def ingest(self, docs: DataFrame) -> int:
         """Admit new documents into the standing inverted index — the
@@ -384,14 +564,17 @@ class Bm25Index:
         Steps, in crash-safety order:
 
         1. **postings append** — the batch's (tok, doc_id, tf) rows,
-           anti-joined against doc_ids already present (broadcast
-           semi-probe restricted to batch ids first, the NearDupIndex
-           retry idiom), so a retried half-failed ingest tops up
-           instead of double-counting a document's tf.
-        2. **lengths append** — same anti-join healing; zero-token
-           docs get their explicit dl=0 row (they carry no postings,
-           so the lengths table is the admission record — which is why
-           the dedup probe below reads lengths, not postings).
+           anti-joined against doc_ids PHYSICALLY PRESENT IN THE
+           POSTINGS TABLE (broadcast semi-probe restricted to batch
+           ids first, the NearDupIndex per-table idiom). Each append
+           gates on ITS OWN table (ADVICE r8): gating both appends on
+           one lengths-derived set would let a crash between the two
+           appends re-append the doc's postings on retry — permanently
+           double-counting its tf and df in every subsequent search.
+        2. **lengths append** — anti-joined against the LENGTHS table's
+           own doc_ids; zero-token docs get their explicit dl=0 row
+           (they carry no postings, so lengths is the ADMISSION record
+           — which is why ``n_new`` below counts lengths-fresh docs).
         3. **df/stats re-derive** — OVERWRITTEN from the stored
            postings/lengths. Deliberately NOT a delta-merge: add-based
            merges double-count under crash-retry (append succeeded,
@@ -406,27 +589,42 @@ class Bm25Index:
         Unlike the dedup indexes there is no admission GATE here — a
         retrieval corpus admits everything; dedup belongs to the
         NearDupIndex/IvfIndex tier. Re-ingesting an already-admitted
-        doc_id is a no-op (the anti-joins), so ingest composes with the
-        marker-last epoch protocol if driven from a stream."""
+        doc_id is a no-op (the anti-joins); a TOMBSTONED doc_id is
+        refused (tombstone wins until vacuum — see
+        ``operators/tombstones.py``); ingest composes with the
+        marker-last epoch protocol when driven from a stream
+        (:meth:`ingest_stream`)."""
         from ..cache import tracked_persist, untrack
+        from .tombstones import refuse_tombstoned
 
         batch_ids = docs.select(
             F.col(self.id_col).alias("doc_id")
         ).distinct()
-        have = (
-            self.catalog.get_bucketed(self.lengths_table)
-            .join(F.broadcast(batch_ids), "doc_id", "left_semi")
-            .select("doc_id")
-        )
-        fresh = tracked_persist(
+        refuse_tombstoned(self.catalog, self.name, batch_ids)
+        proj = tracked_persist(
             docs.select(
                 F.col(self.id_col).alias("doc_id"), F.col(self.text_col)
-            ).join(F.broadcast(have), "doc_id", "left_anti")
+            )
         )
         try:
-            n_new = fresh.count()
+            have_len = (
+                self.catalog.get_bucketed(self.lengths_table)
+                .join(F.broadcast(batch_ids), "doc_id", "left_semi")
+                .select("doc_id")
+            )
+            fresh_len = proj.join(F.broadcast(have_len), "doc_id", "left_anti")
+            n_new = fresh_len.count()
             if n_new:
-                toks = fresh.select(
+                have_post = (
+                    self.catalog.get_bucketed(self.postings_table)
+                    .join(F.broadcast(batch_ids), "doc_id", "left_semi")
+                    .select("doc_id")
+                    .distinct()
+                )
+                fresh_post = proj.join(
+                    F.broadcast(have_post), "doc_id", "left_anti"
+                )
+                toks = fresh_post.select(
                     "doc_id", F.explode(tokenize(self.text_col)).alias("tok")
                 )
                 postings = toks.groupBy("tok", "doc_id").agg(
@@ -435,7 +633,7 @@ class Bm25Index:
                 self.catalog.append_bucketed(
                     postings, self.postings_table, "tok", self.num_buckets
                 )
-                lengths = fresh.select(
+                lengths = fresh_len.select(
                     "doc_id", token_count(self.text_col).alias("dl")
                 )
                 self.catalog.append_bucketed(
@@ -449,7 +647,49 @@ class Bm25Index:
             self._rederive_stats()
             return n_new
         finally:
-            untrack(fresh)
+            untrack(proj)
+
+    def ingest_stream(
+        self,
+        stream_df: DataFrame,
+        checkpoint_dir: str,
+        maintain_every: int = 0,
+        maintain_kwargs: dict | None = None,
+    ) -> None:
+        """Continuous inverted-index maintenance: drain a streaming
+        document source through :meth:`ingest` one micro-batch at a time
+        under the marker-last epoch-commit protocol shared by all three
+        standing indexes (see :mod:`..streaming.ingest`). :meth:`ingest`
+        satisfies the protocol's ``ingest_fn`` contract — per-table
+        anti-join healing, idempotent df/stats re-derivation — so a
+        replayed epoch converges to the crash-free state.
+
+        The per-epoch report is the batch's admission record
+        (doc_id, dl): there is no dedup gate here, so the report is a
+        pure function of the batch itself — a crash-replayed epoch
+        re-derives it bit-identically regardless of how much state the
+        first attempt persisted (protocol point 4's re-derivation
+        requirement, trivially satisfied). ``maintain_every=N`` runs
+        :meth:`maintain` after every Nth committed epoch."""
+        from ..streaming.ingest import run_epoch_idempotent_ingest
+
+        def _ingest_fn(batch: DataFrame) -> DataFrame:
+            self.ingest(batch)
+            return batch.select(
+                F.col(self.id_col).alias("doc_id"),
+                token_count(self.text_col).alias("dl"),
+            )
+
+        run_epoch_idempotent_ingest(
+            stream_df,
+            checkpoint_dir,
+            self.catalog,
+            self.reports_table,
+            self.epochs_table,
+            _ingest_fn,
+            maintain_fn=lambda: self.maintain(**(maintain_kwargs or {})),
+            maintain_every=maintain_every,
+        )
 
     def _rederive_stats(self) -> None:
         """Rebuild df and stats from the STORED postings/lengths —

@@ -1381,7 +1381,12 @@ class IvfIndex:
         }
 
     def ingest_stream(
-        self, stream_df: DataFrame, checkpoint_dir: str, tau: float
+        self,
+        stream_df: DataFrame,
+        checkpoint_dir: str,
+        tau: float,
+        maintain_every: int = 0,
+        maintain_kwargs: dict | None = None,
     ) -> None:
         """Continuous semantic-dedup ingest: drain a streaming source of
         embeddings through :meth:`ingest` one micro-batch at a time
@@ -1389,7 +1394,10 @@ class IvfIndex:
         :meth:`~..dedup.NearDupIndex.ingest_stream` (see
         :mod:`..streaming.ingest` for the replay-safety argument; this
         index's anti-join crash healing satisfies the protocol's
-        ``ingest_fn`` contract)."""
+        ``ingest_fn`` contract). ``maintain_every=N`` runs
+        :meth:`maintain` (with ``maintain_kwargs``) after every Nth
+        committed epoch — the scheduler the maintain docstring asks
+        for."""
         from ..streaming.ingest import run_epoch_idempotent_ingest
 
         run_epoch_idempotent_ingest(
@@ -1399,4 +1407,6 @@ class IvfIndex:
             self.reports_table,
             self.epochs_table,
             lambda b: self.ingest(b, tau),
+            maintain_fn=lambda: self.maintain(**(maintain_kwargs or {})),
+            maintain_every=maintain_every,
         )

@@ -102,10 +102,13 @@ def append_tombstones(catalog, name: str, ids) -> int:
             catalog.append(fresh, t)
         return n
     # first delete ever: create the table (overwrite of a non-existent
-    # path — atomic publish via Spark's committer)
+    # path — atomic publish via Spark's committer). A no-op delete([])
+    # must NOT create it: an empty tombstone table would permanently
+    # switch every read off the free exists() fast path (ADVICE r8).
     frame = frame.localCheckpoint()
     n = frame.count()
-    catalog.put(frame, t)
+    if n:
+        catalog.put(frame, t)
     return n
 
 

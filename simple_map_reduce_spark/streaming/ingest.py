@@ -38,10 +38,13 @@ tests/test_dedup.py):
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
 
 
 def run_epoch_idempotent_ingest(
@@ -51,19 +54,42 @@ def run_epoch_idempotent_ingest(
     reports_table: str,
     epochs_table: str,
     ingest_fn: Callable[[DataFrame], DataFrame],
+    maintain_fn: Callable[[], dict] | None = None,
+    maintain_every: int = 0,
 ) -> None:
     """Drain ``stream_df`` through ``ingest_fn`` one micro-batch at a
     time under the marker-last protocol above. ``ingest_fn`` takes the
     batch DataFrame and returns the batch's (already materialized) pair
     report; the report is appended to ``reports_table`` with the epoch
     id. Uses ``Trigger.AvailableNow``: processes what exists, then stops
-    (drop the trigger for a long-running continuous ingest)."""
+    (drop the trigger for a long-running continuous ingest).
+
+    ``maintain_fn``/``maintain_every`` close the maintenance loop
+    (VERDICT r8 item 4): the indexes' ``maintain()`` docstrings say
+    "run it from the ingest scheduler" — this IS that scheduler. Every
+    ``maintain_every``-th COMMITTED epoch (counted from the epochs
+    table, so replays never double-trigger) invokes ``maintain_fn``
+    AFTER the marker commit and logs its report. Crash between marker
+    and maintain loses only that advisory sweep — the next scheduled
+    epoch re-runs it; index state is never at risk because maintain's
+    remedies (vacuum/compact/rebuild) are themselves crash-safe."""
 
     def _append_or_put(df: DataFrame, table: str) -> None:
         if catalog.exists(table):
             catalog.append(df, table)
         else:
             catalog.put(df, table)
+
+    def _commit_marker(marker: DataFrame, epoch_id: int) -> None:
+        _append_or_put(marker, epochs_table)
+        if maintain_fn is not None and maintain_every > 0:
+            n_epochs = catalog.get(epochs_table).count()
+            if n_epochs % maintain_every == 0:
+                report = maintain_fn()
+                _LOG.info(
+                    "maintain after epoch %s (%s committed): %s",
+                    epoch_id, n_epochs, report,
+                )
 
     def _ingest_batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -87,13 +113,13 @@ def run_epoch_idempotent_ingest(
             if applied:
                 # state + report landed; only the marker is missing —
                 # finish the commit instead of re-running the ingest
-                _append_or_put(marker, epochs_table)
+                _commit_marker(marker, epoch_id)
                 return
         report = ingest_fn(batch_df).withColumn(
             "epoch_id", F.lit(epoch_id).cast("bigint")
         )
         _append_or_put(report, reports_table)
-        _append_or_put(marker, epochs_table)
+        _commit_marker(marker, epoch_id)
 
     q = (
         stream_df.writeStream.foreachBatch(_ingest_batch)

@@ -169,3 +169,84 @@ def test_rebuild_overwrite_is_clean(spark, tmp_path):
     got = idx.search([(1, ["gamma"])], k=5).collect()
     assert [r.doc_id for r in got] == [2]
     assert cat.get(idx.stats_table).collect()[0].n_docs == 1
+
+
+def test_ingest_crash_between_postings_and_lengths_heals(spark, tmp_path):
+    """ADVICE r8 (high): a crash AFTER the postings append but BEFORE the
+    lengths append leaves the doc postings-present / lengths-absent; the
+    retry must re-admit it (n_new counts lengths-fresh docs) WITHOUT
+    re-appending its postings — per-table admission sets, or tf and df
+    double-count forever."""
+    a = spark.createDataFrame(
+        [(1, "hash join hash"), (2, "scan filter")], "doc_id bigint, text string"
+    )
+    b = spark.createDataFrame([(3, "hash scan hash")], "doc_id bigint, text string")
+    cat = Catalog(spark, str(tmp_path / "pwh"))
+    idx = Bm25Index(cat, "p_t")
+    idx.build(a)
+    # emulate the crash: ONLY the postings append landed
+    from simple_map_reduce_spark.functions.text import tokenize
+
+    toks = b.select("doc_id", F.explode(tokenize("text")).alias("tok"))
+    cat.append_bucketed(
+        toks.groupBy("tok", "doc_id").agg(F.count("*").cast("bigint").alias("tf")),
+        idx.postings_table, "tok", idx.num_buckets,
+    )
+    assert idx.ingest(b) == 1  # still lengths-fresh → re-admitted
+    posted = {
+        (r.tok, r.doc_id): r.tf
+        for r in cat.get_bucketed(idx.postings_table).collect()
+    }
+    assert posted[("hash", 3)] == 2  # NOT doubled to 4
+    assert cat.get_bucketed(idx.lengths_table).filter("doc_id = 3").count() == 1
+    cat2 = Catalog(spark, str(tmp_path / "pwh_ref"))
+    ref = Bm25Index(cat2, "p_ref")
+    ref.build(a.unionByName(b))
+    q = [(1, ["hash", "scan"])]
+    assert sorted(map(tuple, idx.search(q, k=5).collect())) == sorted(
+        map(tuple, ref.search(q, k=5).collect())
+    )
+
+
+def test_ingest_stream_matches_full_build(spark, tmp_path):
+    """All three standing indexes share the streaming surface (VERDICT
+    r8 item 3): two mtime-ordered epochs drained through ingest_stream
+    leave the index bit-identical to one build over the full corpus,
+    with the per-epoch admission records in the reports table."""
+    import shutil
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    epochs = [
+        docs.filter(F.col("doc_id") % 20 == 0),
+        docs.filter(F.col("doc_id") % 20 == 10),
+    ]
+    src = tmp_path / "doc-stream"
+    src.mkdir()
+    for i, part in enumerate(epochs):
+        out = tmp_path / f"stage-{i}"
+        part.select("doc_id", "text").coalesce(1).write.parquet(str(out))
+        pf = next(p for p in out.iterdir() if p.name.endswith(".parquet"))
+        dst = src / f"{'ab'[i]}.parquet"
+        shutil.move(str(pf), str(dst))
+        os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+
+    cat = Catalog(spark, str(tmp_path / "swh"))
+    idx = Bm25Index(cat, "s_t")
+    idx.build(corpus.select("doc_id", "text"))
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    idx.ingest_stream(stream, str(tmp_path / "ckpt"))
+
+    ref = Bm25Index(Catalog(spark, str(tmp_path / "swh_ref")), "s_ref")
+    ref.build(docs.select("doc_id", "text"))
+    got = sorted(map(tuple, idx.search(QUERIES, k=7).collect()))
+    assert got == sorted(map(tuple, ref.search(QUERIES, k=7).collect())) and got
+    reports = cat.get(idx.reports_table)
+    assert {r.epoch_id for r in reports.select("epoch_id").distinct().collect()} == {0, 1}
+    assert reports.count() == epochs[0].count() + epochs[1].count()
+    # epoch markers committed LAST — both present after the drain
+    assert cat.get(idx.epochs_table).count() == 2

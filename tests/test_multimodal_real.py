@@ -133,3 +133,19 @@ def test_ppm_decode_through_spark(spark):
     assert (got[1].width, got[1].height, got[1].n_channels) == (2, 1, 3)
     assert list(got[1].feature) == pytest.approx([0.5, 0.0, 0.5, 1 / 3])
     assert got[2].feature[0] == pytest.approx(0.2)
+
+
+def test_parse_wav_rejects_short_fmt_and_oversize_chunk():
+    """ADVICE r8: a fmt chunk shorter than 16 bytes must raise ValueError
+    (not struct.error), and a chunk whose declared size extends past the
+    payload must fail loudly instead of silently truncating the read."""
+    short = struct.pack("<HHI", 1, 1, 8000)  # 8 of the required 16 bytes
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(short)) + short
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(ValueError, match="fmt chunk"):
+        _parse_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    good = _wav16([16384, -16384, 16384, -16384])
+    with pytest.raises(ValueError, match="exceeds payload"):
+        _parse_wav(good[:-2])  # data declares 8 bytes, only 6 remain

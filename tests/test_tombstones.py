@@ -330,3 +330,201 @@ def test_build_clears_stale_tombstones(spark, tmp_path):
         ).collect()
     }
     assert got == {1}
+
+
+def test_empty_first_delete_keeps_fast_path(spark, tmp_path):
+    """ADVICE r8: delete([]) on an index that has never seen a delete
+    must NOT create the tombstone table — an empty one would permanently
+    switch every read off the free exists() fast path onto the
+    broadcast anti-join."""
+    cat = Catalog(spark, str(tmp_path / "wh_empty"))
+    idx = IvfIndex(cat, "del_e", n_centroids=2)
+    idx.build(_clustered_emb(spark))
+    assert idx.delete([]) == 0
+    assert not cat.exists(idx.tombstones_table)
+    # and the established semantics are unchanged once a real delete runs
+    assert idx.delete([3]) == 1
+    assert cat.exists(idx.tombstones_table)
+
+
+# ---------------------------------------------------------------- BM25
+# the sparse-retrieval member of the takedown matrix (VERDICT r8 item 2):
+# deletion must leave every corpus-GLOBAL statistic (df, N, avgdl) exact,
+# not just hide posting rows.
+
+from simple_map_reduce_spark.operators.retrieval import Bm25Index  # noqa: E402
+
+BM25_DOCS = [
+    (1, BASE),
+    (2, NEAR),
+    (3, FAR),
+    (4, FAR2),
+    (5, "hash join tables with a merge hash strategy"),
+    (6, "filter then scan the column store for hash lookups"),
+    (7, "scan scan scan the filter"),
+]
+BM25_Q = [(1, ["hash", "scan"]), (2, ["filter"])]
+
+
+def _bm25_docs(spark):
+    return spark.createDataFrame(BM25_DOCS, "doc_id bigint, text string")
+
+
+def _ranked(idx, k=5):
+    return sorted(map(tuple, idx.search(BM25_Q, k=k).collect()))
+
+
+def test_bm25_delete_matches_fresh_build_without_ids(spark, tmp_path):
+    """After delete, search is bit-identical to a fresh build over the
+    pruned corpus — df, N, and avgdl all reflect the survivors (the
+    recomputed-exact live path), not just hidden posting rows."""
+    cat = Catalog(spark, str(tmp_path / "bwh_a"))
+    idx = Bm25Index(cat, "bdel_a")
+    idx.build(_bm25_docs(spark))
+    before = _ranked(idx)
+    assert idx.delete([5, 7]) == 2
+    ref = Bm25Index(Catalog(spark, str(tmp_path / "bwh_aref")), "bref_a")
+    ref.build(_bm25_docs(spark).filter("doc_id NOT IN (5, 7)"))
+    got = _ranked(idx)
+    assert got == _ranked(ref) and got
+    assert got != before  # the takedown visibly changed the results
+
+
+def test_bm25_delete_idempotent_and_ingest_refuses(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "bwh_b"))
+    idx = Bm25Index(cat, "bdel_b")
+    idx.build(_bm25_docs(spark))
+    assert idx.delete([5, 999]) == 2  # absent ids tombstone harmlessly
+    assert idx.delete([5]) == 0       # retry converges
+    with pytest.raises(ValueError, match="tombstoned"):
+        idx.ingest(
+            spark.createDataFrame(
+                [(5, "hash resurrection attempt")], "doc_id bigint, text string"
+            )
+        )
+    # the refused ingest wrote nothing
+    assert cat.get_bucketed(idx.lengths_table).count() == len(BM25_DOCS)
+
+
+def test_bm25_vacuum_purges_restores_fast_path_and_readmits(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "bwh_c"))
+    idx = Bm25Index(cat, "bdel_c")
+    idx.build(_bm25_docs(spark))
+    idx.delete([5, 7])
+    tombstoned = _ranked(idx)
+    assert idx.vacuum() == 2
+    assert not cat.exists(idx.tombstones_table)
+    # bit-identical through the purge, now on the precomputed fast path
+    assert _ranked(idx) == tombstoned
+    assert cat.get(idx.stats_table).collect()[0].n_docs == len(BM25_DOCS) - 2
+    # after vacuum the id may be re-admitted
+    assert idx.ingest(
+        spark.createDataFrame([(5, BM25_DOCS[4][1])], "doc_id bigint, text string")
+    ) == 1
+    ref = Bm25Index(Catalog(spark, str(tmp_path / "bwh_cref")), "bref_c")
+    ref.build(_bm25_docs(spark).filter("doc_id != 7"))
+    assert _ranked(idx) == _ranked(ref)
+
+
+def test_bm25_partial_vacuum_crash_keeps_reads_correct(spark, tmp_path):
+    """Crash after the postings rewrite but before the lengths rewrite /
+    stats re-derive / tombstone drop: the tombstones stay in force, so
+    the live view keeps every read exact; the vacuum retry heals."""
+    from pyspark.sql import functions as F
+
+    cat = Catalog(spark, str(tmp_path / "bwh_d"))
+    idx = Bm25Index(cat, "bdel_d")
+    idx.build(_bm25_docs(spark))
+    idx.delete([5, 7])
+    want = _ranked(idx)
+    # emulate the crash: ONLY the postings rewrite landed
+    from simple_map_reduce_spark.operators.tombstones import read_tombstones
+
+    ts = read_tombstones(cat, idx.name)
+    dead = F.broadcast(ts.select(F.col("id").alias("doc_id")))
+    post = (
+        cat.get_bucketed(idx.postings_table)
+        .join(dead, "doc_id", "left_anti")
+        .localCheckpoint()
+    )
+    cat.put_bucketed(post, idx.postings_table, "tok", idx.num_buckets)
+    assert _ranked(idx) == want  # reads stay correct through the prefix
+    assert idx.vacuum() == 2     # the retry heals
+    assert _ranked(idx) == want
+    assert not cat.exists(idx.tombstones_table)
+
+
+def test_bm25_build_clears_stale_tombstones(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "bwh_e"))
+    idx = Bm25Index(cat, "bdel_e")
+    idx.build(_bm25_docs(spark))
+    idx.delete([5])
+    idx.build(_bm25_docs(spark))  # fresh build: the caller chose this corpus
+    assert not cat.exists(idx.tombstones_table)
+    got = {r.doc_id for r in idx.search([(1, ["hash"])], k=10).collect()}
+    assert 5 in got
+
+
+def test_bm25_live_search_stays_bucket_pruned_and_broadcast(spark, tmp_path):
+    """The scale property survives the tombstone tier: with tombstones
+    outstanding, the postings scan is still bucket-pruned on the query
+    terms and the live anti-join is a BROADCAST join — takedown must
+    never add a corpus shuffle to the serving path."""
+    from simple_map_reduce_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    cat = Catalog(spark, str(tmp_path / "bwh_f"))
+    idx = Bm25Index(cat, "bdel_f")
+    idx.build(docs)
+    idx.delete([1, 11, 21])
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            idx.search([(1, ["hash", "join"])], k=5)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    scans = [
+        l for l in plan.splitlines() if "FileScan" in l and "__postings" in l
+    ]
+    assert scans
+    for line in scans:
+        assert "Bucketed: true" in line and "In(tok" in line, line
+        sel = line.split("SelectedBucketsCount: ")[1]
+        picked = int(sel.split(" out of ")[0])
+        total = int(sel.split(" out of ")[1].split()[0].rstrip(","))
+        assert picked < total, f"postings scan not bucket-pruned: {sel}"
+
+
+def test_bm25_maintain_vacuums_then_compacts(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "bwh_g"))
+    idx = Bm25Index(cat, "bdel_g", num_buckets=2)
+    idx.build(_bm25_docs(spark))
+    idx.delete([5, 7])  # 2 dead / 5 live = 0.4 > the 0.2 default
+    report = idx.maintain()
+    assert report["action"] == "vacuum"
+    assert report["tombstone_share"] == 2 / 5
+    assert not cat.exists(idx.tombstones_table)
+    # an ingest appends a second file set → fragmentation trips compact
+    idx.ingest(
+        spark.createDataFrame(
+            [(10, "novel hash content")], "doc_id bigint, text string"
+        )
+    )
+    report2 = idx.maintain(max_files_per_bucket=1)
+    assert report2["action"] == "compact"
+    ref = Bm25Index(Catalog(spark, str(tmp_path / "bwh_gref")), "bref_g")
+    ref.build(
+        _bm25_docs(spark)
+        .filter("doc_id NOT IN (5, 7)")
+        .unionByName(
+            spark.createDataFrame(
+                [(10, "novel hash content")], "doc_id bigint, text string"
+            )
+        )
+    )
+    assert _ranked(idx) == _ranked(ref)
