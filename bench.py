@@ -156,6 +156,12 @@ EXTENDED_QUERIES = [
     # r8: takedown journeys (build + O(|deleted|) tombstone + read)
     "ivf_delete_search",
     "neardup_delete_check",
+    # r9: BM25 takedown (live-stats read path) + the streaming
+    # inverted-index drain, and the de-noised maintenance-signal read
+    # row over the standing memoized index
+    "bm25_delete_topk",
+    "bm25_stream_ingest",
+    "ivf_cluster_skew_read",
 ]
 
 

@@ -247,86 +247,78 @@ QUERIES: dict[str, QueryFn] = {
 # so a behavior change can never ship on a stale green row again (round
 # 2's trigram-default change left jaccard_pairs unverified for a round).
 #
-# Round 8 window = the 9 NEW queries (the six standing-index READ-path
-# forms similarity_topk_ivf_read / embedding_neardup_read /
-# incremental_neardup_read / chunk_ann_topk_read / bm25_topk_read /
-# chunk_hybrid_topk_read, the incremental inverted-index journey
-# bm25_ingest_topk, and the two takedown journeys
-# ivf_delete_search / neardup_delete_check — VERDICT r7 items 2 and 3)
-# + the 2 queries whose code changed (chunk_hybrid_topk: the
-# dense run now maps list position to the DECLARED qid on both engines,
-# ADVICE r7; ivf_cluster_skew: empty-index division guard, ADVICE r7)
-# + the other 3 late-r7 registrations that shipped with no driver row
-# ever (pretraining_manifest_full, chunk_semantic_ingest,
-# lsh_bucket_skew — VERDICT r7 item 1: after this round only the 3
-# policy sketches lack driver history) + the 36 oldest (r5-dated) green
-# rows, alphabetical. The index-backed queries all traverse the new
-# tombstone plumbing, but with no tombstone table the live view is
-# IDENTITY (driver runs build fresh indexes; build drops tombstones) —
-# plan-identical default path, the embedding_neardup_idx-r7 precedent —
-# so only the two with real output-affecting edits are in
-# _CHANGED_THIS_ROUND. 12 r5-dated rows (sessionize_batch,
-# similarity_topk_ivf_idx, source_overlap, status_priority_sets …
-# waiting_suppliers, alphabetical tail) remain for the r9 window.
+# Round 9 window = the 3 NEW queries (the BM25 takedown journey
+# bm25_delete_topk and the streaming inverted-index journey
+# bm25_stream_ingest — VERDICT r8 items 2 and 3 — plus the de-noised
+# maintenance read path ivf_cluster_skew_read, item 6) + the 1 query
+# whose code changed (bm25_ingest_topk: per-table admission sets close
+# the postings/lengths crash window, ADVICE r8 high — clean-run results
+# identical, but the ingest plan changed) + the 12 r5-dated rows
+# earmarked last round + the 34 oldest r6-dated rows, alphabetical.
+# The bm25 read rows and the two r8 delete journeys also traverse this
+# round's tombstone-aware code, but with no tombstone table the path is
+# a driver-side exists() check into the identical plan (the
+# embedding_neardup_idx-r7 precedent), so they stay out of
+# _CHANGED_THIS_ROUND. 14 r6-dated rows (simhash_sigs … wordcount_total,
+# alphabetical tail) remain for the r10 window.
 _CHANGED_THIS_ROUND = [
-    # r8: NEW queries ship their behavior this round
-    "similarity_topk_ivf_read",
-    "embedding_neardup_read",
-    "incremental_neardup_read",
-    "chunk_ann_topk_read",
-    "bm25_topk_read",
-    "chunk_hybrid_topk_read",
+    # r9: NEW queries ship their behavior this round
+    "bm25_delete_topk",
+    "bm25_stream_ingest",
+    "ivf_cluster_skew_read",
+    # r9: per-table admission sets in Bm25Index.ingest (ADVICE r8 high)
     "bm25_ingest_topk",
-    "ivf_delete_search",
-    "neardup_delete_check",
-    # r8: explicit qid mapping in the dense fusion run (ADVICE r7)
-    "chunk_hybrid_topk",
-    # r8: empty-index division guard (ADVICE r7; identical on non-empty)
-    "ivf_cluster_skew",
 ]
 _ROTATION_FRONT = [
     *_CHANGED_THIS_ROUND,
-    # late-r7 registrations with no driver row ever (VERDICT r7 item 1)
-    "pretraining_manifest_full",
-    "chunk_semantic_ingest",
-    "lsh_bucket_skew",
-    # the 39 oldest (r5-dated) green rows — pure freshness rotation
-    "audio_features",
-    "big_orders",
-    "bm25_topk",
-    "bpe_train",
-    "bpe_word_segments",
-    "column_filter",
-    "dedup_prune",
-    "incremental_neardup",
-    "min_cost_supplier",
-    "mom_revenue_growth",
-    "monthly_gapfill",
-    "moving_avg_3m",
-    "nation_full_outer",
-    "nation_trade_volume",
-    "order_count_histogram",
-    "part_metrics_unpivot",
-    "part_name_features",
-    "pretraining_manifest",
-    "pretraining_manifest_sem",
-    "pricey_parts_dense",
-    "priority_trailing_week",
-    "priority_union",
-    "profit_by_nation_year",
-    "promo_revenue",
-    "purchase_click_burst",
-    "qty_median_by_flag",
-    "qty_quartiles",
-    "returned_revenue_top",
-    "rich_inactive_customers",
-    "sales_cube",
-    "salted_join_segments",
-    "salted_type_rollup",
-    "segment_except",
-    "segment_intersect",
-    "segment_priority_grid",
-    "semdedup_prune",
+    # the 12 r5-dated rows (earmarked in the r8 window comment)
+    "sessionize_batch",
+    "similarity_topk_ivf_idx",
+    "source_overlap",
+    "status_priority_sets",
+    "stratified_sample",
+    "streaming_hourly_users",
+    "supplier_variety",
+    "tfidf_terms",
+    "token_positions",
+    "top_supplier",
+    "top_value_parts",
+    "waiting_suppliers",
+    # the 34 oldest r6-dated rows — pure freshness rotation
+    "bigram_lm_quality",
+    "corpus_prep",
+    "corpus_shuffle",
+    "curriculum_order",
+    "dedup_exact",
+    "distinct_tokens",
+    "doc_chunks",
+    "doc_fingerprint",
+    "embedding_neardup_idx",
+    "equi_join",
+    "events_windowed",
+    "filter_group_pct",
+    "hard_negatives",
+    "image_resize",
+    "lang_id",
+    "left_join_order_counts",
+    "length_histogram",
+    "maple_filter_pct",
+    "maple_wordcount",
+    "minhash_buckets",
+    "mixture_temperature",
+    "multi_distinct",
+    "multimodal_meta",
+    "nation_segment_list",
+    "orders_by_month",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
+    "qty_outliers",
+    "redact_pii",
+    "regex_filter",
+    "rrf_fusion",
+    "sales_rollup",
+    "simhash_dup_pairs",
 ]
 assert len(_ROTATION_FRONT) == 50
 assert set(_ROTATION_FRONT) <= set(QUERIES)

@@ -4020,6 +4020,105 @@ def q_neardup_delete_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.check(new)
 
 
+# BM25 takedown: residue 9 (mod 10) hits 6 of the 30 baseline top-k docs
+# at sf0.01, so a no-op delete (or one that hides postings without
+# re-deriving df/N/avgdl) cannot hash-match the pruned-corpus oracle
+BM25_DELETE_MOD = 10
+BM25_DELETE_RESIDUE = 9
+
+
+def q_bm25_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Takedown on the inverted index (``Bm25Index.delete`` — VERDICT r8
+    item 2): build over the full corpus, tombstone every doc_id ≡
+    {BM25_DELETE_RESIDUE} (mod {BM25_DELETE_MOD}) in one O(|deleted|)
+    atomic append, then search. The hard part a posting-hiding shortcut
+    would fail: BM25 scores depend on CORPUS-GLOBAL statistics, so the
+    live read recomputes df from the live query-term postings and
+    N/avgdl from the live lengths — the oracle is the full BM25 SQL
+    over the PRUNED corpus, checking every global statistic shifted."""
+    from .catalog import Catalog
+    from .operators.retrieval import Bm25Index
+
+    docs = load_table(spark, sf_dir, "documents")
+    cat = Catalog(spark, _idx_root("bm25_del_", sf_dir))
+    idx = Bm25Index(cat, "bm25_del")
+    idx.build(docs)
+    idx.delete(
+        docs.filter(
+            F.col("doc_id") % BM25_DELETE_MOD == BM25_DELETE_RESIDUE
+        ).select("doc_id")
+    )
+    return idx.search(BM25_QUERIES, k=BM25_K)
+
+
+def q_bm25_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental inverted-index maintenance driven through STRUCTURED
+    STREAMING (``Bm25Index.ingest_stream`` — VERDICT r8 item 3; all
+    three standing indexes now share the marker-last epoch surface):
+    build over the 90% corpus, drain the 1-in-10 batch as TWO
+    mtime-ordered stream epochs, then search. Admission is gate-free,
+    so the post-drain index must be indistinguishable from one built
+    over the full corpus — the oracle is the UNSPLIT BM25 SQL, the same
+    strongest-form check as ``bm25_ingest_topk``, now proving the
+    epoch-commit plumbing reconstructs every corpus-global statistic."""
+    import os
+    import shutil
+    import tempfile
+
+    from .catalog import Catalog
+    from .operators.retrieval import Bm25Index
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % INCR_MOD != 0)
+    epochs = [
+        docs.filter(F.col("doc_id") % (2 * INCR_MOD) == 0),
+        docs.filter(F.col("doc_id") % (2 * INCR_MOD) == INCR_MOD),
+    ]
+    root = tempfile.mkdtemp(prefix="bm25_stream_")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    for i, part in enumerate(epochs):
+        stage = os.path.join(root, f"stage{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        pf = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        dst = os.path.join(src, f"{'ab'[i]}.parquet")
+        shutil.move(os.path.join(stage, pf), dst)
+        # deterministic epoch order: the file source sorts by mtime
+        os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+    cat = Catalog(spark, os.path.join(root, "wh"))
+    idx = Bm25Index(cat, "bm25_stream")
+    idx.build(corpus)
+    stream = (
+        spark.readStream.schema(epochs[0].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    idx.ingest_stream(stream, os.path.join(root, "ckpt"))
+    return idx.search(BM25_QUERIES, k=BM25_K)
+
+
+def q_ivf_cluster_skew_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ivf_cluster_skew``'s READ path (VERDICT r8 item 6): the bounded
+    per-centroid population report over the STANDING memoized IVF index
+    (shared with ``similarity_topk_ivf_read`` — same corpus, same
+    quantizer, so the skew oracle is shared verbatim). The rebuild-priced
+    sibling swings 2–4× on its build floor; this row prices what a
+    maintenance scheduler actually pays per sweep: one bucketed
+    assign-table aggregate, ≤ n_centroids rows out."""
+    from .catalog import Catalog
+    from .operators.similarity import IvfIndex
+
+    cat = Catalog(spark, _idx_root("ivf_read_", sf_dir))
+    idx = IvfIndex(
+        cat, "ivf_read", n_centroids=SIM_IVF_CENTROIDS, nprobe=SIM_IVF_NPROBE
+    )
+    _standing_index(
+        "ivf_read", sf_dir,
+        lambda: idx.build(load_table(spark, sf_dir, "embeddings")),
+    )
+    return idx.cluster_stats().orderBy("centroid_id")
+
+
 LENGTH_HISTOGRAM_ORACLE = r"""
     SELECT CAST(length(bin(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)))
                 AS BIGINT) AS bucket,
@@ -4117,6 +4216,9 @@ EXT_QUERIES = {
     "bm25_topk_read": q_bm25_topk_read,
     "chunk_hybrid_topk_read": q_chunk_hybrid_topk_read,
     "bm25_ingest_topk": q_bm25_ingest_topk,
+    "bm25_delete_topk": q_bm25_delete_topk,
+    "bm25_stream_ingest": q_bm25_stream_ingest,
+    "ivf_cluster_skew_read": q_ivf_cluster_skew_read,
     # r8: takedown journeys (tombstone delete honored by every read)
     "ivf_delete_search": q_ivf_delete_search,
     "neardup_delete_check": q_neardup_delete_check,
@@ -4376,6 +4478,13 @@ EXT_ORACLES = {
     # the ingest journey's oracle is the UNSPLIT full-corpus SQL: the
     # incremental path must reconstruct every corpus-global statistic
     "bm25_ingest_topk": bm25_oracle_sql(BM25_QUERIES, k=BM25_K),
+    "bm25_delete_topk": bm25_oracle_sql(
+        BM25_QUERIES,
+        k=BM25_K,
+        where=f"doc_id % {BM25_DELETE_MOD} != {BM25_DELETE_RESIDUE}",
+    ),
+    "bm25_stream_ingest": bm25_oracle_sql(BM25_QUERIES, k=BM25_K),
+    "ivf_cluster_skew_read": ivf_cluster_skew_oracle(),
     # takedown twins: the live predicate narrows the corpus/candidate
     # side exactly where the Spark live view reaches
     "ivf_delete_search": similarity_topk_ivf_oracle(
