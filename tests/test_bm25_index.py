@@ -250,3 +250,41 @@ def test_ingest_stream_matches_full_build(spark, tmp_path):
     assert reports.count() == epochs[0].count() + epochs[1].count()
     # epoch markers committed LAST — both present after the drain
     assert cat.get(idx.epochs_table).count() == 2
+
+
+def test_ingest_stream_replay_after_state_before_marker(spark, tmp_path):
+    """Protocol point 4's crash window for the BM25 client: the epoch's
+    state appends landed but neither report nor marker did. The replay
+    re-runs ingest — whose per-table anti-joins no-op — and must
+    re-derive the IDENTICAL admission report (for BM25 the report is a
+    pure function of the batch, so replay determinism holds by
+    construction; this pins it) without double-counting any postings."""
+    import shutil
+
+    cat = Catalog(spark, str(tmp_path / "rwh"))
+    idx = Bm25Index(cat, "r_t")
+    idx.build(
+        spark.createDataFrame([(1, "hash join")], "doc_id bigint, text string")
+    )
+    batch = spark.createDataFrame(
+        [(10, "hash scan hash"), (11, "???")], "doc_id bigint, text string"
+    )
+    idx.ingest(batch)  # the crash: state landed, report/marker did not
+    src = tmp_path / "src"
+    src.mkdir()
+    out = tmp_path / "stage"
+    batch.coalesce(1).write.parquet(str(out))
+    part = next(p for p in out.iterdir() if p.name.endswith(".parquet"))
+    shutil.move(str(part), str(src / "a.parquet"))
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(str(src))
+    idx.ingest_stream(stream, str(tmp_path / "ckpt"))  # replays epoch 0
+    reports = sorted(
+        (r.doc_id, r.dl, r.epoch_id) for r in cat.get(idx.reports_table).collect()
+    )
+    assert reports == [(10, 3, 0), (11, 0, 0)]  # re-derived, not skewed
+    posted = {
+        (r.tok, r.doc_id): r.tf
+        for r in cat.get_bucketed(idx.postings_table).collect()
+    }
+    assert posted[("hash", 10)] == 2  # the replayed ingest appended nothing
+    assert cat.get(idx.stats_table).collect()[0].n_docs == 3
