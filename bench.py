@@ -162,6 +162,7 @@ EXTENDED_QUERIES = [
     "bm25_delete_topk",
     "bm25_stream_ingest",
     "ivf_cluster_skew_read",
+    "bm25_term_stats",
 ]
 
 

@@ -501,32 +501,105 @@ class Bm25Index:
             ),
         }
 
+    def term_stats(self, top_n: int = 20) -> DataFrame:
+        """Posting-list skew report — the inverted index's health signal,
+        completing the observability triple (``IvfIndex.cluster_stats``
+        for quantizer drift, ``NearDupIndex.bucket_stats`` for band
+        buckets). Because postings hold one row per (tok, doc_id), a
+        term's posting-ROW count IS its df, so the hottest terms by df
+        are exactly the terms whose posting lists dominate every scan
+        that touches them — the stopword-class cost driver of a BM25
+        index at 100 TB.
+
+        Returns the ``top_n`` hottest terms as a BOUNDED frame:
+        (tok, df, share, skew, rank) where ``share`` = df / total
+        posting rows and ``skew`` = df × n_terms / total (1.0 = the mean
+        posting list; the ``cluster_stats`` convention). Top-n is a
+        ``TakeOrderedAndProject`` over the terms-sized df frame —
+        distributed, never a global single-task sort — and the rank
+        window runs on the ``top_n`` survivors only. Counts are LIVE:
+        with tombstones outstanding, df re-aggregates from the live
+        postings (the same degraded-but-exact trade as :meth:`search`);
+        the steady state reads the precomputed df table."""
+        from .tombstones import read_tombstones
+
+        ts = read_tombstones(self.catalog, self.name)
+        if ts is None:
+            df_t = self.catalog.get_bucketed(self.df_table)
+        else:
+            dead = F.broadcast(ts.select(F.col("id").alias("doc_id")))
+            df_t = (
+                self.catalog.get_bucketed(self.postings_table)
+                .join(dead, "doc_id", "left_anti")
+                .groupBy("tok")
+                .agg(F.count("*").cast("bigint").alias("df"))
+            )
+        tot = df_t.agg(
+            F.sum("df").cast("bigint").alias("total"),
+            F.count("*").cast("bigint").alias("n_terms"),
+        )
+        top = (
+            df_t.crossJoin(F.broadcast(tot))
+            .orderBy(F.desc("df"), "tok")
+            .limit(top_n)
+        )
+        w = Window.orderBy(F.desc("df"), "tok")
+        return (
+            top.withColumn("rank", F.row_number().over(w))
+            .select(
+                "tok",
+                "df",
+                # single IEEE divisions of exact integers — bit-stable
+                # across engines (the cluster_stats share/skew idiom)
+                (F.col("df").cast("double") / F.col("total")).alias("share"),
+                (
+                    F.col("df").cast("double")
+                    * F.col("n_terms")
+                    / F.col("total")
+                ).alias("skew"),
+                F.col("rank").cast("bigint").alias("rank"),
+            )
+        )
+
     def maintain(
         self,
         max_tombstone_share: float = 0.2,
         max_files_per_bucket: int = 8,
+        max_hot_term_share: float = 0.2,
+        hot_terms_n: int = 10,
     ) -> dict:
         """The closed maintenance loop — the sparse-retrieval member of
         the triple (``IvfIndex.maintain`` / ``NearDupIndex.maintain``),
-        with the two signals that apply to an inverted index (no
-        quantizer to drift, no banding semantics to re-tune):
+        with the signals that apply to an inverted index (no quantizer
+        to drift, no banding semantics to re-tune):
 
-        1. **Tombstone debt**: |tombstones| > ``max_tombstone_share`` ×
+        1. **Hot-term mass** (report-only): the share of posting rows
+           held by the ``hot_terms_n`` hottest terms
+           (:meth:`term_stats`) above ``max_hot_term_share`` is
+           REPORTED as ``stopword_pruning_recommended=True`` but never
+           auto-fixed — dropping stopword postings changes every BM25
+           score (idf re-weighting), a human decision, exactly the
+           ``reband_recommended`` judgment call on the lexical index.
+        2. **Tombstone debt**: |tombstones| > ``max_tombstone_share`` ×
            |live docs| → :meth:`vacuum`. Extra urgency here vs the other
            indexes: between delete and vacuum every search pays the
            recomputed-stats path (one live-lengths aggregate per query),
            so vacuum also restores the precomputed fast path. Vacuum
-           rewrites both state tables, so check 2 is moot after it.
-        2. **File fragmentation**: either state table holding more than
+           rewrites both state tables, so check 3 is moot after it.
+        3. **File fragmentation**: either state table holding more than
            ``max_files_per_bucket`` × ``num_buckets`` files →
            :meth:`compact`.
 
-        All signals are bounded (two count jobs + driver-side file
-        listings). Returns the report dict."""
+        All signals are bounded (a top-n report, two count jobs,
+        driver-side file listings). Returns the report dict."""
         from .tombstones import live, read_tombstones
 
+        hot = self.term_stats(top_n=hot_terms_n).collect()  # bounded
+        hot_share = sum(r.share for r in hot)
         report: dict = {
             "action": "none",
+            "hot_term_share": hot_share,
+            "stopword_pruning_recommended": hot_share > max_hot_term_share,
             "tombstone_share": 0.0,
             "max_files_per_bucket": 0.0,
         }

@@ -4097,6 +4097,49 @@ def q_bm25_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.search(BM25_QUERIES, k=BM25_K)
 
 
+BM25_TERM_STATS_N = 20
+
+
+def q_bm25_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverted index's posting-list skew report
+    (``Bm25Index.term_stats``) over the STANDING index shared with
+    ``bm25_topk_read`` — the third member of the observability triple
+    (IVF cluster skew, LSH bucket skew, BM25 term skew). One row per
+    top-20 hot term; the oracle recomputes df/share/skew/rank in SQL
+    with the same single-IEEE-division arithmetic."""
+    return (
+        _ensure_bm25_read_index(spark, sf_dir)
+        .term_stats(top_n=BM25_TERM_STATS_N)
+        .orderBy("rank")
+    )
+
+
+def bm25_term_stats_oracle(top_n: int = BM25_TERM_STATS_N) -> str:
+    """DuckDB twin of ``Bm25Index.term_stats``: df from the distinct
+    (doc, tok) stream, totals cross-joined, share/skew as single IEEE
+    divisions of exact integers, (df desc, tok) tiebreak."""
+    return rf"""
+        WITH dt AS (
+            SELECT DISTINCT doc_id, tok
+            FROM (SELECT doc_id,
+                         unnest(regexp_extract_all(lower(text), '\w+')) AS tok
+                  FROM documents)),
+        df_t AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+                 FROM dt GROUP BY tok),
+        tot AS (SELECT CAST(sum(df) AS BIGINT) AS total,
+                       CAST(count(*) AS BIGINT) AS n_terms
+                FROM df_t),
+        ranked AS (
+            SELECT tok, df,
+                   CAST(df AS DOUBLE) / total AS share,
+                   CAST(df AS DOUBLE) * n_terms / total AS skew,
+                   CAST(row_number() OVER (ORDER BY df DESC, tok)
+                        AS BIGINT) AS rank
+            FROM df_t CROSS JOIN tot)
+        SELECT tok, df, share, skew, rank FROM ranked WHERE rank <= {top_n}
+    """
+
+
 def q_ivf_cluster_skew_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``ivf_cluster_skew``'s READ path (VERDICT r8 item 6): the bounded
     per-centroid population report over the STANDING memoized IVF index
@@ -4218,6 +4261,7 @@ EXT_QUERIES = {
     "bm25_ingest_topk": q_bm25_ingest_topk,
     "bm25_delete_topk": q_bm25_delete_topk,
     "bm25_stream_ingest": q_bm25_stream_ingest,
+    "bm25_term_stats": q_bm25_term_stats,
     "ivf_cluster_skew_read": q_ivf_cluster_skew_read,
     # r8: takedown journeys (tombstone delete honored by every read)
     "ivf_delete_search": q_ivf_delete_search,
@@ -4484,6 +4528,7 @@ EXT_ORACLES = {
         where=f"doc_id % {BM25_DELETE_MOD} != {BM25_DELETE_RESIDUE}",
     ),
     "bm25_stream_ingest": bm25_oracle_sql(BM25_QUERIES, k=BM25_K),
+    "bm25_term_stats": bm25_term_stats_oracle(),
     "ivf_cluster_skew_read": ivf_cluster_skew_oracle(),
     # takedown twins: the live predicate narrows the corpus/candidate
     # side exactly where the Spark live view reaches

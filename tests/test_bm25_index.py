@@ -288,3 +288,53 @@ def test_ingest_stream_replay_after_state_before_marker(spark, tmp_path):
     }
     assert posted[("hash", 10)] == 2  # the replayed ingest appended nothing
     assert cat.get(idx.stats_table).collect()[0].n_docs == 3
+
+
+def test_term_stats_exact_values_and_live_path(spark, tmp_path):
+    """The posting-list skew report: df IS the term's posting-row count,
+    share/skew are single IEEE divisions of exact integers, ties break
+    on tok — hand-computed on a 3-doc corpus; and with tombstones
+    outstanding the report re-aggregates df from the LIVE postings."""
+    docs = spark.createDataFrame(
+        [(1, "hash join tables"), (2, "hash scan"), (3, "join hash hash")],
+        "doc_id bigint, text string",
+    )
+    cat = Catalog(spark, str(tmp_path / "twh"))
+    idx = Bm25Index(cat, "t_s")
+    idx.build(docs)
+    got = [tuple(r) for r in idx.term_stats(top_n=3).orderBy("rank").collect()]
+    # df: hash=3, join=2, scan=1, tables=1; total=7, n_terms=4
+    assert got == [
+        ("hash", 3, 3 / 7, 3 * 4 / 7, 1),
+        ("join", 2, 2 / 7, 2 * 4 / 7, 2),
+        ("scan", 1, 1 / 7, 1 * 4 / 7, 3),  # tok tiebreak: scan < tables
+    ]
+    # live path: deleting doc 3 drops hash to df=2 (ties with join on
+    # df, tok tiebreak puts hash first), total=5, n_terms=4
+    idx.delete([3])
+    got2 = [tuple(r) for r in idx.term_stats(top_n=2).orderBy("rank").collect()]
+    assert got2 == [
+        ("hash", 2, 2 / 5, 2 * 4 / 5, 1),
+        ("join", 1, 1 / 5, 1 * 4 / 5, 2),
+    ]
+
+
+def test_maintain_reports_hot_term_share(spark, tmp_path):
+    """Hot-term mass is REPORT-ONLY (stopword pruning re-weights every
+    score — a human decision, the reband_recommended precedent): the
+    signal lands in the report, the action stays none."""
+    docs = spark.createDataFrame(
+        [(i, f"the the common word plus unique{i}") for i in range(6)],
+        "doc_id bigint, text string",
+    )
+    cat = Catalog(spark, str(tmp_path / "hwh"))
+    idx = Bm25Index(cat, "h_s")
+    idx.build(docs)
+    report = idx.maintain(hot_terms_n=4, max_hot_term_share=0.5)
+    # top-4 by df: the/common/word/plus at df=6 each = 24 of 30 rows
+    assert report["hot_term_share"] == 24 / 30
+    assert report["stopword_pruning_recommended"] is True
+    assert report["action"] == "none"  # never auto-fixed
+    assert idx.maintain(hot_terms_n=4, max_hot_term_share=0.9)[
+        "stopword_pruning_recommended"
+    ] is False
