@@ -163,6 +163,7 @@ EXTENDED_QUERIES = [
     "bm25_stream_ingest",
     "ivf_cluster_skew_read",
     "bm25_term_stats",
+    "dedup_keep_best",
 ]
 
 

@@ -66,6 +66,58 @@ def drop_exact_dups(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     return df.join(keep, on=[content_col, id_col], how="left_semi")
 
 
+def keep_best_exemplars(
+    docs: DataFrame, pairs: DataFrame, score, id_col: str = "doc_id"
+) -> DataFrame:
+    """Quality-aware duplicate-cluster resolution [EXT]: label duplicate
+    clusters (connected components over the pair graph — the
+    ``dedup_groups`` machinery), then keep the HIGHEST-``score`` member
+    of each cluster instead of the min-id convention — the real-world
+    policy when near-dup variants differ in completeness (keep the
+    longest/most complete page, drop its truncated mirrors). Ties break
+    to the MIN id, so the min-id convention is the score-constant
+    special case.
+
+    ``score`` is a Column evaluated against ``docs``; use an exact
+    integer score (token counts, byte lengths, rule counts) so the
+    argmax is bit-deterministic across engines — the struct-max below
+    compares (score, -id) pairs with exact bigint ordering, never a
+    float tiebreak.
+
+    Returns one row per document: (doc_id, group_id, score, kept_id,
+    kept 0/1). Scale shape: components come from the bounded two-star
+    iteration (``operators/graph.py``); the argmax is ONE groupBy over
+    the corpus with map-side partials; no window function touches a
+    corpus-sized partition."""
+    from .graph import connected_components
+
+    verts = docs.select(F.col(id_col).alias("id"))
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    cc = connected_components(verts, edges).select(
+        F.col("id").alias("doc_id"), F.col("component").alias("group_id")
+    )
+    scored = docs.select(
+        F.col(id_col).alias("doc_id"), score.cast("bigint").alias("score")
+    )
+    j = cc.join(scored, "doc_id")
+    best = (
+        j.groupBy("group_id")
+        .agg(
+            F.max(
+                F.struct(F.col("score"), (-F.col("doc_id")).alias("neg_id"))
+            ).alias("b")
+        )
+        .select("group_id", (-F.col("b.neg_id")).alias("kept_id"))
+    )
+    return j.join(best, "group_id").select(
+        "doc_id",
+        "group_id",
+        "score",
+        "kept_id",
+        (F.col("doc_id") == F.col("kept_id")).cast("bigint").alias("kept"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # shingles
 # ---------------------------------------------------------------------------

@@ -254,18 +254,19 @@ QUERIES: dict[str, QueryFn] = {
 # whose code changed (bm25_ingest_topk: per-table admission sets close
 # the postings/lengths crash window, ADVICE r8 high — clean-run results
 # identical, but the ingest plan changed) + the 12 r5-dated rows
-# earmarked last round + the 33 oldest r6-dated rows, alphabetical.
+# earmarked last round + the 32 oldest r6-dated rows, alphabetical.
 # The bm25 read rows and the two r8 delete journeys also traverse this
 # round's tombstone-aware code, but with no tombstone table the path is
 # a driver-side exists() check into the identical plan (the
 # embedding_neardup_idx-r7 precedent), so they stay out of
-# _CHANGED_THIS_ROUND. 15 r6-dated rows (simhash_dup_pairs …
+# _CHANGED_THIS_ROUND. 16 r6-dated rows (sales_rollup …
 # wordcount_total, alphabetical tail) remain for the r10 window.
 _CHANGED_THIS_ROUND = [
     # r9: NEW queries ship their behavior this round
     "bm25_delete_topk",
     "bm25_stream_ingest",
     "bm25_term_stats",
+    "dedup_keep_best",
     "ivf_cluster_skew_read",
     # r9: per-table admission sets in Bm25Index.ingest (ADVICE r8 high)
     "bm25_ingest_topk",
@@ -318,7 +319,6 @@ _ROTATION_FRONT = [
     "redact_pii",
     "regex_filter",
     "rrf_fusion",
-    "sales_rollup",
 ]
 assert len(_ROTATION_FRONT) == 50
 assert set(_ROTATION_FRONT) <= set(QUERIES)

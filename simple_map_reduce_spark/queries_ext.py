@@ -167,6 +167,26 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(F.col("id").alias("doc_id"), F.col("component").alias("group_id"))
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster resolution (``keep_best_exemplars``): the
+    same MinHash-CC clusters as ``dedup_groups``, but each cluster keeps
+    its LONGEST member (exact token count; ties → min doc_id) instead of
+    the min-id convention — the keep-the-most-complete-variant policy of
+    a real pretraining dedup pass. The oracle reuses the shared
+    transitive-closure CTE and re-derives the argmax with the same
+    (score desc, doc_id) order."""
+    from .functions.text import token_count
+    from .operators.dedup import keep_best_exemplars
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dup_pairs(
+        docs, "doc_id", "text", threshold=MINHASH_THRESHOLD, max_bucket=SKEW_CAP
+    )
+    return keep_best_exemplars(docs, pairs, token_count("text")).orderBy(
+        "doc_id"
+    )
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply named Gopher-style quality rules and report the per-language
     keep/drop breakdown — the filter-application analog of dedup_prune.
@@ -2334,6 +2354,35 @@ def dedup_groups_oracle() -> str:
     """
 
 
+def dedup_keep_best_oracle() -> str:
+    """Quality-aware exemplar per cluster: the shared transitive-closure
+    CTE, an exact-integer token-count score, and the (score desc,
+    doc_id) argmax — bit-identical to the struct-max on the Spark side
+    (exact bigint ordering, no float tiebreak)."""
+    return rf"""
+        {_dedup_reach_cte()},
+        scored AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(lower(text), '\w+')) AS BIGINT)
+                       AS score
+            FROM documents),
+        best AS (
+            SELECT group_id, doc_id AS kept_id FROM (
+                SELECT g.group_id, s.doc_id,
+                       row_number() OVER (PARTITION BY g.group_id
+                                          ORDER BY s.score DESC, s.doc_id)
+                           AS rn
+                FROM groups g JOIN scored s USING (doc_id))
+            WHERE rn = 1)
+        SELECT s.doc_id, g.group_id, s.score, b.kept_id,
+               CAST(CASE WHEN s.doc_id = b.kept_id THEN 1 ELSE 0 END
+                    AS BIGINT) AS kept
+        FROM scored s
+        JOIN groups g USING (doc_id)
+        JOIN best b ON g.group_id = b.group_id
+    """
+
+
 def dedup_prune_oracle() -> str:
     """Pruned-corpus summary: a document survives iff it is its own
     cluster representative (doc_id == min-label group_id)."""
@@ -4178,6 +4227,7 @@ EXT_QUERIES = {
     "minhash_buckets": q_minhash_buckets,
     "minhash_dup_pairs": q_minhash_dup_pairs,
     "dedup_groups": q_dedup_groups,
+    "dedup_keep_best": q_dedup_keep_best,
     "simhash_sigs": q_simhash_sigs,
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "jaccard_pairs": q_jaccard_pairs,
@@ -4283,6 +4333,7 @@ EXT_ORACLES = {
     "minhash_buckets": minhash_buckets_oracle(),
     "minhash_dup_pairs": minhash_pairs_oracle(),
     "dedup_groups": dedup_groups_oracle(),
+    "dedup_keep_best": dedup_keep_best_oracle(),
     "simhash_sigs": simhash_sigs_oracle(),
     "simhash_dup_pairs": simhash_pairs_oracle(),
     "jaccard_pairs": jaccard_pairs_oracle(),

@@ -553,3 +553,38 @@ def test_neardup_bucket_stats_reports_cap_exclusions(spark, tmp_path):
     )
     rows2 = idx2.bucket_stats().collect()
     assert all(r.n_over_cap == 0 and r.capped_rows == 0 for r in rows2)
+
+
+def test_keep_best_exemplars_policy(spark):
+    """Quality-aware cluster resolution: the cluster keeps its highest-
+    scoring member (NOT the min id), score ties break to the min id,
+    singletons keep themselves."""
+    from simple_map_reduce_spark.operators.dedup import keep_best_exemplars
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, 5),   # cluster {1,2,3}: doc 2 longest -> kept
+            (2, 9),
+            (3, 5),
+            (10, 4),  # cluster {10, 11}: tie -> min id 10 kept
+            (11, 4),
+            (99, 1),  # singleton keeps itself
+        ],
+        "doc_id bigint, n_tokens bigint",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    got = {
+        r.doc_id: (r.group_id, r.score, r.kept_id, r.kept)
+        for r in keep_best_exemplars(docs, pairs, F.col("n_tokens")).collect()
+    }
+    assert got == {
+        1: (1, 5, 2, 0),
+        2: (1, 9, 2, 1),
+        3: (1, 5, 2, 0),
+        10: (10, 4, 10, 1),
+        11: (10, 4, 10, 0),
+        99: (99, 1, 99, 1),
+    }
