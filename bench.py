@@ -163,6 +163,7 @@ EXTENDED_QUERIES = [
     "bm25_stream_ingest",
     "ivf_cluster_skew_read",
     "bm25_term_stats",
+    "bm25_topk_pruned",
     "dedup_keep_best",
 ]
 

@@ -189,12 +189,17 @@ def bm25_oracle_sql(
     k1: float = BM25_K1,
     b: float = BM25_B,
     where: str | None = None,
+    max_df_share: float | None = None,
 ) -> str:
     """DuckDB twin of :func:`bm25_topk` — same tokenizer, same idf/tf
     expression tree, same integer quantization, same tiebreaks.
     ``where`` narrows the corpus (the takedown oracle: BM25 over the
     pruned corpus IS the live-view contract — every corpus-global
-    statistic recomputed over the survivors).
+    statistic recomputed over the survivors). ``max_df_share`` mirrors
+    :meth:`Bm25Index.search`'s stopword pruning: terms with
+    ``df > max_df_share·N`` contribute nothing (same double-precision
+    comparison on both engines — bigint operands are exactly
+    representable, so the predicate can never disagree).
 
     The ``k1+1`` factor is CAST to DOUBLE: a bare ``2.2`` literal types
     as DECIMAL(2,1) in DuckDB, making ``tf·(k1+1)`` exact decimal where
@@ -210,6 +215,11 @@ def bm25_oracle_sql(
     terms = sorted({t for _, ts in queries for t in ts})
     termlist = ", ".join(f"'{t}'" for t in terms)
     src = f"(SELECT * FROM documents WHERE {where})" if where else "documents"
+    cap = (
+        f"WHERE df_t.df <= {max_df_share!r} * s.n_docs"
+        if max_df_share is not None
+        else ""
+    )
     return rf"""
         WITH lengths AS (
             SELECT doc_id,
@@ -238,7 +248,8 @@ def bm25_oracle_sql(
             FROM tf
             JOIN lengths l ON tf.doc_id = l.doc_id
             CROSS JOIN stats s
-            JOIN df_t ON tf.tok = df_t.tok),
+            JOIN df_t ON tf.tok = df_t.tok
+            {cap}),
         qterms(query_id, tok) AS (VALUES {qvals}),
         scored AS (
             SELECT q.query_id, c.doc_id, sum(c.ci) AS score_q
@@ -390,13 +401,34 @@ class Bm25Index:
         finally:
             untrack(toks)
 
-    def search(self, queries: list[tuple[int, list[str]]], k: int = 10) -> DataFrame:
+    def search(
+        self,
+        queries: list[tuple[int, list[str]]],
+        k: int = 10,
+        max_df_share: float | None = None,
+    ) -> DataFrame:
         """Top-``k`` documents per keyword query against the standing
         index — the serving path: postings and df are FILTERED to the
         query terms at the scan (bucket-prunable on the tok-bucketed
         tables), stats is one broadcast row, and only query-sized frames
         shuffle. Bit-identical to :func:`bm25_topk` over the same
         corpus (shared scoring core ⇒ shared oracle).
+
+        ``max_df_share`` is query-time stopword pruning — the serving
+        lever :meth:`term_stats` motivates: a term whose posting list
+        spans ``> max_df_share·N`` documents is dropped from scoring
+        entirely. In the steady state the decision comes from the
+        PRECOMPUTED df table (a bucket-pruned, query-terms-sized read)
+        plus the one-row stats table, BEFORE the postings scan — so the
+        stopword-class posting lists, exactly the lists that dominate
+        BM25 serving cost at 100 TB, are never read (their terms leave
+        the scan's ``isin``). A query all of whose terms are pruned
+        returns no rows (inner-join semantics, mirrored by the oracle).
+        The two driver-side reads this costs are bounded: |query terms|
+        df rows + one stats row. Semantics are a pure function of the
+        live corpus — ``bm25_oracle_sql(..., max_df_share=)`` is the
+        DuckDB twin — not of index layout, so a fresh build scores
+        identically.
 
         With tombstones outstanding (takedown awaiting :meth:`vacuum`)
         the read degrades but stays EXACT: postings and lengths are
@@ -406,15 +438,17 @@ class Bm25Index:
         and N/avgdl from one aggregate over the live lengths — every
         corpus-global statistic reflects the pruned corpus, so the
         result is bit-identical to a fresh build without the deleted
-        docs. With no tombstone table (the steady state) this is the
-        plan-identical precomputed fast path."""
+        docs. The df cap, too, is judged on LIVE df/N in this path
+        (deletes can move a term across the cap in either direction —
+        df falls with each deleted occurrence, N with every deleted
+        doc); the cap filter rides the already-computed live df frame,
+        so no scan-avoidance is possible (live df IS the scan) and none
+        is claimed. With no tombstone table (the steady state) this is
+        the plan-identical precomputed fast path."""
         spark = self.catalog.spark
         from .tombstones import read_tombstones
 
         qterms, all_terms = _query_terms(spark, queries)
-        tf = self.catalog.get_bucketed(self.postings_table).filter(
-            F.col("tok").isin(all_terms)
-        )
         lengths = self.catalog.get_bucketed(self.lengths_table)
         ts = read_tombstones(self.catalog, self.name)
         if ts is None:
@@ -422,7 +456,40 @@ class Bm25Index:
                 F.col("tok").isin(all_terms)
             )
             stats = self.catalog.get(self.stats_table)
+            if max_df_share is not None:
+                # bounded driver-side reads (|query terms| + 1 rows)
+                # buy the real prize: pruned terms never reach the
+                # postings scan's isin, so their lists are never read
+                n_docs = stats.select("n_docs").head()[0]
+                all_terms = sorted(
+                    r["tok"]
+                    for r in df_t.filter(
+                        F.col("df") <= max_df_share * n_docs
+                    )
+                    .select("tok")
+                    .collect()
+                )
+                if not all_terms:
+                    return spark.createDataFrame(
+                        [],
+                        "query_id bigint, doc_id bigint, "
+                        "score double, rank bigint",
+                    )
+                # re-read df with the survivors only (not a filter
+                # stacked on the decision frame): otherwise Catalyst
+                # infers the ORIGINAL term list across the scoring join
+                # and the pruned terms reappear in the postings scan's
+                # pushed filters
+                df_t = self.catalog.get_bucketed(self.df_table).filter(
+                    F.col("tok").isin(all_terms)
+                )
+            tf = self.catalog.get_bucketed(self.postings_table).filter(
+                F.col("tok").isin(all_terms)
+            )
         else:
+            tf = self.catalog.get_bucketed(self.postings_table).filter(
+                F.col("tok").isin(all_terms)
+            )
             dead = F.broadcast(ts.select(F.col("id").alias("doc_id")))
             tf = tf.join(dead, "doc_id", "left_anti")
             lengths = lengths.join(dead, "doc_id", "left_anti")
@@ -437,6 +504,12 @@ class Bm25Index:
                 F.count("*").cast("bigint").alias("n_docs"),
                 F.sum("dl").cast("bigint").alias("sum_dl"),
             )
+            if max_df_share is not None:
+                df_t = (
+                    df_t.crossJoin(F.broadcast(stats))
+                    .filter(F.col("df") <= max_df_share * F.col("n_docs"))
+                    .select("tok", "df")
+                )
         return _bm25_score(tf, lengths, stats, df_t, qterms, k, self.k1, self.b)
 
     def delete(self, ids) -> int:

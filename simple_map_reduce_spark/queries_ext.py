@@ -4148,6 +4148,33 @@ def q_bm25_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BM25_TERM_STATS_N = 20
 
+# queries mixing the corpus's one informative-tail term ('dup', df share
+# a stable 0.05 at every sf) with stopword-class terms (share 0.75–0.81
+# at every sf), so the 0.5 cap separates identically at sf0.001/0.01/0.1:
+# query 1 survives on 'dup' alone, query 2 is pruned to nothing — a
+# no-op cap could not produce either
+BM25_PRUNED_QUERIES = [
+    (1, ["dup", "hash", "join"]),
+    (2, ["sort", "merge", "scan"]),
+]
+BM25_DF_CAP = 0.5
+
+
+def q_bm25_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-pruned BM25 serving (``Bm25Index.search`` with
+    ``max_df_share`` — the lever ``maintain()``'s
+    stopword_pruning_recommended signal and the ``bm25_term_stats`` row
+    point at): terms whose df exceeds the cap are dropped from scoring
+    BEFORE the postings scan, decided from the bucket-pruned
+    query-terms df slice plus the one-row stats table — the
+    stopword-class posting lists, the dominant serving cost of an
+    inverted index at 100 TB, are never read. Runs against the STANDING
+    index shared with ``bm25_topk_read``; the oracle applies the same
+    df ≤ share·N predicate inside the shared BM25 SQL."""
+    return _ensure_bm25_read_index(spark, sf_dir).search(
+        BM25_PRUNED_QUERIES, k=BM25_K, max_df_share=BM25_DF_CAP
+    )
+
 
 def q_bm25_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The inverted index's posting-list skew report
@@ -4312,6 +4339,7 @@ EXT_QUERIES = {
     "bm25_delete_topk": q_bm25_delete_topk,
     "bm25_stream_ingest": q_bm25_stream_ingest,
     "bm25_term_stats": q_bm25_term_stats,
+    "bm25_topk_pruned": q_bm25_topk_pruned,
     "ivf_cluster_skew_read": q_ivf_cluster_skew_read,
     # r8: takedown journeys (tombstone delete honored by every read)
     "ivf_delete_search": q_ivf_delete_search,
@@ -4569,6 +4597,9 @@ EXT_ORACLES = {
     "incremental_neardup_read": incremental_neardup_oracle(),
     "chunk_ann_topk_read": chunk_ann_topk_oracle(),
     "bm25_topk_read": bm25_oracle_sql(BM25_QUERIES, k=BM25_K),
+    "bm25_topk_pruned": bm25_oracle_sql(
+        BM25_PRUNED_QUERIES, k=BM25_K, max_df_share=BM25_DF_CAP
+    ),
     "chunk_hybrid_topk_read": chunk_hybrid_topk_oracle(),
     # the ingest journey's oracle is the UNSPLIT full-corpus SQL: the
     # incremental path must reconstruct every corpus-global statistic

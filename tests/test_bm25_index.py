@@ -319,6 +319,136 @@ def test_term_stats_exact_values_and_live_path(spark, tmp_path):
     ]
 
 
+def test_search_df_cap_prunes_hot_terms(spark, tmp_path):
+    """Query-time stopword pruning (the lever maintain()'s
+    stopword_pruning_recommended signal points at): a term with
+    df > max_df_share·N contributes nothing, so the capped search equals
+    the uncapped search with that term struck from every query list."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the hash join"),
+            (2, "the hash"),
+            (3, "the scan"),
+            (4, "the merge"),
+            (5, "rare scan"),
+        ],
+        "doc_id bigint, text string",
+    )
+    cat = Catalog(spark, str(tmp_path / "dcw"))
+    idx = Bm25Index(cat, "d_c")
+    idx.build(docs)
+    # df: the=4/5 (0.8), hash=2/5, scan=2/5, rare=1/5 → cap 0.5 prunes 'the'
+    q = [(1, ["the", "hash"]), (2, ["the", "scan", "rare"])]
+    got = sorted(map(tuple, idx.search(q, k=5, max_df_share=0.5).collect()))
+    want = sorted(
+        map(
+            tuple,
+            idx.search([(1, ["hash"]), (2, ["scan", "rare"])], k=5).collect(),
+        )
+    )
+    assert got == want and got
+
+
+def test_search_df_cap_noop_and_all_pruned(spark, tmp_path):
+    """Cap above every term's share is bit-identical to the uncapped
+    search; cap below every share returns an EMPTY frame with the
+    contract schema (inner-join semantics — a stopword-only query has
+    no surviving terms to score)."""
+    docs = spark.createDataFrame(
+        [(1, "hash join"), (2, "hash scan")], "doc_id bigint, text string"
+    )
+    cat = Catalog(spark, str(tmp_path / "dnw"))
+    idx = Bm25Index(cat, "d_n")
+    idx.build(docs)
+    q = [(1, ["hash", "join"])]
+    assert sorted(map(tuple, idx.search(q, k=5, max_df_share=1.0).collect())) == sorted(
+        map(tuple, idx.search(q, k=5).collect())
+    )
+    empty = idx.search(q, k=5, max_df_share=0.01)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "query_id", "doc_id", "score", "rank",
+    ]
+
+
+def test_search_df_cap_skips_hot_posting_scan(spark, tmp_path):
+    """THE scale property of the capped path: the pruned term never
+    reaches the postings scan's isin — its posting list (the
+    stopword-class cost driver at 100 TB) is never read. The df table
+    scan still carries the full term list (terms-sized, the frame the
+    pruning decision reads)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the hash"),
+            (2, "the hash"),
+            (3, "the scan"),
+            (4, "the merge"),
+        ],
+        "doc_id bigint, text string",
+    )
+    cat = Catalog(spark, str(tmp_path / "dpw"))
+    idx = Bm25Index(cat, "d_p")
+    idx.build(docs)
+    q = [(1, ["the", "hash"])]
+    plan = (
+        idx.search(q, k=5, max_df_share=0.5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    post_scans = [
+        l for l in plan.splitlines() if "FileScan" in l and "__postings" in l
+    ]
+    assert post_scans
+    for line in post_scans:
+        assert "the" not in line.split("PushedFilters")[-1], line
+        assert "hash" in line, line
+
+
+def test_search_df_cap_judged_on_live_stats_with_tombstones(spark, tmp_path):
+    """With tombstones outstanding the cap is decided on LIVE df/N, not
+    the stale stored tables: a term over the cap on stored statistics
+    whose live share falls under it scores again — the capped live view
+    stays bit-identical to a fresh build over the pruned corpus searched
+    with the same cap."""
+    docs = spark.createDataFrame(
+        [
+            (1, "hot hash"),
+            (2, "hot hash"),
+            (3, "hot scan"),
+            (4, "hot merge"),
+            (5, "scan merge"),
+        ],
+        "doc_id bigint, text string",
+    )
+    cat = Catalog(spark, str(tmp_path / "dlw"))
+    idx = Bm25Index(cat, "d_l")
+    idx.build(docs)
+    q = [(1, ["hot", "hash"])]
+    # stored: hot df=4/5 (0.8) > 0.75 → pruned on the steady-state path
+    assert all(
+        r.doc_id in (1, 2)
+        for r in idx.search(q, k=5, max_df_share=0.75).collect()
+    )
+    # delete docs 3 and 4: live hot df=2, N=3 → share 0.67 ≤ 0.75
+    idx.delete([3, 4])
+    got = sorted(
+        map(tuple, idx.search(q, k=5, max_df_share=0.75).collect())
+    )
+    ref = Bm25Index(Catalog(spark, str(tmp_path / "dlw_ref")), "d_lr")
+    ref.build(docs.filter(~F.col("doc_id").isin(3, 4)))
+    want = sorted(
+        map(tuple, ref.search(q, k=5, max_df_share=0.75).collect())
+    )
+    assert got == want and got
+    # and 'hot' genuinely contributes again: scores exceed the
+    # hash-only ranking the pre-delete capped path would produce
+    hash_only = sorted(
+        map(tuple, idx.search([(1, ["hash"])], k=5).collect())
+    )
+    assert got != hash_only
+
+
 def test_maintain_reports_hot_term_share(spark, tmp_path):
     """Hot-term mass is REPORT-ONLY (stopword pruning re-weights every
     score — a human decision, the reband_recommended precedent): the
