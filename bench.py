@@ -165,6 +165,7 @@ EXTENDED_QUERIES = [
     "bm25_term_stats",
     "bm25_topk_pruned",
     "dedup_keep_best",
+    "neardup_keep_best",
 ]
 
 

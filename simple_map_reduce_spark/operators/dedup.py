@@ -466,6 +466,10 @@ class NearDupIndex:
     def sizes_table(self) -> str:
         return f"{self.name}__sizes"
 
+    @property
+    def quality_table(self) -> str:
+        return f"{self.name}__quality"
+
     _SHINGLE_KEYS = ("id", "h")
     _BUCKET_KEYS = ("band_idx", "band_hash")
 
@@ -495,12 +499,22 @@ class NearDupIndex:
         sig = sh.groupBy("id").agg(*_minhash_aggs(self.num_hashes))
         return sh, lsh_band_buckets(sig, self.num_hashes, self.bands)
 
-    def build(self, corpus_df: DataFrame) -> None:
+    def build(self, corpus_df: DataFrame, quality_col: str | None = None) -> None:
         """Bootstrap (or rebuild) the index from a standing corpus. Any
         standing tombstones are dropped LAST — a rebuild replaces the
         state wholesale, and the drop-last order means a crash mid-build
         can only leave extra ids hidden (conservative), never a deleted
-        id resurrected."""
+        id resurrected.
+
+        ``quality_col`` makes this a QUALITY-INDEXED corpus: every
+        exemplar's score (cast to bigint — the exact-integer policy of
+        :func:`keep_best_exemplars`; pass token counts / byte lengths /
+        rule counts, never floats) is stored in ``{name}__quality`` so
+        :meth:`ingest_keep_best` can challenge standing exemplars
+        without re-reading their text. A quality-indexed corpus must
+        ingest through :meth:`ingest_keep_best` (plain :meth:`ingest`
+        refuses — see there); a rebuild WITHOUT ``quality_col`` drops
+        the quality table, returning the index to first-seen-wins."""
         from .tombstones import drop_tombstones
 
         sh, bk = self._derive(corpus_df)
@@ -516,6 +530,18 @@ class NearDupIndex:
             "id",
             self.num_buckets,
         )
+        if quality_col is not None:
+            self.catalog.put_bucketed(
+                corpus_df.select(
+                    F.col(self.id_col).alias("id"),
+                    F.col(quality_col).cast("bigint").alias("q"),
+                ),
+                self.quality_table,
+                "id",
+                self.num_buckets,
+            )
+        elif self.catalog.exists(self.quality_table):
+            self.catalog.delete(self.quality_table)
         untrack(sh)
         drop_tombstones(self.catalog, self.name)
 
@@ -541,6 +567,11 @@ class NearDupIndex:
         denominator join and the retry have-set probe both key on id, so
         neither re-shuffles the corpus-cardinality size table."""
         return self.catalog.get_bucketed(self.sizes_table)
+
+    def _corpus_quality(self) -> DataFrame:
+        """(id, q) exemplar quality scores, BUCKETED on id (present only
+        on a quality-indexed corpus — see :meth:`build`)."""
+        return self.catalog.get_bucketed(self.quality_table)
 
     def check(self, new_df: DataFrame) -> DataFrame:
         """Near-dup pairs (id_new, id_corpus, jaccard ≥ threshold) of a
@@ -610,6 +641,14 @@ class NearDupIndex:
         vacuum first, then re-admit (see :mod:`.tombstones`)."""
         from .tombstones import refuse_tombstoned
 
+        if self.catalog.exists(self.quality_table):
+            raise ValueError(
+                f"index '{self.name}' is quality-indexed: ingest through "
+                "ingest_keep_best (every exemplar needs a quality row; a "
+                "first-seen-wins ingest would admit unscored exemplars "
+                "that silently win or lose every later challenge). "
+                "Rebuild without quality_col to return to plain ingest."
+            )
         refuse_tombstoned(self.catalog, self.name, new_df.select(self.id_col))
         shn, bn = self._derive(new_df)
         bn = tracked_persist(bn)  # feeds the self-join (both sides) + append
@@ -726,6 +765,266 @@ class NearDupIndex:
         )
         return pairs
 
+    def ingest_keep_best(self, new_df: DataFrame, quality_col: str) -> DataFrame:
+        """Quality-aware ingest against a quality-indexed corpus (see
+        :meth:`build`): the standing-index form of
+        :func:`keep_best_exemplars` — when a BETTER copy of an existing
+        exemplar arrives (crawls routinely re-see the same page more
+        complete), it REPLACES the incumbent instead of being rejected
+        by first-seen-wins.
+
+        Semantics, two stages:
+
+        1. **Intra-batch resolution** mirrors :func:`keep_best_exemplars`
+           verbatim: connected components over the batch's own near-dup
+           pairs, the max-``(q, -id)`` member of each batch cluster
+           survives (exact bigint struct compare — no float tiebreak).
+        2. **Corpus challenge**, deliberately PAIRWISE — not the batch
+           form's cluster merge: each surviving challenger is admitted
+           iff it beats EVERY live incumbent it collides with (one
+           struct-max per challenger decides this: beating the
+           ``(q, -id)``-max incumbent beats all), and admission
+           tombstones exactly the incumbents it matched. Incumbents
+           never fight each other — two standing exemplars were
+           mutually non-dup at admission, and a challenger that LOSES
+           must not retroactively delete the weaker incumbents it also
+           matched (the batch CC form would collapse that whole cluster
+           to one survivor; an incremental index must be order-stable).
+
+        Returns the decision report, one row per batch doc:
+        (id, q, outcome ∈ admitted/rejected_batch/rejected_corpus,
+        kept_by = the batch-cluster winner / the strongest incumbent /
+        NULL, n_replaced = incumbents this admission tombstoned).
+
+        Crash safety — decisions are re-derivable under EVERY crash
+        prefix, so the write order is: decision frames eagerly
+        checkpointed (no writes) → the four state appends (buckets →
+        sizes → shingles → quality, each anti-joined against ids
+        physically present in ITS table) → beaten-incumbent tombstones
+        LAST as ONE atomic append. A retry before the tombstone commit
+        sees every incumbent still live (the challenge excludes batch
+        ids from the corpus side, so partial batch appends are
+        invisible to it) and re-derives the identical decisions; after
+        it commits, the operation is complete. Until that final append
+        a beaten incumbent remains visible beside its admitted
+        replacement — the CONSERVATIVE direction for a dedup gate (an
+        extra live near-dup can only over-reject a future batch, never
+        lose data), healed by the retry.
+
+        NOT wired into :meth:`ingest_stream`: the epoch-replay protocol
+        requires the per-epoch report to be a pure function of (batch,
+        pre-epoch state), and a FULLY-committed keep-best epoch destroys
+        the pre-epoch state it needs (the beaten incumbents are
+        tombstoned, so a replay would re-derive different decisions —
+        e.g. admit a challenger that originally lost to a now-dead
+        incumbent). Run it as a scheduled batch step; a streaming form
+        needs snapshot-isolated corpus reads, which immutable parquet
+        appends alone don't give."""
+        from .tombstones import append_tombstones, live, refuse_tombstoned
+
+        if not self.catalog.exists(self.quality_table):
+            raise ValueError(
+                f"index '{self.name}' has no quality table: build the "
+                "corpus with quality_col=... before ingest_keep_best"
+            )
+        refuse_tombstoned(self.catalog, self.name, new_df.select(self.id_col))
+        qual_n = new_df.select(
+            F.col(self.id_col).alias("id"),
+            F.col(quality_col).cast("bigint").alias("q"),
+        )
+        shn, bn = self._derive(new_df)
+        bn = tracked_persist(bn)
+        persisted = [shn, bn]
+        try:
+            batch_ids = shn.select("id").distinct()
+            # --- stage 1: intra-batch keep-best (the batch operator's
+            # exact semantics over the batch's own pair graph) ---
+            bnc = bn
+            if self.max_bucket:
+                sizes = bn.groupBy("band_idx", "band_hash").agg(
+                    F.count("*").alias("bsz")
+                )
+                bnc = bn.join(
+                    sizes.filter(F.col("bsz") <= self.max_bucket),
+                    ["band_idx", "band_hash"],
+                ).drop("bsz")
+            within_cand = (
+                bnc.select(F.col("id").alias("id_a"), "band_idx", "band_hash")
+                .join(
+                    bnc.select(F.col("id").alias("id_b"), "band_idx", "band_hash"),
+                    ["band_idx", "band_hash"],
+                )
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b")
+                .distinct()
+            )
+            within = _verify_jaccard(within_cand, shn, self.threshold)
+            resolution = keep_best_exemplars(
+                qual_n, within, F.col("q"), id_col="id"
+            )
+            challengers = resolution.filter(F.col("kept") == 1).select(
+                F.col("doc_id").alias("id")
+            )
+            # --- stage 2: pairwise corpus challenge (live view; batch
+            # ids excluded from the corpus side — the replay idiom) ---
+            bc_check = live(self.catalog, self.name, self._corpus_buckets()).join(
+                F.broadcast(batch_ids), "id", "left_anti"
+            )
+            corpus_pairs = _asymmetric_neardup_check(
+                shn.join(F.broadcast(challengers), "id", "left_semi"),
+                self._corpus_shingles(),
+                bc_check,
+                self.num_hashes,
+                self.bands,
+                self.threshold,
+                self.max_bucket,
+                sz_c=self._corpus_sizes(),
+            )
+            # persisted: feeds BOTH the per-challenger struct-max and the
+            # beaten-incumbent set (each eagerly checkpointed below)
+            matches = tracked_persist(
+                corpus_pairs.join(
+                    self._corpus_quality().select(
+                        F.col("id").alias("id_corpus"), F.col("q").alias("q_inc")
+                    ),
+                    "id_corpus",
+                )
+            )
+            persisted.append(matches)
+            # the (q, -id)-max incumbent per challenger: beat it, beat all
+            best_inc = (
+                matches.groupBy("id_new")
+                .agg(
+                    F.max(
+                        F.struct(
+                            F.col("q_inc"), (-F.col("id_corpus")).alias("neg_id")
+                        )
+                    ).alias("b")
+                )
+                .select(
+                    "id_new",
+                    F.col("b.q_inc").alias("q_best"),
+                    (-F.col("b.neg_id")).alias("best_inc"),
+                )
+            )
+            wins = F.col("q_best").isNull() | (
+                (F.col("q") > F.col("q_best"))
+                | ((F.col("q") == F.col("q_best")) & (F.col("id") < F.col("best_inc")))
+            )
+            decided = (
+                resolution.select(
+                    F.col("doc_id").alias("id"),
+                    F.col("score").alias("q"),
+                    "kept_id",
+                    "kept",
+                )
+                .join(
+                    best_inc.withColumnRenamed("id_new", "id"), "id", "left"
+                )
+                .withColumn(
+                    "outcome",
+                    F.when(F.col("kept") == 0, F.lit("rejected_batch"))
+                    .when(wins, F.lit("admitted"))
+                    .otherwise(F.lit("rejected_corpus")),
+                )
+                .withColumn(
+                    "kept_by",
+                    F.when(F.col("outcome") == "rejected_batch", F.col("kept_id"))
+                    .when(
+                        F.col("outcome") == "rejected_corpus", F.col("best_inc")
+                    )
+                    .otherwise(F.lit(None).cast("bigint")),
+                )
+            )
+            # pin BOTH decision frames to the pre-ingest state before any
+            # write (they read the very tables the appends grow)
+            beaten = (
+                matches.join(
+                    decided.filter(F.col("outcome") == "admitted").select(
+                        F.col("id").alias("id_new")
+                    ),
+                    "id_new",
+                )
+                .select("id_new", F.col("id_corpus").alias("id"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            n_repl = beaten.groupBy("id_new").agg(
+                F.count("*").cast("bigint").alias("n_replaced")
+            )
+            report = (
+                decided.join(
+                    n_repl.withColumnRenamed("id_new", "id"), "id", "left"
+                )
+                .select(
+                    "id",
+                    "q",
+                    "outcome",
+                    "kept_by",
+                    F.coalesce("n_replaced", F.lit(0).cast("bigint")).alias(
+                        "n_replaced"
+                    ),
+                )
+                .localCheckpoint(eager=True)
+            )
+            # --- idempotent state appends (physical have-sets) ---
+            admitted = report.filter(F.col("outcome") == "admitted").select("id")
+            have_bk = (
+                self._corpus_buckets()
+                .join(F.broadcast(batch_ids), "id", "left_semi")
+                .select("id")
+                .distinct()
+            )
+            have_sz = self._corpus_sizes().join(
+                F.broadcast(batch_ids), "id", "left_semi"
+            ).select("id")
+            have_sh = (
+                self._corpus_shingles()
+                .join(F.broadcast(batch_ids), "id", "left_semi")
+                .select("id")
+                .distinct()
+            )
+            have_q = self._corpus_quality().join(
+                F.broadcast(batch_ids), "id", "left_semi"
+            ).select("id")
+            accepted_sh = shn.join(admitted, "id", "left_semi")
+            self.catalog.append_bucketed(
+                bn.join(admitted, "id", "left_semi").join(
+                    have_bk, "id", "left_anti"
+                ),
+                self.buckets_table,
+                self._BUCKET_KEYS,
+                self.num_buckets,
+            )
+            self.catalog.append_bucketed(
+                accepted_sh.groupBy("id")
+                .agg(F.count("*").alias("sz"))
+                .join(have_sz, "id", "left_anti"),
+                self.sizes_table,
+                "id",
+                self.num_buckets,
+            )
+            self.catalog.append_bucketed(
+                accepted_sh.join(have_sh, "id", "left_anti"),
+                self.shingles_table,
+                self._SHINGLE_KEYS,
+                self.num_buckets,
+            )
+            self.catalog.append_bucketed(
+                qual_n.join(admitted, "id", "left_semi").join(
+                    have_q, "id", "left_anti"
+                ),
+                self.quality_table,
+                "id",
+                self.num_buckets,
+            )
+            # --- beaten incumbents: ONE atomic append, LAST ---
+            append_tombstones(self.catalog, self.name, beaten.select("id"))
+            return report
+        finally:
+            for frame in persisted:
+                untrack(frame)
+
     def bucket_stats(self) -> DataFrame:
         """LSH posting-list health report — the lexical twin of
         ``IvfIndex.cluster_stats``: per BAND, how the candidate-
@@ -795,6 +1094,11 @@ class NearDupIndex:
         bk = self._corpus_buckets().join(bts, "id", "left_anti").localCheckpoint()
         sz = self._corpus_sizes().join(bts, "id", "left_anti").localCheckpoint()
         sh = self._corpus_shingles().join(bts, "id", "left_anti").localCheckpoint()
+        ql = (
+            self._corpus_quality().join(bts, "id", "left_anti").localCheckpoint()
+            if self.catalog.exists(self.quality_table)
+            else None
+        )
         self.catalog.put_bucketed(
             bk, self.buckets_table, self._BUCKET_KEYS, self.num_buckets
         )
@@ -802,6 +1106,8 @@ class NearDupIndex:
         self.catalog.put_bucketed(
             sh, self.shingles_table, self._SHINGLE_KEYS, self.num_buckets
         )
+        if ql is not None:
+            self.catalog.put_bucketed(ql, self.quality_table, "id", self.num_buckets)
         drop_tombstones(self.catalog, self.name)
         return n
 
@@ -880,7 +1186,7 @@ class NearDupIndex:
         streaming ingest: each epoch appends a file set per table, and
         scan/listing cost grows with file count, not data size. Returns
         {table: new_file_count}."""
-        return {
+        out = {
             self.buckets_table: self.catalog.compact_bucketed(
                 self.buckets_table, self._BUCKET_KEYS, self.num_buckets
             ),
@@ -891,6 +1197,11 @@ class NearDupIndex:
                 self.shingles_table, self._SHINGLE_KEYS, self.num_buckets
             ),
         }
+        if self.catalog.exists(self.quality_table):
+            out[self.quality_table] = self.catalog.compact_bucketed(
+                self.quality_table, "id", self.num_buckets
+            )
+        return out
 
     def ingest_stream(
         self,

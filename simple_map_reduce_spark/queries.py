@@ -247,13 +247,15 @@ QUERIES: dict[str, QueryFn] = {
 # so a behavior change can never ship on a stale green row again (round
 # 2's trigram-default change left jaccard_pairs unverified for a round).
 #
-# Round 9 window = the 6 NEW queries (the BM25 takedown journey
+# Round 9 window = the 7 NEW queries (the BM25 takedown journey
 # bm25_delete_topk and the streaming inverted-index journey
 # bm25_stream_ingest — VERDICT r8 items 2 and 3 — the de-noised
 # maintenance read path ivf_cluster_skew_read, item 6, the term-skew
 # report bm25_term_stats, the stopword-pruned serving path
-# bm25_topk_pruned it motivates, and the quality-aware cluster
-# resolution dedup_keep_best) + the 1 query whose code changed
+# bm25_topk_pruned it motivates, the quality-aware cluster resolution
+# dedup_keep_best, and its standing-index form neardup_keep_best —
+# NearDupIndex.ingest_keep_best, exemplar REPLACEMENT via the shared
+# tombstone tier) + the 1 query whose code changed
 # (bm25_ingest_topk: per-table admission sets close the
 # postings/lengths crash window, ADVICE r8 high — clean-run results
 # identical, but the ingest plan changed) + the 12 r5-dated rows
@@ -264,9 +266,10 @@ QUERIES: dict[str, QueryFn] = {
 # embedding_neardup_idx-r7 precedent), so they stay out of
 # _CHANGED_THIS_ROUND (bm25_topk_read's uncapped plan is likewise
 # untouched by the max_df_share addition — default None short-circuits
-# before any new operator). 17 r6-dated rows (rrf_fusion,
-# sales_rollup … wordcount_total, alphabetical tail) remain for the
-# r10 window.
+# before any new operator; likewise incremental_neardup_idx/_read:
+# NearDupIndex.ingest/build are plan-identical without a quality
+# table). 18 r6-dated rows (regex_filter, rrf_fusion, sales_rollup …
+# wordcount_total, alphabetical tail) remain for the r10 window.
 _CHANGED_THIS_ROUND = [
     # r9: NEW queries ship their behavior this round
     "bm25_delete_topk",
@@ -275,6 +278,7 @@ _CHANGED_THIS_ROUND = [
     "bm25_topk_pruned",
     "dedup_keep_best",
     "ivf_cluster_skew_read",
+    "neardup_keep_best",
     # r9: per-table admission sets in Bm25Index.ingest (ADVICE r8 high)
     "bm25_ingest_topk",
 ]
@@ -293,7 +297,7 @@ _ROTATION_FRONT = [
     "top_supplier",
     "top_value_parts",
     "waiting_suppliers",
-    # the 33 oldest r6-dated rows — pure freshness rotation
+    # the 32 oldest r6-dated rows — pure freshness rotation
     "bigram_lm_quality",
     "corpus_prep",
     "corpus_shuffle",
@@ -324,7 +328,6 @@ _ROTATION_FRONT = [
     "q5_regional_revenue",
     "qty_outliers",
     "redact_pii",
-    "regex_filter",
 ]
 assert len(_ROTATION_FRONT) == 50
 assert set(_ROTATION_FRONT) <= set(QUERIES)

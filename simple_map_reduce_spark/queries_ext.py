@@ -4069,6 +4069,159 @@ def q_neardup_delete_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.check(new)
 
 
+def q_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware exemplar replacement on the STANDING dedup index
+    (``NearDupIndex.ingest_keep_best`` — the index form of
+    ``dedup_keep_best``): build the quality-indexed corpus (q = exact
+    token count, the batch operator's score), ingest the 1-in-10 batch
+    under keep-best semantics — intra-batch CC resolution, then the
+    PAIRWISE corpus challenge where a challenger must beat every live
+    incumbent it collides with, and each admission tombstones exactly
+    the incumbents it matched — and return the resulting LIVE exemplar
+    set (id, q). The oracle recomposes the whole journey relationally:
+    batch CC over the intra-batch pair graph (recursive CTE) + argmax,
+    the capped asymmetric challenge, the struct-compare decision, and
+    the final corpus − beaten ∪ admitted set — so a keep-best that
+    replaces nothing, or first-seen-wins in disguise, cannot match."""
+    from .catalog import Catalog
+    from .functions.text import token_count
+    from .operators.dedup import NearDupIndex
+    from .operators.tombstones import live
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "q", token_count("text")
+    )
+    corpus = docs.filter(F.col("doc_id") % INCR_MOD != 0)
+    batch = docs.filter(F.col("doc_id") % INCR_MOD == 0)
+    cat = Catalog(spark, _idx_root("neardup_kb_", sf_dir))
+    idx = NearDupIndex(
+        cat, "neardup_kb", threshold=MINHASH_THRESHOLD, max_bucket=SKEW_CAP
+    )
+    idx.build(corpus, quality_col="q")
+    idx.ingest_keep_best(batch, "q")
+    return (
+        live(cat, "neardup_kb", cat.get_bucketed(idx.quality_table))
+        .select("id", "q")
+        .orderBy("id")
+    )
+
+
+def neardup_keep_best_oracle() -> str:
+    """DuckDB twin of ``q_neardup_keep_best``: the full keep-best ingest
+    journey in one relational program — same shingle/minhash/band/cap
+    funnel as ``incremental_neardup_oracle``, the batch's own pair graph
+    closed transitively (the ``dedup_groups`` recursive-CTE machinery)
+    with the (q desc, id) argmax per batch cluster, the pairwise corpus
+    challenge decided by the identical exact-integer struct compare
+    (beat the (q, -id)-max incumbent ⇒ beat all), and the final live
+    set = corpus − beaten ∪ admitted."""
+    return rf"""
+        WITH RECURSIVE {_SHINGLE_CTE}, {_hashed_shingle_cte()},
+        qual AS (
+            SELECT doc_id AS id,
+                   CAST(len(regexp_extract_all(lower(text), '\w+'))
+                        AS BIGINT) AS q
+            FROM documents),
+        hn AS (SELECT * FROM hsh WHERE id % {INCR_MOD} = 0),
+        hc AS (SELECT * FROM hsh WHERE id % {INCR_MOD} != 0),
+        sig_n AS ({_sig_select_sql('hn')}),
+        sig_c AS ({_sig_select_sql('hc')}),
+        bn_raw AS ({_band_select_sql('sig_n')}),
+        bc_raw AS ({_band_select_sql('sig_c')}),
+        bnsz AS (SELECT band_idx, band_hash, count(*) AS n
+                 FROM bn_raw GROUP BY 1, 2),
+        bnc AS (SELECT r.* FROM bn_raw r JOIN bnsz USING (band_idx, band_hash)
+                WHERE bnsz.n <= {SKEW_CAP}),
+        wcand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM bnc a JOIN bnc b
+              ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+             AND a.id < b.id),
+        wsz AS (SELECT id, count(*) AS sz FROM hn GROUP BY id),
+        winter AS (
+            SELECT c.id_a, c.id_b, count(*) AS ic
+            FROM wcand c
+            JOIN hn x ON x.id = c.id_a
+            JOIN hn y ON y.id = c.id_b AND y.h = x.h
+            GROUP BY 1, 2),
+        wpairs AS (
+            SELECT i.id_a, i.id_b
+            FROM winter i JOIN wsz a ON i.id_a = a.id JOIN wsz b ON i.id_b = b.id
+            WHERE i.ic * 1.0 / (a.sz + b.sz - i.ic) >= {MINHASH_THRESHOLD}),
+        wedges AS (SELECT id_a AS s, id_b AS d FROM wpairs
+                   UNION SELECT id_b, id_a FROM wpairs),
+        wreach(s, d) AS (
+            SELECT s, d FROM wedges
+            UNION
+            SELECT r.s, e.d FROM wreach r JOIN wedges e ON r.d = e.s),
+        bdocs AS (SELECT doc_id AS id FROM documents
+                  WHERE doc_id % {INCR_MOD} = 0),
+        wgroups AS (
+            SELECT b.id, least(b.id, coalesce(min(r.d), b.id)) AS group_id
+            FROM bdocs b LEFT JOIN wreach r ON r.s = b.id
+            GROUP BY b.id),
+        challengers AS (
+            SELECT id FROM (
+                SELECT g.id,
+                       row_number() OVER (PARTITION BY g.group_id
+                                          ORDER BY q.q DESC, g.id) AS rn
+                FROM wgroups g JOIN qual q USING (id))
+            WHERE rn = 1),
+        bcsz AS (SELECT band_idx, band_hash, count(*) AS n
+                 FROM bc_raw GROUP BY 1, 2),
+        bc AS (SELECT r.* FROM bc_raw r JOIN bcsz USING (band_idx, band_hash)
+               WHERE bcsz.n <= {SKEW_CAP}),
+        ccand AS (
+            SELECT DISTINCT n.id AS id_new, c.id AS id_corpus
+            FROM bn_raw n
+            JOIN challengers ch ON n.id = ch.id
+            JOIN bc c ON n.band_idx = c.band_idx
+                     AND n.band_hash = c.band_hash
+                     AND n.id != c.id),
+        szc AS (SELECT id, count(*) AS sz FROM hc GROUP BY id),
+        cinter AS (
+            SELECT cd.id_new, cd.id_corpus, count(*) AS ic
+            FROM ccand cd
+            JOIN hn x ON x.id = cd.id_new
+            JOIN hc y ON y.id = cd.id_corpus AND y.h = x.h
+            GROUP BY 1, 2),
+        cpairs AS (
+            SELECT i.id_new, i.id_corpus
+            FROM cinter i JOIN wsz a ON i.id_new = a.id
+                          JOIN szc b ON i.id_corpus = b.id
+            WHERE i.ic * 1.0 / (a.sz + b.sz - i.ic) >= {MINHASH_THRESHOLD}),
+        chal AS (
+            SELECT p.id_new, p.id_corpus, qn.q AS q_new, qc.q AS q_inc
+            FROM cpairs p
+            JOIN qual qn ON qn.id = p.id_new
+            JOIN qual qc ON qc.id = p.id_corpus),
+        best_inc AS (
+            SELECT id_new, q_inc AS q_best, id_corpus AS best_id FROM (
+                SELECT id_new, id_corpus, q_inc,
+                       row_number() OVER (PARTITION BY id_new
+                                          ORDER BY q_inc DESC, id_corpus)
+                           AS rn
+                FROM chal)
+            WHERE rn = 1),
+        admitted AS (
+            SELECT ch.id FROM challengers ch
+            JOIN qual q ON q.id = ch.id
+            LEFT JOIN best_inc b ON b.id_new = ch.id
+            WHERE b.id_new IS NULL OR q.q > b.q_best
+               OR (q.q = b.q_best AND ch.id < b.best_id)),
+        beaten AS (
+            SELECT DISTINCT c.id_corpus AS id
+            FROM chal c JOIN admitted a ON a.id = c.id_new),
+        lve AS (
+            SELECT q.id, q.q FROM qual q
+            WHERE q.id % {INCR_MOD} != 0
+              AND q.id NOT IN (SELECT id FROM beaten)
+            UNION ALL
+            SELECT a.id, q.q FROM admitted a JOIN qual q ON q.id = a.id)
+        SELECT id, q FROM lve ORDER BY id
+    """
+
+
 # BM25 takedown: residue 9 (mod 10) hits 6 of the 30 baseline top-k docs
 # at sf0.01, so a no-op delete (or one that hides postings without
 # re-deriving df/N/avgdl) cannot hash-match the pruned-corpus oracle
@@ -4344,6 +4497,8 @@ EXT_QUERIES = {
     # r8: takedown journeys (tombstone delete honored by every read)
     "ivf_delete_search": q_ivf_delete_search,
     "neardup_delete_check": q_neardup_delete_check,
+    # r9: quality-aware exemplar replacement on the standing dedup index
+    "neardup_keep_best": q_neardup_keep_best,
     # rows-only by policy (HLL vocab estimate — no DuckDB twin);
     # error-bound-gated vs the exact tier in tests/test_lm.py and
     # kept OUT of the driver verification window like the other
@@ -4620,6 +4775,7 @@ EXT_ORACLES = {
     "neardup_delete_check": incremental_neardup_oracle(
         corpus_extra_pred=f"id % {INCR_MOD} != {NEARDUP_DELETE_RESIDUE}"
     ),
+    "neardup_keep_best": neardup_keep_best_oracle(),
     "chunk_hybrid_topk": chunk_hybrid_topk_oracle(),
     "pretraining_manifest_full": pretraining_manifest_full_oracle(),
 }

@@ -1,0 +1,205 @@
+"""NearDupIndex.ingest_keep_best (the standing-index form of
+keep_best_exemplars): quality-aware exemplar replacement — intra-batch
+CC resolution, the PAIRWISE corpus challenge, tombstone-backed
+replacement, crash-prefix retry convergence, and the quality-table
+lifecycle (build/vacuum/refusals)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest
+from pyspark.sql import functions as F
+
+from simple_map_reduce_spark.catalog import Catalog
+from simple_map_reduce_spark.operators.dedup import NearDupIndex
+from simple_map_reduce_spark.operators.tombstones import live, read_tombstones
+
+SCHEMA = "doc_id bigint, text string, q bigint"
+
+
+def _mk(spark, tmp_path, sub, corpus_rows, threshold=0.3, bands=4, num_hashes=12):
+    cat = Catalog(spark, str(tmp_path / sub))
+    idx = NearDupIndex(
+        cat, f"kb_{sub}", threshold=threshold, bands=bands, num_hashes=num_hashes
+    )
+    idx.build(spark.createDataFrame(corpus_rows, SCHEMA), quality_col="q")
+    return cat, idx
+
+
+CORPUS = [
+    (1, "alpha beta gamma delta epsilon", 5),
+    (2, "one two three four five six", 9),
+]
+BATCH = [
+    # better copy of doc 1's text -> replaces it
+    (10, "alpha beta gamma delta epsilon zeta eta theta", 8),
+    # intra-batch dup of 10, worse -> rejected_batch
+    (11, "alpha beta gamma delta epsilon zeta", 3),
+    # near-dup of doc 2 but worse -> rejected_corpus
+    (12, "one two three four five", 4),
+    # novel -> admitted, no replacement
+    (13, "completely different content here now", 1),
+]
+
+
+def test_four_outcomes_and_replacement(spark, tmp_path):
+    """One batch exercising every decision class: replacement (beats the
+    incumbent -> incumbent tombstoned), intra-batch rejection (cluster
+    keep-best), corpus rejection (loses to a live incumbent), and a
+    plain admission."""
+    cat, idx = _mk(spark, tmp_path, "four", CORPUS)
+    batch = spark.createDataFrame(BATCH, SCHEMA)
+    rep = {r.id: (r.q, r.outcome, r.kept_by, r.n_replaced)
+           for r in idx.ingest_keep_best(batch, "q").collect()}
+    assert rep == {
+        10: (8, "admitted", None, 1),
+        11: (3, "rejected_batch", 10, 0),
+        12: (4, "rejected_corpus", 2, 0),
+        13: (1, "admitted", None, 0),
+    }
+    ts = read_tombstones(cat, idx.name)
+    assert sorted(r.id for r in ts.collect()) == [1]
+    lv = live(cat, idx.name, cat.get_bucketed(idx.quality_table))
+    assert sorted((r.id, r.q) for r in lv.collect()) == [(2, 9), (10, 8), (13, 1)]
+    # the replaced incumbent no longer matches anything; its replacement does
+    probe = spark.createDataFrame(
+        [(99, "alpha beta gamma delta epsilon zeta eta", 1)], SCHEMA
+    )
+    got = {(r.id_new, r.id_corpus) for r in idx.check(probe).collect()}
+    assert (99, 10) in got and all(c != 1 for _, c in got)
+
+
+def test_pairwise_challenge_is_order_stable(spark, tmp_path):
+    """THE semantic pin vs the batch CC form: a challenger that LOSES to
+    one incumbent must not retroactively delete the weaker incumbents it
+    also matched. Corpus: C1 (weak) and C2 (strong), mutually non-dup;
+    challenger N matches both, beats C1, loses to C2 -> N rejected,
+    BOTH incumbents stay (the batch form would collapse the cluster to
+    C2 alone)."""
+    corpus = [
+        # disjoint shingle sets: mutually non-dup by construction
+        (1, "gamma iota green beta zeta blue", 4),
+        (2, "epsilon xi psi nu chi rho", 9),
+    ]
+    # 48 bands of 1 row, and fixture words chosen (offline, against the
+    # engine's exact affine-mix family) so BOTH J=0.4 pairs agree on
+    # several of the 48 single-row bands: the affine mix is not min-wise
+    # independent, so on a 14-shingle fixture one dominant shingle can
+    # win every permutation — arbitrary same-J words are NOT enough
+    # (the verify still enforces true jaccard >= threshold)
+    cat, idx = _mk(
+        spark, tmp_path, "pair", corpus, threshold=0.3, bands=48, num_hashes=48
+    )
+    # sanity: the two incumbents were admitted as mutually non-dup
+    n = spark.createDataFrame(
+        [(10, "gamma iota green beta zeta blue epsilon xi psi nu chi rho", 6)],
+        SCHEMA,
+    )
+    pairs = idx.check(n)
+    matched = sorted(r.id_corpus for r in pairs.collect())
+    assert matched == [1, 2], "fixture must collide with both incumbents"
+    rep = idx.ingest_keep_best(n, "q").collect()
+    assert [(r.id, r.outcome, r.kept_by) for r in rep] == [
+        (10, "rejected_corpus", 2)
+    ]
+    assert read_tombstones(cat, idx.name) is None  # C1 untouched
+    lv = live(cat, idx.name, cat.get_bucketed(idx.quality_table))
+    assert sorted((r.id, r.q) for r in lv.collect()) == [(1, 4), (2, 9)]
+
+
+def test_quality_tie_breaks_to_min_id(spark, tmp_path):
+    """Equal quality: the incumbent (smaller id) wins — the min-id
+    convention is the score-constant special case, exactly as in
+    keep_best_exemplars."""
+    cat, idx = _mk(
+        spark, tmp_path, "tie",
+        [(1, "alpha beta gamma delta epsilon", 5)], bands=12,
+    )
+    n = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta", 5)], SCHEMA
+    )
+    rep = idx.ingest_keep_best(n, "q").collect()
+    assert [(r.id, r.outcome, r.kept_by) for r in rep] == [
+        (10, "rejected_corpus", 1)
+    ]
+    assert read_tombstones(cat, idx.name) is None
+
+
+def test_crash_prefix_retry_converges(spark, tmp_path):
+    """Crash window: the state appends landed but the final tombstone
+    append did not. The retry must re-derive the IDENTICAL decisions
+    (all incumbents still live; batch ids excluded from the corpus
+    side) without duplicating any state row, then land the tombstones."""
+    cat, idx = _mk(spark, tmp_path, "crash", CORPUS)
+    batch = spark.createDataFrame(BATCH, SCHEMA)
+
+    # emulate the crash: run the real method but intercept the final
+    # tombstone append to a no-op
+    import simple_map_reduce_spark.operators.dedup as dmod
+    from simple_map_reduce_spark.operators import tombstones as tmod
+
+    real_append = tmod.append_tombstones
+    calls = []
+
+    def crashing_append(catalog, name, ids):
+        calls.append(ids.count())
+        return 0  # the crash: append never commits
+
+    dmod_tomb = sys.modules["simple_map_reduce_spark.operators.tombstones"]
+    dmod_tomb.append_tombstones = crashing_append
+    try:
+        rep1 = sorted(map(tuple, idx.ingest_keep_best(batch, "q").collect()))
+    finally:
+        dmod_tomb.append_tombstones = real_append
+    assert calls == [1]  # the beaten incumbent reached the append
+    assert read_tombstones(cat, idx.name) is None  # ...but never committed
+    # mid-crash: conservative window — incumbent AND replacement both live
+    both = live(cat, idx.name, cat.get_bucketed(idx.quality_table))
+    assert sorted(r.id for r in both.collect()) == [1, 2, 10, 13]
+
+    rep2 = sorted(map(tuple, idx.ingest_keep_best(batch, "q").collect()))
+    assert rep2 == rep1  # identical decisions on retry
+    assert sorted(
+        r.id for r in read_tombstones(cat, idx.name).collect()
+    ) == [1]
+    # no duplicated state rows: one size row and one quality row per doc
+    for t in (idx.sizes_table, idx.quality_table):
+        per = (
+            cat.get_bucketed(t)
+            .groupBy("id")
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+        assert per == 0, t
+
+
+def test_quality_table_lifecycle(spark, tmp_path):
+    """build(quality_col) gates the ingest surface both ways; a rebuild
+    without quality drops the table and returns to first-seen-wins;
+    vacuum purges quality rows with the other three tables."""
+    cat, idx = _mk(spark, tmp_path, "life", CORPUS)
+    batch = spark.createDataFrame(BATCH, SCHEMA)
+    with pytest.raises(ValueError, match="quality-indexed"):
+        idx.ingest(batch)
+    idx.ingest_keep_best(batch, "q")
+    purged = idx.vacuum()
+    assert purged == 1
+    assert read_tombstones(cat, idx.name) is None
+    assert sorted(
+        (r.id, r.q) for r in cat.get_bucketed(idx.quality_table).collect()
+    ) == [(2, 9), (10, 8), (13, 1)]
+    # compact covers the fourth table on a quality index
+    out = idx.compact()
+    assert idx.quality_table in out
+    # rebuild WITHOUT quality: table dropped, plain ingest allowed again
+    idx.build(spark.createDataFrame(CORPUS, SCHEMA))
+    assert not cat.exists(idx.quality_table)
+    idx.ingest(batch)  # no raise
+    # and ingest_keep_best now refuses
+    with pytest.raises(ValueError, match="no quality table"):
+        idx.ingest_keep_best(batch, "q")
