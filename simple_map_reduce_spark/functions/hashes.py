@@ -49,7 +49,26 @@ def minhash_params(i: int) -> tuple[int, int, int]:
 
 
 def minhash_mix(h: Column, i: int) -> Column:
-    """The i-th MinHash permutation value of a 60-bit content hash."""
+    """The i-th MinHash permutation value of a 60-bit content hash.
+
+    KNOWN LIMITATION (documented r9): this affine family is 2-universal
+    but NOT min-wise independent — the per-permutation argmin
+    concentrates on shingles whose (hi, lo) halves are small (the lower
+    convex hull of the (hi, lo) point set), so on SMALL shingle sets a
+    single dominant shingle can win every permutation and a true-J≥τ
+    pair can band-collide far below the textbook 1-(1-J^r)^b rate
+    (observed: a J=0.4 pair with 0 agreements across 48 single-row
+    bands — tests/test_keep_best_index.py's fixture had to be chosen
+    against the exact family). Corpus-scale candidate recall is less
+    affected (hundreds of shingles per doc ⇒ more hull points), and
+    CORRECTNESS is unaffected outright: the DuckDB twin
+    (:func:`duckdb_minhash_mix`) replicates the family bit-exactly, so
+    every parity row compares like with like. Replacing the mix with an
+    avalanche permutation (splitmix64-style, expressible identically in
+    both engines) would fix recall but changes every minhash-derived
+    result — a coordinated family+twin migration that must move ALL
+    minhash rows through the verification window in one round; earmarked
+    for r10, not patched silently here."""
     a, b, c = minhash_params(i)
     hi = F.shiftright(h, 30)
     lo = h.bitwiseAND(F.lit(_MH_SPLIT - 1))
