@@ -859,9 +859,13 @@ class NearDupIndex:
                 .distinct()
             )
             within = _verify_jaccard(within_cand, shn, self.threshold)
-            resolution = keep_best_exemplars(
-                qual_n, within, F.col("q"), id_col="id"
+            # persisted: the resolution feeds the challenger funnel AND
+            # the decision/report tier — without it the intra-batch
+            # verify re-executes per consumer
+            resolution = tracked_persist(
+                keep_best_exemplars(qual_n, within, F.col("q"), id_col="id")
             )
+            persisted.append(resolution)
             challengers = resolution.filter(F.col("kept") == 1).select(
                 F.col("doc_id").alias("id")
             )
@@ -1169,9 +1173,13 @@ class NearDupIndex:
                 self.vacuum()
                 report["action"] = "vacuum"
                 return report
+        tables = [self.buckets_table, self.sizes_table, self.shingles_table]
+        if self.catalog.exists(self.quality_table):
+            # quality-indexed corpora append a quality file set per
+            # keep-best ingest — it fragments exactly like sizes
+            tables.append(self.quality_table)
         files = max(
-            self.catalog.file_count(t) / self.num_buckets
-            for t in (self.buckets_table, self.sizes_table, self.shingles_table)
+            self.catalog.file_count(t) / self.num_buckets for t in tables
         )
         report["max_files_per_bucket"] = files
         if files > max_files_per_bucket:
