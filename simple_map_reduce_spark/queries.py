@@ -258,8 +258,14 @@ QUERIES: dict[str, QueryFn] = {
 # tombstone tier) + the 1 query whose code changed
 # (bm25_ingest_topk: per-table admission sets close the
 # postings/lengths crash window, ADVICE r8 high — clean-run results
-# identical, but the ingest plan changed) + the 12 r5-dated rows
-# earmarked last round + the 33 oldest r6-dated rows, alphabetical.
+# identical, but the ingest plan changed) + the 14 rows whose RESULTS
+# change under the r9 MinHash family migration (minhash_mix: one
+# affine round → two rounds with xor-shift avalanche, fixing the
+# measured min-wise-independence recall defect; the DuckDB twin
+# regenerates from the same constants, so parity re-proves every row
+# against independently-recomputed new-family results) + the
+# remaining 11 r5-dated rows earmarked last round + the 17 oldest
+# r6-dated rows, alphabetical.
 # The bm25 read rows and the two r8 delete journeys also traverse this
 # round's tombstone-aware code, but with no tombstone table the path is
 # a driver-side exists() check into the identical plan (the
@@ -281,13 +287,32 @@ _CHANGED_THIS_ROUND = [
     "neardup_keep_best",
     # r9: per-table admission sets in Bm25Index.ingest (ADVICE r8 high)
     "bm25_ingest_topk",
+    # r9: MinHash FAMILY MIGRATION (functions/hashes.py::minhash_mix —
+    # single affine round → two rounds + xor-shift avalanche, fixing the
+    # measured min-wise-independence defect; twin regenerated from the
+    # same constants). Every minhash-derived row's RESULTS change, so
+    # every one re-verifies this round:
+    "dedup_groups",
+    "dedup_prune",
+    "incremental_neardup",
+    "incremental_neardup_idx",
+    "incremental_neardup_read",
+    "lsh_bucket_skew",
+    "minhash_buckets",
+    "minhash_dup_pairs",
+    "neardup_delete_check",
+    "pretraining_manifest",
+    "pretraining_manifest_full",
+    "pretraining_manifest_lm",
+    "pretraining_manifest_sem",
+    "source_overlap",
 ]
 _ROTATION_FRONT = [
     *_CHANGED_THIS_ROUND,
-    # the 12 r5-dated rows (earmarked in the r8 window comment)
+    # the r5-dated rows (earmarked in the r8 window comment;
+    # source_overlap moved up into the family-migration block)
     "sessionize_batch",
     "similarity_topk_ivf_idx",
-    "source_overlap",
     "status_priority_sets",
     "stratified_sample",
     "streaming_hourly_users",
@@ -297,7 +322,9 @@ _ROTATION_FRONT = [
     "top_supplier",
     "top_value_parts",
     "waiting_suppliers",
-    # the 32 oldest r6-dated rows — pure freshness rotation
+    # the oldest r6-dated rows — pure freshness rotation (the
+    # alphabetical tail defers to r10: the family migration claimed
+    # 13 window slots this round)
     "bigram_lm_quality",
     "corpus_prep",
     "corpus_shuffle",
@@ -315,19 +342,6 @@ _ROTATION_FRONT = [
     "lang_id",
     "left_join_order_counts",
     "length_histogram",
-    "maple_filter_pct",
-    "maple_wordcount",
-    "minhash_buckets",
-    "mixture_temperature",
-    "multi_distinct",
-    "multimodal_meta",
-    "nation_segment_list",
-    "orders_by_month",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_regional_revenue",
-    "qty_outliers",
-    "redact_pii",
 ]
 assert len(_ROTATION_FRONT) == 50
 assert set(_ROTATION_FRONT) <= set(QUERIES)

@@ -85,12 +85,12 @@ def test_pairwise_challenge_is_order_stable(spark, tmp_path):
         (1, "gamma iota green beta zeta blue", 4),
         (2, "epsilon xi psi nu chi rho", 9),
     ]
-    # 48 bands of 1 row, and fixture words chosen (offline, against the
-    # engine's exact affine-mix family) so BOTH J=0.4 pairs agree on
-    # several of the 48 single-row bands: the affine mix is not min-wise
-    # independent, so on a 14-shingle fixture one dominant shingle can
-    # win every permutation — arbitrary same-J words are NOT enough
-    # (the verify still enforces true jaccard >= threshold)
+    # 48 bands of 1 row: the candidate stage is maximally permissive
+    # (the verify still enforces true jaccard >= threshold). Under the
+    # r9 avalanche minhash family both J=0.4 pairs agree on ~J*48
+    # bands as theory predicts; under the old single-round affine
+    # family this exact fixture produced 0/48 agreements on one pair
+    # (the min-wise-independence defect that motivated the migration)
     cat, idx = _mk(
         spark, tmp_path, "pair", corpus, threshold=0.3, bands=48, num_hashes=48
     )
@@ -176,6 +176,39 @@ def test_crash_prefix_retry_converges(spark, tmp_path):
             .count()
         )
         assert per == 0, t
+
+
+def test_minhash_family_is_minwise_on_small_sets(spark):
+    """Regression pin for the r9 family migration: under the old
+    single-affine-round mix, doc N's per-permutation argmin was the SAME
+    dominant shingle for all 48 permutations (0/48 band agreements with
+    C1, 48/48 with C2 — a measured min-wise-independence failure). The
+    avalanche family must put both true-J=0.4 pairs near the theoretical
+    J*48 ~ 19 agreements."""
+    from simple_map_reduce_spark.operators.dedup import (
+        _minhash_aggs, hashed_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "theta iota kappa lam mu nu"),
+            (10, "alpha beta gamma delta epsilon zeta theta iota kappa lam mu nu"),
+        ],
+        "doc_id bigint, text string",
+    )
+    sh = hashed_shingles(docs, "doc_id", "text", 3)
+    sigs = {
+        r["id"]: [r[f"mh_{i}"] for i in range(48)]
+        for r in sh.groupBy("id").agg(*_minhash_aggs(48)).collect()
+    }
+    agree_1 = sum(a == b for a, b in zip(sigs[1], sigs[10]))
+    agree_2 = sum(a == b for a, b in zip(sigs[2], sigs[10]))
+    # both pairs have true J = 0.4; binomial(48, 0.4) lands in [8, 31]
+    # with probability > 0.9998 per side — and CANNOT be 0 or 48 unless
+    # one shingle dominates every permutation (the old defect)
+    assert 8 <= agree_1 <= 31, agree_1
+    assert 8 <= agree_2 <= 31, agree_2
 
 
 def test_quality_table_lifecycle(spark, tmp_path):

@@ -78,23 +78,33 @@ def spark_global(spark):
 @given(st.integers(min_value=0, max_value=(1 << 60) - 1), st.integers(0, 15))
 @settings(max_examples=50, deadline=None)
 def test_minhash_mix_overflow_safe_and_duckdb_exact(h, i):
-    """The universal-hash mix must (a) keep every intermediate < 2^63 so
+    """The permutation mix must (a) keep every intermediate < 2^63 so
     DuckDB's overflow-checking int64 arithmetic never raises, (b) land in
-    [0, P), and (c) evaluate to the identical value through the generated
-    DuckDB SQL — the property the oracle twins rely on."""
+    [0, 2^61), and (c) evaluate to the identical value through the
+    generated DuckDB SQL — the property the oracle twins rely on. The
+    expected value is the r9 two-round avalanche reference (affine →
+    xor-shift → affine → xor-shift) computed independently in Python."""
     import duckdb
 
     from simple_map_reduce_spark.functions.hashes import (
         MINHASH_PRIME,
         duckdb_minhash_mix,
         minhash_params,
+        minhash_params2,
     )
 
+    m30 = (1 << 30) - 1
     a, b, c = minhash_params(i)
-    hi, lo = h >> 30, h & ((1 << 30) - 1)
+    a2, b2, c2 = minhash_params2(i)
+    hi, lo = h >> 30, h & m30
     assert a * hi + b * lo + c < (1 << 63)
-    expected = (a * hi + b * lo + c) % MINHASH_PRIME
-    assert 0 <= expected < MINHASH_PRIME
+    u = (a * hi + b * lo + c) % MINHASH_PRIME
+    v = u ^ (u >> 31)
+    # round 2's high half is 31 bits (v < 2^61), so the sum still fits
+    assert a2 * (v >> 30) + b2 * (v & m30) + c2 < (1 << 63)
+    w = (a2 * (v >> 30) + b2 * (v & m30) + c2) % MINHASH_PRIME
+    expected = w ^ (w >> 29)
+    assert 0 <= expected < (1 << 61)
     got = duckdb.sql(f"SELECT {duckdb_minhash_mix(str(h), i)}").fetchone()[0]
     assert got == expected
 
