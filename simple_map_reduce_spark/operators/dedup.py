@@ -1238,7 +1238,13 @@ class NearDupIndex:
         :mod:`..streaming.ingest` for the full at-least-once argument
         (skip on marker, top-up marker on report-without-marker, re-run
         only on neither; :meth:`ingest`'s anti-joins heal
-        partially-written state)."""
+        partially-written state).
+
+        A QUALITY-INDEXED corpus (built with ``quality_col``) cannot be
+        drained through this stream: :meth:`ingest` refuses it, and
+        :meth:`ingest_keep_best` is deliberately outside the replay
+        protocol (see its docstring) — run keep-best as a scheduled
+        batch step instead."""
         from ..streaming.ingest import run_epoch_idempotent_ingest
 
         run_epoch_idempotent_ingest(
