@@ -166,6 +166,7 @@ EXTENDED_QUERIES = [
     "bm25_topk_pruned",
     "dedup_keep_best",
     "neardup_keep_best",
+    "semantic_keep_best",
 ]
 
 

@@ -786,10 +786,19 @@ class IvfIndex:
         return f"{self.name}__vectors"
 
     @property
+    def quality_table(self) -> str:
+        return f"{self.name}__quality"
+
+    @property
     def tombstones_table(self) -> str:
         from .tombstones import tombstones_table
 
         return tombstones_table(self.name)
+
+    def _corpus_quality(self) -> DataFrame:
+        """(id, q) exemplar quality scores, BUCKETED on id (present only
+        on a quality-indexed corpus — see :meth:`build`)."""
+        return self.catalog.get_bucketed(self.quality_table)
 
     def _live_assign(self) -> DataFrame:
         """The assignment table minus tombstoned ids (broadcast
@@ -803,7 +812,12 @@ class IvfIndex:
             self.catalog, self.name, self.catalog.get_bucketed(self.assign_table)
         )
 
-    def build(self, emb: DataFrame, centroids: DataFrame | None = None) -> None:
+    def build(
+        self,
+        emb: DataFrame,
+        centroids: DataFrame | None = None,
+        quality_col: str | None = None,
+    ) -> None:
         """Assign the corpus to the quantizer (id-ordered seeds, or pass
         a ``kmeans_refine``-trained frame) and persist all three tables.
         A (re)build REPLACES the index state, so any standing tombstones
@@ -814,7 +828,18 @@ class IvfIndex:
 
         An auto-sized instance (``n_centroids=None``) resolves the
         quantizer size here from the corpus count (:func:`ivf_capacity`
-        — one count job, paid once per build, never per query)."""
+        — one count job, paid once per build, never per query).
+
+        ``quality_col`` makes this a QUALITY-INDEXED corpus (the
+        semantic twin of :meth:`~..dedup.NearDupIndex.build`'s quality
+        tier): every exemplar's score (cast to bigint — exact-integer
+        argmax, never a float tiebreak) lands in ``{name}__quality`` so
+        :meth:`ingest_keep_best` can challenge standing exemplars. A
+        quality-indexed corpus must ingest through
+        :meth:`ingest_keep_best` (plain :meth:`ingest` refuses); a
+        build WITHOUT ``quality_col`` drops the quality table, returning
+        to first-seen-wins (:meth:`rebuild` preserves the tier — it
+        re-derives the live (vec, q) frame and builds WITH quality)."""
         from .tombstones import drop_tombstones
 
         n_cent = self.n_centroids
@@ -833,6 +858,18 @@ class IvfIndex:
             "id",
             self.num_buckets,
         )
+        if quality_col is not None:
+            self.catalog.put_bucketed(
+                emb.select(
+                    F.col(self.id_col).alias("id"),
+                    F.col(quality_col).cast("bigint").alias("q"),
+                ),
+                self.quality_table,
+                "id",
+                self.num_buckets,
+            )
+        elif self.catalog.exists(self.quality_table):
+            self.catalog.delete(self.quality_table)
         drop_tombstones(self.catalog, self.name)
 
     def search_ids(self, query_ids: list[int], k: int = 5) -> DataFrame:
@@ -974,7 +1011,11 @@ class IvfIndex:
         return self._neardup_check_assigned(bassign, tau)
 
     def _neardup_check_assigned(
-        self, bassign: DataFrame, tau: float, exclude_batch_ids: bool = False
+        self,
+        bassign: DataFrame,
+        tau: float,
+        exclude_batch_ids: bool = False,
+        collapse: bool = True,
     ) -> DataFrame:
         """The check core over an already-assigned batch frame
         (vec_id, centroid_id, bvec, bn) — shared by :meth:`neardup_check`
@@ -1019,6 +1060,11 @@ class IvfIndex:
             )
             .filter(F.col("sim") >= F.lit(tau))
         )
+        if not collapse:
+            # the keep-best challenge needs EVERY matched incumbent
+            # (it tombstones all of them on a win), not the min-id
+            # exemplar summary
+            return scored.select("vec_id", "centroid_id", "cid", "sim")
         return _min_id_exemplar(scored, "vec_id", "cid", "sim")
 
     @property
@@ -1074,6 +1120,14 @@ class IvfIndex:
         from ..cache import tracked_persist, untrack
         from .tombstones import refuse_tombstoned
 
+        if self.catalog.exists(self.quality_table):
+            raise ValueError(
+                f"index '{self.name}' is quality-indexed: ingest through "
+                "ingest_keep_best (every exemplar needs a quality row; a "
+                "first-seen-wins ingest would admit unscored exemplars "
+                "that silently win or lose every later challenge). "
+                "Rebuild without quality_col to return to plain ingest."
+            )
         refuse_tombstoned(
             self.catalog, self.name, batch_emb.select(F.col(self.id_col))
         )
@@ -1153,6 +1207,244 @@ class IvfIndex:
         )
         return report
 
+    def ingest_keep_best(
+        self, batch_emb: DataFrame, tau: float, quality_col: str
+    ) -> DataFrame:
+        """Quality-aware ingest against a quality-indexed corpus — the
+        SEMANTIC twin of :meth:`~..dedup.NearDupIndex.ingest_keep_best`
+        (the two methods share their decision semantics, report schema,
+        and crash-safety argument; match predicate cos ≥ ``tau`` over
+        same-cluster candidates instead of Jaccard ≥ threshold):
+
+        1. **Intra-batch resolution**: connected components over the
+           batch's same-cluster cos ≥ tau pair graph, the max-(q, -id)
+           member of each cluster survives (exact bigint struct compare).
+        2. **Pairwise corpus challenge**: each surviving challenger is
+           admitted iff it beats EVERY live incumbent it collides with
+           (one struct-max decides — beating the (q, -id)-max incumbent
+           beats all), and admission tombstones exactly the incumbents
+           it matched. Incumbents never fight each other — order-stable,
+           unlike the batch CC form (see the NearDupIndex docstring for
+           the full argument).
+
+        Returns (id, q, outcome ∈ admitted/rejected_batch/
+        rejected_corpus, kept_by, n_replaced) — one row per batch
+        vector, the same contract as the lexical form.
+
+        Crash safety: decision frames eagerly checkpointed (no writes)
+        → state appends (assign → vectors → quality, each anti-joined
+        against ids physically present in ITS table) → beaten-incumbent
+        tombstones LAST as ONE atomic append; the challenge excludes
+        challenger ids from the corpus side (intra-batch losers never
+        reach the corpus, so that exclusion covers every id a crashed
+        attempt could have appended), so a retry before the tombstone
+        commit re-derives identical decisions. NOT wired into
+        :meth:`ingest_stream` — same pure-function argument as the
+        lexical form. :meth:`maintain`'s automated retrain preserves
+        the quality tier (:meth:`rebuild` re-publishes live quality)."""
+        from ..cache import tracked_persist, untrack
+        from .dedup import keep_best_exemplars
+        from .tombstones import append_tombstones, refuse_tombstoned
+
+        if not self.catalog.exists(self.quality_table):
+            raise ValueError(
+                f"index '{self.name}' has no quality table: build the "
+                "corpus with quality_col=... before ingest_keep_best"
+            )
+        refuse_tombstoned(
+            self.catalog, self.name, batch_emb.select(F.col(self.id_col))
+        )
+        qual_n = batch_emb.select(
+            F.col(self.id_col).alias("id"),
+            F.col(quality_col).cast("bigint").alias("q"),
+        )
+        cents = self.catalog.get(self.centroids_table)
+        bassign = tracked_persist(
+            _nearest_centroid(
+                _prep(
+                    batch_emb, self.id_col, self.vec_col, "vec_id", "bvec",
+                    "bn", spread=False,
+                ),
+                cents,
+                id_alias="vec_id", vec_alias="bvec", n_alias="bn",
+                keep=("bvec", "bn"),
+            )
+        )
+        persisted = [bassign]
+        try:
+            # --- stage 1: intra-batch keep-best over the cos-pair graph
+            b2 = bassign.select(
+                F.col("vec_id").alias("cid"),
+                "centroid_id",
+                F.col("bvec").alias("nvec"),
+                F.col("bn").alias("nn"),
+            )
+            within = (
+                bassign.join(F.broadcast(b2), "centroid_id")
+                .filter(F.col("cid") < F.col("vec_id"))
+                .withColumn(
+                    "sim",
+                    F.round(
+                        dot(F.col("bvec"), F.col("nvec"))
+                        / (F.col("bn") * F.col("nn")),
+                        6,
+                    ),
+                )
+                .filter(F.col("sim") >= F.lit(tau))
+            )
+            resolution = tracked_persist(
+                keep_best_exemplars(
+                    qual_n,
+                    within.select(
+                        F.col("cid").alias("id_a"),
+                        F.col("vec_id").alias("id_b"),
+                    ),
+                    F.col("q"),
+                    id_col="id",
+                )
+            )
+            persisted.append(resolution)
+            challengers = resolution.filter(F.col("kept") == 1).select(
+                F.col("doc_id").alias("vec_id")
+            )
+            # --- stage 2: pairwise corpus challenge (live view;
+            # uncollapsed — a win tombstones EVERY matched incumbent)
+            matches = tracked_persist(
+                self._neardup_check_assigned(
+                    bassign.join(
+                        F.broadcast(challengers), "vec_id", "left_semi"
+                    ),
+                    tau,
+                    exclude_batch_ids=True,
+                    collapse=False,
+                ).join(
+                    self._corpus_quality().select(
+                        F.col("id").alias("cid"), F.col("q").alias("q_inc")
+                    ),
+                    "cid",
+                )
+            )
+            persisted.append(matches)
+            best_inc = (
+                matches.groupBy("vec_id")
+                .agg(
+                    F.max(
+                        F.struct(
+                            F.col("q_inc"), (-F.col("cid")).alias("neg_id")
+                        )
+                    ).alias("b")
+                )
+                .select(
+                    F.col("vec_id").alias("id"),
+                    F.col("b.q_inc").alias("q_best"),
+                    (-F.col("b.neg_id")).alias("best_inc"),
+                )
+            )
+            wins = F.col("q_best").isNull() | (
+                (F.col("q") > F.col("q_best"))
+                | (
+                    (F.col("q") == F.col("q_best"))
+                    & (F.col("id") < F.col("best_inc"))
+                )
+            )
+            decided = (
+                resolution.select(
+                    F.col("doc_id").alias("id"),
+                    F.col("score").alias("q"),
+                    "kept_id",
+                    "kept",
+                )
+                .join(best_inc, "id", "left")
+                .withColumn(
+                    "outcome",
+                    F.when(F.col("kept") == 0, F.lit("rejected_batch"))
+                    .when(wins, F.lit("admitted"))
+                    .otherwise(F.lit("rejected_corpus")),
+                )
+                .withColumn(
+                    "kept_by",
+                    F.when(
+                        F.col("outcome") == "rejected_batch", F.col("kept_id")
+                    )
+                    .when(
+                        F.col("outcome") == "rejected_corpus",
+                        F.col("best_inc"),
+                    )
+                    .otherwise(F.lit(None).cast("bigint")),
+                )
+            )
+            beaten = (
+                matches.join(
+                    decided.filter(F.col("outcome") == "admitted").select(
+                        F.col("id").alias("vec_id")
+                    ),
+                    "vec_id",
+                )
+                .select("vec_id", F.col("cid").alias("id"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            n_repl = beaten.groupBy("vec_id").agg(
+                F.count("*").cast("bigint").alias("n_replaced")
+            )
+            report = (
+                decided.join(
+                    n_repl.withColumnRenamed("vec_id", "id"), "id", "left"
+                )
+                .select(
+                    "id",
+                    "q",
+                    "outcome",
+                    "kept_by",
+                    F.coalesce("n_replaced", F.lit(0).cast("bigint")).alias(
+                        "n_replaced"
+                    ),
+                )
+                .localCheckpoint(eager=True)
+            )
+            # --- idempotent state appends (physical have-sets) ---
+            admitted = report.filter(F.col("outcome") == "admitted").select(
+                F.col("id").alias("vec_id")
+            )
+            acc = bassign.join(F.broadcast(admitted), "vec_id", "left_semi")
+            have_a = self.catalog.get_bucketed(self.assign_table).select("id")
+            self.catalog.append_bucketed(
+                acc.select(F.col("vec_id").alias("id"), "centroid_id").join(
+                    have_a, "id", "left_anti"
+                ),
+                self.assign_table,
+                "centroid_id",
+                self.num_buckets,
+            )
+            have_v = self.catalog.get_bucketed(self.vectors_table).select("id")
+            self.catalog.append_bucketed(
+                acc.select(
+                    F.col("vec_id").alias("id"),
+                    F.col("bvec").alias("vec"),
+                    F.col("bn").alias("vn"),
+                ).join(have_v, "id", "left_anti"),
+                self.vectors_table,
+                "id",
+                self.num_buckets,
+            )
+            have_q = self._corpus_quality().select("id")
+            self.catalog.append_bucketed(
+                qual_n.join(
+                    F.broadcast(admitted.select(F.col("vec_id").alias("id"))),
+                    "id",
+                    "left_semi",
+                ).join(have_q, "id", "left_anti"),
+                self.quality_table,
+                "id",
+                self.num_buckets,
+            )
+            # --- beaten incumbents: ONE atomic append, LAST ---
+            append_tombstones(self.catalog, self.name, beaten.select("id"))
+            return report
+        finally:
+            for frame in persisted:
+                untrack(frame)
+
     def cluster_stats(self) -> DataFrame:
         """Cluster-size skew report over the standing assignment table —
         the maintenance signal for :meth:`rebuild`. After many
@@ -1230,6 +1522,22 @@ class IvfIndex:
         vectors = live(
             self.catalog, self.name, self.catalog.get_bucketed(self.vectors_table)
         )
+        if self.catalog.exists(self.quality_table):
+            # a quality-indexed corpus keeps its tier through rebuild
+            # (maintain()'s automated retrain must not silently drop it):
+            # the live (vec, q) frame rebuilds WITH quality, shedding
+            # tombstoned ids' quality rows along the way
+            emb = (
+                vectors.join(self._corpus_quality(), "id")
+                .select(
+                    F.col("id").alias(self.id_col),
+                    F.col("vec").alias(self.vec_col),
+                    "q",
+                )
+                .localCheckpoint()
+            )
+            self.build(emb, centroids=centroids, quality_col="q")
+            return
         emb = vectors.select(
             F.col("id").alias(self.id_col), F.col("vec").alias(self.vec_col)
         ).localCheckpoint()
@@ -1275,12 +1583,23 @@ class IvfIndex:
             .join(F.broadcast(ts), "id", "left_anti")
             .localCheckpoint()
         )
+        quality_live = (
+            self._corpus_quality()
+            .join(F.broadcast(ts), "id", "left_anti")
+            .localCheckpoint()
+            if self.catalog.exists(self.quality_table)
+            else None
+        )
         self.catalog.put_bucketed(
             assign_live, self.assign_table, "centroid_id", self.num_buckets
         )
         self.catalog.put_bucketed(
             vectors_live, self.vectors_table, "id", self.num_buckets
         )
+        if quality_live is not None:
+            self.catalog.put_bucketed(
+                quality_live, self.quality_table, "id", self.num_buckets
+            )
         drop_tombstones(self.catalog, self.name)
         return n
 
@@ -1354,9 +1673,13 @@ class IvfIndex:
                 self.vacuum()
                 report["action"] = "vacuum"
                 return report
+        tables = [self.assign_table, self.vectors_table]
+        if self.catalog.exists(self.quality_table):
+            # quality-indexed corpora append a quality file set per
+            # keep-best ingest — it fragments exactly like vectors
+            tables.append(self.quality_table)
         files = max(
-            self.catalog.file_count(t) / self.num_buckets
-            for t in (self.assign_table, self.vectors_table)
+            self.catalog.file_count(t) / self.num_buckets for t in tables
         )
         report["max_files_per_bucket"] = files
         if files > max_files_per_bucket:
@@ -1371,7 +1694,7 @@ class IvfIndex:
         :meth:`~..dedup.NearDupIndex.compact`. Centroids are k rows and
         never appended to, so they need no compaction. Returns
         {table: new_file_count}."""
-        return {
+        out = {
             self.assign_table: self.catalog.compact_bucketed(
                 self.assign_table, "centroid_id", self.num_buckets
             ),
@@ -1379,6 +1702,11 @@ class IvfIndex:
                 self.vectors_table, "id", self.num_buckets
             ),
         }
+        if self.catalog.exists(self.quality_table):
+            out[self.quality_table] = self.catalog.compact_bucketed(
+                self.quality_table, "id", self.num_buckets
+            )
+        return out
 
     def ingest_stream(
         self,

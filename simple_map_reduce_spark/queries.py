@@ -253,9 +253,10 @@ QUERIES: dict[str, QueryFn] = {
 # maintenance read path ivf_cluster_skew_read, item 6, the term-skew
 # report bm25_term_stats, the stopword-pruned serving path
 # bm25_topk_pruned it motivates, the quality-aware cluster resolution
-# dedup_keep_best, and its standing-index form neardup_keep_best —
-# NearDupIndex.ingest_keep_best, exemplar REPLACEMENT via the shared
-# tombstone tier) + the 1 query whose code changed
+# dedup_keep_best, and its standing-index forms neardup_keep_best and
+# semantic_keep_best — NearDupIndex/IvfIndex.ingest_keep_best,
+# exemplar REPLACEMENT via the shared tombstone tier on both
+# dedup-capable indexes) + the 1 query whose code changed
 # (bm25_ingest_topk: per-table admission sets close the
 # postings/lengths crash window, ADVICE r8 high — clean-run results
 # identical, but the ingest plan changed) + the 14 rows whose RESULTS
@@ -285,6 +286,7 @@ _CHANGED_THIS_ROUND = [
     "dedup_keep_best",
     "ivf_cluster_skew_read",
     "neardup_keep_best",
+    "semantic_keep_best",
     # r9: per-table admission sets in Bm25Index.ingest (ADVICE r8 high)
     "bm25_ingest_topk",
     # r9: MinHash FAMILY MIGRATION (functions/hashes.py::minhash_mix —
@@ -341,7 +343,6 @@ _ROTATION_FRONT = [
     "image_resize",
     "lang_id",
     "left_join_order_counts",
-    "length_histogram",
 ]
 assert len(_ROTATION_FRONT) == 50
 assert set(_ROTATION_FRONT) <= set(QUERIES)

@@ -2731,6 +2731,119 @@ def q_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.ingest(new, SEM_INGEST_TAU).orderBy("vec_id", "matched_in")
 
 
+def q_semantic_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware exemplar replacement on the STANDING semantic index
+    (``IvfIndex.ingest_keep_best`` — the embedding-space twin of
+    ``neardup_keep_best``, completing the keep-best symmetry across both
+    dedup-capable standing indexes): quality = the document's n_chars
+    (vec_id aligns with doc_id in the testdata), corpus = the 9-in-10
+    split built quality-indexed, batch = the 1-in-10 split ingested
+    under keep-best semantics — intra-batch CC over the same-cluster
+    cos ≥ tau pair graph, then the PAIRWISE corpus challenge with each
+    admission tombstoning the incumbents it beat. Returns the final
+    LIVE exemplar set (id, q); the oracle recomposes the split
+    quantizer assignment, both pair classes, the recursive-CTE batch
+    CC + argmax, the struct-compare decisions, and corpus − beaten ∪
+    admitted."""
+    from .catalog import Catalog
+    from .operators.similarity import IvfIndex
+    from .operators.tombstones import live
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qual = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), F.col("n_chars").alias("q")
+    )
+    embq = emb.join(qual, "vec_id").select("vec_id", "embedding", "q")
+    new = embq.filter(F.col("vec_id") % INCR_MOD == 0)
+    corpus = embq.filter(F.col("vec_id") % INCR_MOD != 0)
+    cat = Catalog(spark, _idx_root("sem_kb_", sf_dir))
+    idx = IvfIndex(cat, "sem_kb", n_centroids=SEMDEDUP_K)
+    idx.build(corpus, quality_col="q")
+    idx.ingest_keep_best(new, SEM_INGEST_TAU, "q")
+    return (
+        live(cat, "sem_kb", cat.get_bucketed(idx.quality_table))
+        .select("id", "q")
+        .orderBy("id")
+    )
+
+
+def semantic_keep_best_oracle(
+    k: int = SEMDEDUP_K, tau: float = SEM_INGEST_TAU
+) -> str:
+    """DuckDB twin of ``q_semantic_keep_best``: the shared split-
+    assignment prefix, the intra-batch pair graph closed transitively
+    (recursive CTE) with the (q desc, id) argmax per batch cluster, the
+    pairwise corpus challenge decided by the identical exact-integer
+    struct compare, and the final live set = corpus − beaten ∪
+    admitted."""
+    return f"""
+        WITH RECURSIVE {_ivf_split_asg_ctes(k, materialized=True)},
+        qual AS (SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS q
+                 FROM documents),
+        batch_pairs AS (
+            SELECT b2.vec_id AS id_a, b.vec_id AS id_b
+            FROM asgb b
+            JOIN asgb b2 ON b.centroid_id = b2.centroid_id
+                         AND b2.vec_id < b.vec_id
+            JOIN v q ON b.vec_id = q.vec_id
+            JOIN v c ON b2.vec_id = c.vec_id
+            WHERE {_cos_sql('q.vec', 'c.vec')} >= {tau}),
+        wedges AS (SELECT id_a AS s, id_b AS d FROM batch_pairs
+                   UNION SELECT id_b, id_a FROM batch_pairs),
+        wreach(s, d) AS (
+            SELECT s, d FROM wedges
+            UNION
+            SELECT r.s, e.d FROM wreach r JOIN wedges e ON r.d = e.s),
+        wgroups AS (
+            SELECT b.vec_id AS id,
+                   least(b.vec_id, coalesce(min(r.d), b.vec_id)) AS group_id
+            FROM asgb b LEFT JOIN wreach r ON r.s = b.vec_id
+            GROUP BY b.vec_id),
+        challengers AS (
+            SELECT id FROM (
+                SELECT g.id,
+                       row_number() OVER (PARTITION BY g.group_id
+                                          ORDER BY q.q DESC, g.id) AS rn
+                FROM wgroups g JOIN qual q USING (id))
+            WHERE rn = 1),
+        chal AS (
+            SELECT b.vec_id AS id_new, a.id AS id_corpus,
+                   qn.q AS q_new, qc.q AS q_inc
+            FROM asgb b
+            JOIN challengers ch ON ch.id = b.vec_id
+            JOIN asgc a ON b.centroid_id = a.centroid_id
+            JOIN v q ON b.vec_id = q.vec_id
+            JOIN v c ON a.id = c.vec_id
+            JOIN qual qn ON qn.id = b.vec_id
+            JOIN qual qc ON qc.id = a.id
+            WHERE {_cos_sql('q.vec', 'c.vec')} >= {tau}),
+        best_inc AS (
+            SELECT id_new, q_inc AS q_best, id_corpus AS best_id FROM (
+                SELECT id_new, id_corpus, q_inc,
+                       row_number() OVER (PARTITION BY id_new
+                                          ORDER BY q_inc DESC, id_corpus)
+                           AS rn
+                FROM chal)
+            WHERE rn = 1),
+        admitted AS (
+            SELECT ch.id FROM challengers ch
+            JOIN qual q ON q.id = ch.id
+            LEFT JOIN best_inc b ON b.id_new = ch.id
+            WHERE b.id_new IS NULL OR q.q > b.q_best
+               OR (q.q = b.q_best AND ch.id < b.best_id)),
+        beaten AS (
+            SELECT DISTINCT c.id_corpus AS id
+            FROM chal c JOIN admitted a ON a.id = c.id_new),
+        lve AS (
+            SELECT q.id, q.q FROM qual q
+            JOIN corp ON corp.vec_id = q.id
+            WHERE q.id NOT IN (SELECT id FROM beaten)
+            UNION ALL
+            SELECT a.id, q.q FROM admitted a JOIN qual q ON q.id = a.id)
+        SELECT id, q FROM lve ORDER BY id
+    """
+
+
 # chunk-level semantic admission: tau for the CHUNK index is high —
 # md5-slice vectors of all-positive components sit near each other, so
 # only (near-)identical window text should gate (exact-duplicate spans)
@@ -4497,8 +4610,10 @@ EXT_QUERIES = {
     # r8: takedown journeys (tombstone delete honored by every read)
     "ivf_delete_search": q_ivf_delete_search,
     "neardup_delete_check": q_neardup_delete_check,
-    # r9: quality-aware exemplar replacement on the standing dedup index
+    # r9: quality-aware exemplar replacement on BOTH dedup-capable
+    # standing indexes (lexical + semantic)
     "neardup_keep_best": q_neardup_keep_best,
+    "semantic_keep_best": q_semantic_keep_best,
     # rows-only by policy (HLL vocab estimate — no DuckDB twin);
     # error-bound-gated vs the exact tier in tests/test_lm.py and
     # kept OUT of the driver verification window like the other
@@ -4776,6 +4891,7 @@ EXT_ORACLES = {
         corpus_extra_pred=f"id % {INCR_MOD} != {NEARDUP_DELETE_RESIDUE}"
     ),
     "neardup_keep_best": neardup_keep_best_oracle(),
+    "semantic_keep_best": semantic_keep_best_oracle(),
     "chunk_hybrid_topk": chunk_hybrid_topk_oracle(),
     "pretraining_manifest_full": pretraining_manifest_full_oracle(),
 }

@@ -178,6 +178,110 @@ def test_crash_prefix_retry_converges(spark, tmp_path):
         assert per == 0, t
 
 
+SEM_SCHEMA = "vec_id bigint, embedding array<double>, q bigint"
+SEM_CORPUS = [
+    (1, [1.0, 0.0, 0.0, 0.1], 5),
+    (2, [0.0, 1.0, 0.0, 0.1], 9),
+]
+SEM_BATCH = [
+    (10, [1.0, 0.05, 0.0, 0.1], 8),   # better copy of 1 -> replaces it
+    (11, [1.0, 0.02, 0.0, 0.12], 3),  # intra-batch dup of 10 -> rejected
+    (12, [0.05, 1.0, 0.0, 0.1], 4),   # worse than 2 -> rejected_corpus
+    (13, [0.0, 0.0, 1.0, 0.0], 1),    # novel -> admitted
+]
+
+
+def _mk_sem(spark, tmp_path, sub):
+    from simple_map_reduce_spark.operators.similarity import IvfIndex
+
+    cat = Catalog(spark, str(tmp_path / sub))
+    idx = IvfIndex(cat, f"skb_{sub}", n_centroids=2)
+    idx.build(spark.createDataFrame(SEM_CORPUS, SEM_SCHEMA), quality_col="q")
+    return cat, idx
+
+
+def test_semantic_four_outcomes_and_replacement(spark, tmp_path):
+    """IvfIndex.ingest_keep_best — the semantic twin: same decision
+    semantics, same report contract, cosine >= tau instead of Jaccard."""
+    cat, idx = _mk_sem(spark, tmp_path, "four")
+    batch = spark.createDataFrame(SEM_BATCH, SEM_SCHEMA)
+    rep = {r.id: (r.q, r.outcome, r.kept_by, r.n_replaced)
+           for r in idx.ingest_keep_best(batch, 0.9, "q").collect()}
+    assert rep == {
+        10: (8, "admitted", None, 1),
+        11: (3, "rejected_batch", 10, 0),
+        12: (4, "rejected_corpus", 2, 0),
+        13: (1, "admitted", None, 0),
+    }
+    assert sorted(
+        r.id for r in read_tombstones(cat, idx.name).collect()
+    ) == [1]
+    lv = live(cat, idx.name, cat.get_bucketed(idx.quality_table))
+    assert sorted((r.id, r.q) for r in lv.collect()) == [(2, 9), (10, 8), (13, 1)]
+    with pytest.raises(ValueError, match="quality-indexed"):
+        idx.ingest(batch, 0.9)
+
+
+def test_semantic_crash_prefix_retry_converges(spark, tmp_path):
+    """Same crash window as the lexical form: state appends landed, the
+    final tombstone append did not — the retry re-derives identical
+    decisions and lands the tombstones without duplicating state."""
+    cat, idx = _mk_sem(spark, tmp_path, "crash")
+    batch = spark.createDataFrame(SEM_BATCH, SEM_SCHEMA)
+    tmod = sys.modules["simple_map_reduce_spark.operators.tombstones"]
+    real_append = tmod.append_tombstones
+    tmod.append_tombstones = lambda catalog, name, ids: 0
+    try:
+        rep1 = sorted(map(tuple, idx.ingest_keep_best(batch, 0.9, "q").collect()))
+    finally:
+        tmod.append_tombstones = real_append
+    assert read_tombstones(cat, idx.name) is None
+    rep2 = sorted(map(tuple, idx.ingest_keep_best(batch, 0.9, "q").collect()))
+    assert rep2 == rep1
+    assert sorted(
+        r.id for r in read_tombstones(cat, idx.name).collect()
+    ) == [1]
+    for t in (idx.assign_table, idx.vectors_table, idx.quality_table):
+        dups = (
+            cat.get_bucketed(t).groupBy("id").count()
+            .filter(F.col("count") > 1).count()
+        )
+        assert dups == 0, t
+
+
+def test_semantic_quality_lifecycle_rebuild_preserves_tier(spark, tmp_path):
+    """vacuum purges quality rows; rebuild (maintain's automated
+    retrain) PRESERVES the quality tier while shedding tombstoned ids;
+    compact covers the fourth table; build without quality drops it."""
+    from simple_map_reduce_spark.operators.similarity import IvfIndex
+
+    cat, idx = _mk_sem(spark, tmp_path, "life")
+    batch = spark.createDataFrame(SEM_BATCH, SEM_SCHEMA)
+    idx.ingest_keep_best(batch, 0.9, "q")
+    # rebuild carries quality through and sheds the tombstoned id
+    idx.rebuild()
+    assert read_tombstones(cat, idx.name) is None
+    assert sorted(
+        (r.id, r.q) for r in cat.get_bucketed(idx.quality_table).collect()
+    ) == [(2, 9), (10, 8), (13, 1)]
+    # a later delete + vacuum purges quality with the other tables
+    idx.delete([13])
+    assert idx.vacuum() == 1
+    assert sorted(
+        (r.id, r.q) for r in cat.get_bucketed(idx.quality_table).collect()
+    ) == [(2, 9), (10, 8)]
+    assert idx.quality_table in idx.compact()
+    # rebuild-from-scratch WITHOUT quality drops the tier
+    idx2 = IvfIndex(cat, idx.name, n_centroids=2)
+    idx2.build(spark.createDataFrame(SEM_CORPUS, SEM_SCHEMA))
+    assert not cat.exists(idx.quality_table)
+    idx2.ingest(spark.createDataFrame(SEM_BATCH, SEM_SCHEMA), 0.9)  # no raise
+    with pytest.raises(ValueError, match="no quality table"):
+        idx2.ingest_keep_best(
+            spark.createDataFrame(SEM_BATCH, SEM_SCHEMA), 0.9, "q"
+        )
+
+
 def test_minhash_family_is_minwise_on_small_sets(spark):
     """Regression pin for the r9 family migration: under the old
     single-affine-round mix, doc N's per-permutation argmin was the SAME
