@@ -282,6 +282,140 @@ def test_semantic_quality_lifecycle_rebuild_preserves_tier(spark, tmp_path):
         )
 
 
+def test_semantic_keep_best_matches_python_reference(spark, tmp_path):
+    """Randomized full-equality check of the decision semantics: an
+    independent Python reference (same rounded-6 cosine, same id-ordered
+    seed quantizer with centroid_id tiebreak, union-find CC + (q,-id)
+    argmax, the pairwise challenge) must produce the identical final
+    live set over seeded random integer vectors — random shapes cover
+    the no-match / all-dup / tie corners the hand fixtures don't."""
+    import math
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from simple_map_reduce_spark.operators.similarity import IvfIndex
+
+    def rnd6(x):
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        )
+
+    def cos(a, b):
+        d = 0.0
+        for x, y in zip(a, b):
+            d += x * y
+        na = 0.0
+        for x in a:
+            na += x * x
+        nb = 0.0
+        for y in b:
+            nb += y * y
+        return rnd6(d / (math.sqrt(na) * math.sqrt(nb)))
+
+    def ref(corpus, batch, tau, k):
+        cents = [(i, v) for i, v, _ in sorted(corpus)[:k]]
+
+        def assign(vec):
+            return max(cents, key=lambda c: (cos(vec, c[1]), -c[0]))[0]
+
+        bq = {i: q for i, _, q in batch}
+        cq = {i: q for i, _, q in corpus}
+        bvec = {i: v for i, v, _ in batch}
+        cvec = {i: v for i, v, _ in corpus}
+        basg = {i: assign(v) for i, v in bvec.items()}
+        casg = {i: assign(v) for i, v in cvec.items()}
+        ids = sorted(bq)
+        parent = {i: i for i in ids}
+
+        def find(x):
+            while parent[x] != x:
+                x = parent[x]
+            return x
+
+        for ii, a in enumerate(ids):
+            for b in ids[ii + 1:]:
+                if basg[a] == basg[b] and cos(bvec[a], bvec[b]) >= tau:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        groups: dict = {}
+        for i in ids:
+            groups.setdefault(find(i), []).append(i)
+        challengers = [
+            max(g, key=lambda i: (bq[i], -i)) for g in groups.values()
+        ]
+        admitted, beaten = [], set()
+        for n in challengers:
+            matches = [
+                c
+                for c in cq
+                if casg[c] == basg[n] and cos(bvec[n], cvec[c]) >= tau
+            ]
+            if not matches or max(
+                (cq[c], -c) for c in matches
+            ) < (bq[n], -n):
+                admitted.append(n)
+                beaten.update(matches)
+        return sorted(
+            [(c, cq[c]) for c in cq if c not in beaten]
+            + [(n, bq[n]) for n in admitted]
+        )
+
+    for seed in range(6):
+        rng = random.Random(seed)
+
+        def vec():
+            while True:
+                v = [float(rng.randint(-3, 3)) for _ in range(4)]
+                if any(v):
+                    return v
+
+        corpus = [(i, vec(), rng.randint(0, 5)) for i in range(10)]
+        batch = [(100 + i, vec(), rng.randint(0, 5)) for i in range(7)]
+        tau, k = 0.5, 3
+        cat = Catalog(spark, str(tmp_path / f"ref{seed}"))
+        idx = IvfIndex(cat, f"ref{seed}", n_centroids=k)
+        idx.build(
+            spark.createDataFrame(corpus, SEM_SCHEMA), quality_col="q"
+        )
+        idx.ingest_keep_best(
+            spark.createDataFrame(batch, SEM_SCHEMA), tau, "q"
+        )
+        got = sorted(
+            (r.id, r.q)
+            for r in live(
+                cat, idx.name, cat.get_bucketed(idx.quality_table)
+            ).collect()
+        )
+        assert got == ref(corpus, batch, tau, k), f"seed {seed}"
+
+
+def test_empty_batch_is_a_noop_on_both_forms(spark, tmp_path):
+    """An empty keep-best batch must change nothing: empty report, no
+    tombstone table created (the ADVICE-r8 n==0 guard — an empty
+    tombstone table would permanently switch reads off the exists()
+    fast path), state identical."""
+    cat, idx = _mk(spark, tmp_path, "empty", CORPUS)
+    before = sorted(
+        (r.id, r.q) for r in cat.get_bucketed(idx.quality_table).collect()
+    )
+    rep = idx.ingest_keep_best(
+        spark.createDataFrame([], SCHEMA), "q"
+    )
+    assert rep.count() == 0
+    assert read_tombstones(cat, idx.name) is None
+    assert sorted(
+        (r.id, r.q) for r in cat.get_bucketed(idx.quality_table).collect()
+    ) == before
+
+    scat, sidx = _mk_sem(spark, tmp_path, "sempty")
+    srep = sidx.ingest_keep_best(
+        spark.createDataFrame([], SEM_SCHEMA), 0.9, "q"
+    )
+    assert srep.count() == 0
+    assert read_tombstones(scat, sidx.name) is None
+
+
 def test_minhash_family_is_minwise_on_small_sets(spark):
     """Regression pin for the r9 family migration: under the old
     single-affine-round mix, doc N's per-permutation argmin was the SAME
