@@ -1402,12 +1402,21 @@ class IvfIndex:
                 )
                 .localCheckpoint(eager=True)
             )
-            # --- idempotent state appends (physical have-sets) ---
+            # --- idempotent state appends: each have-set is the corpus
+            # table RESTRICTED to batch ids first (broadcast semi-probe,
+            # the NearDupIndex per-table idiom) — the anti-join then
+            # runs batch-sized against batch-sized, instead of hashing
+            # a corpus-cardinality id column per ingest ---
             admitted = report.filter(F.col("outcome") == "admitted").select(
                 F.col("id").alias("vec_id")
             )
+            batch_ids = bassign.select(F.col("vec_id").alias("id")).distinct()
             acc = bassign.join(F.broadcast(admitted), "vec_id", "left_semi")
-            have_a = self.catalog.get_bucketed(self.assign_table).select("id")
+            have_a = (
+                self.catalog.get_bucketed(self.assign_table)
+                .join(F.broadcast(batch_ids), "id", "left_semi")
+                .select("id")
+            )
             self.catalog.append_bucketed(
                 acc.select(F.col("vec_id").alias("id"), "centroid_id").join(
                     have_a, "id", "left_anti"
@@ -1416,7 +1425,11 @@ class IvfIndex:
                 "centroid_id",
                 self.num_buckets,
             )
-            have_v = self.catalog.get_bucketed(self.vectors_table).select("id")
+            have_v = (
+                self.catalog.get_bucketed(self.vectors_table)
+                .join(F.broadcast(batch_ids), "id", "left_semi")
+                .select("id")
+            )
             self.catalog.append_bucketed(
                 acc.select(
                     F.col("vec_id").alias("id"),
@@ -1427,7 +1440,9 @@ class IvfIndex:
                 "id",
                 self.num_buckets,
             )
-            have_q = self._corpus_quality().select("id")
+            have_q = self._corpus_quality().join(
+                F.broadcast(batch_ids), "id", "left_semi"
+            ).select("id")
             self.catalog.append_bucketed(
                 qual_n.join(
                     F.broadcast(admitted.select(F.col("vec_id").alias("id"))),
