@@ -1185,6 +1185,10 @@ class IvfIndex:
         report = corpus_rows.unionByName(batch_rows).localCheckpoint()
         dup_ids = report.select("vec_id").distinct()
         accepted = bassign.join(dup_ids, "vec_id", "left_anti")
+        # r10 candidate: batch-restrict these have-sets with a broadcast
+        # semi-probe (the idiom ingest_keep_best already uses) — held
+        # back from r9 because the plan change would require re-windowing
+        # the whole semantic_ingest row family and the r9 window is full
         have_a = self.catalog.get_bucketed(self.assign_table).select("id")
         self.catalog.append_bucketed(
             accepted.select(F.col("vec_id").alias("id"), "centroid_id").join(
