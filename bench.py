@@ -167,6 +167,11 @@ EXTENDED_QUERIES = [
     "dedup_keep_best",
     "neardup_keep_best",
     "semantic_keep_best",
+    # r10: snapshot-isolated streaming keep-best (two-epoch drain,
+    # build + pins + challenge + tombstones included) and the grand
+    # manifest composed WITH quality-aware dedup
+    "streaming_keep_best",
+    "pretraining_manifest_kb",
 ]
 
 

@@ -319,6 +319,25 @@ class Catalog:
             shutil.rmtree(os.path.join(self.root, f".{name}.v{v}"))
         return drop
 
+    def drop_version(self, name: str, version: int) -> bool:
+        """Drop ONE published snapshot of ``name`` (the targeted form of
+        :meth:`prune_versions` — epoch-pinned readers use it to release
+        exactly the versions they pinned once their epoch commits, see
+        ``streaming/ingest.py``'s snapshot-isolated protocol). Returns
+        whether the snapshot existed. Same safety rules as pruning: the
+        name is validated, only the exact published ``.{name}.v<n>``
+        tree is touched, the live table is never involved. Note
+        :meth:`snapshot` numbering is max-based, so dropping the newest
+        version lets its id be REUSED by the next snapshot — callers
+        holding version ids across a drop must scope them (the epoch
+        protocol scopes ids to one committed epoch, never reread)."""
+        self._path(name)  # validate the name before touching anything
+        snap = os.path.join(self.root, f".{name}.v{int(version)}")
+        if not os.path.isdir(snap):
+            return False
+        shutil.rmtree(snap)
+        return True
+
     def restore(self, name: str, version: int) -> None:
         """Roll the live table back to snapshot ``version`` (the
         snapshot itself survives — restores are repeatable). Same

@@ -31,6 +31,19 @@ from pyspark.sql import functions as F
 
 HASH60_BITS = 60
 
+# MinHash FAMILY version, persisted by hash-derived standing indexes
+# (``NearDupIndex.build`` writes it to ``{name}__meta``) and validated
+# on every read that bands NEW text against STORED buckets. The r9
+# family migration (single affine round → two-round avalanche, see
+# :func:`minhash_mix`) changed every band_hash value: an index built
+# under the old family and read with the new code would get ~zero
+# collisions and silently report near-dups as novel (silent recall
+# collapse — ADVICE r9 medium). Bump this whenever minhash_mix /
+# md5_long60 / the band fold change incompatibly; readers of a
+# mismatched index fail fast and direct the caller to rebuild.
+#   v1 = single affine round (rounds 1–8); v2 = two-round avalanche (r9+)
+HASH_FAMILY_VERSION = 2
+
 # (a*hi + b*lo + c) mod p universal-hash family for MinHash permutations.
 # p = 2^61-1 (Mersenne prime); a,b,c are fixed PUBLIC 30-bit odd constants
 # from one LCG step — arbitrary but reproducible parameters, inlined as

@@ -197,9 +197,13 @@ def bm25_oracle_sql(
     pruned corpus IS the live-view contract — every corpus-global
     statistic recomputed over the survivors). ``max_df_share`` mirrors
     :meth:`Bm25Index.search`'s stopword pruning: terms with
-    ``df > max_df_share·N`` contribute nothing (same double-precision
-    comparison on both engines — bigint operands are exactly
-    representable, so the predicate can never disagree).
+    ``df > max_df_share·N`` contribute nothing. The share literal is
+    CAST to DOUBLE (the ``k1+1`` hazard below — a bare ``0.3`` types
+    as DECIMAL in DuckDB, making the cap predicate exact-decimal where
+    Spark compares in IEEE doubles; ADVICE r9): with both sides double
+    and the bigint operands exactly representable, the predicate
+    evaluates identically on both engines for any share value, not
+    just dyadic ones.
 
     The ``k1+1`` factor is CAST to DOUBLE: a bare ``2.2`` literal types
     as DECIMAL(2,1) in DuckDB, making ``tf·(k1+1)`` exact decimal where
@@ -216,7 +220,7 @@ def bm25_oracle_sql(
     termlist = ", ".join(f"'{t}'" for t in terms)
     src = f"(SELECT * FROM documents WHERE {where})" if where else "documents"
     cap = (
-        f"WHERE df_t.df <= {max_df_share!r} * s.n_docs"
+        f"WHERE df_t.df <= CAST({max_df_share!r} AS DOUBLE) * s.n_docs"
         if max_df_share is not None
         else ""
     )

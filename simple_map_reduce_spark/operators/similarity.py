@@ -839,9 +839,17 @@ class IvfIndex:
         :meth:`ingest_keep_best` (plain :meth:`ingest` refuses); a
         build WITHOUT ``quality_col`` drops the quality table, returning
         to first-seen-wins (:meth:`rebuild` preserves the tier — it
-        re-derives the live (vec, q) frame and builds WITH quality)."""
+        re-derives the live (vec, q) frame and builds WITH quality).
+
+        Quality-tier crash ordering (ADVICE r9, shared with the lexical
+        twin): any standing quality table is deleted FIRST and the new
+        one published LAST, so every crash prefix leaves the index with
+        NO quality table — keep-best refuses (missing quality) instead
+        of deciding against stale scores beside new main-table state."""
         from .tombstones import drop_tombstones
 
+        if self.catalog.exists(self.quality_table):
+            self.catalog.delete(self.quality_table)
         n_cent = self.n_centroids
         if n_cent is None and centroids is None:
             n_cent, _ = ivf_capacity(emb.count())
@@ -868,8 +876,6 @@ class IvfIndex:
                 "id",
                 self.num_buckets,
             )
-        elif self.catalog.exists(self.quality_table):
-            self.catalog.delete(self.quality_table)
         drop_tombstones(self.catalog, self.name)
 
     def search_ids(self, query_ids: list[int], k: int = 5) -> DataFrame:
@@ -1313,6 +1319,9 @@ class IvfIndex:
             )
             # --- stage 2: pairwise corpus challenge (live view;
             # uncollapsed — a win tombstones EVERY matched incumbent)
+            # LEFT join onto quality + loud guard (ADVICE r9, shared
+            # with the lexical twin): an unscored matched incumbent must
+            # raise, not silently drop the pair and leave duplicates live
             matches = tracked_persist(
                 self._neardup_check_assigned(
                     bassign.join(
@@ -1326,9 +1335,25 @@ class IvfIndex:
                         F.col("id").alias("cid"), F.col("q").alias("q_inc")
                     ),
                     "cid",
+                    "left",
                 )
             )
             persisted.append(matches)
+            unscored = (
+                matches.filter(F.col("q_inc").isNull())
+                .select("cid")
+                .limit(5)
+                .collect()
+            )
+            if unscored:
+                shown = sorted(r[0] for r in unscored)
+                raise ValueError(
+                    f"index '{self.name}' has matched incumbent(s) with "
+                    f"no quality row (e.g. {shown}): the corpus quality "
+                    "tier is incomplete — rebuild with quality_col=... "
+                    "before keep-best ingest (deciding against unscored "
+                    "incumbents would silently leave duplicates live)"
+                )
             best_inc = (
                 matches.groupBy("vec_id")
                 .agg(

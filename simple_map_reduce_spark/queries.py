@@ -247,102 +247,102 @@ QUERIES: dict[str, QueryFn] = {
 # so a behavior change can never ship on a stale green row again (round
 # 2's trigram-default change left jaccard_pairs unverified for a round).
 #
-# Round 9 window = the 7 NEW queries (the BM25 takedown journey
-# bm25_delete_topk and the streaming inverted-index journey
-# bm25_stream_ingest — VERDICT r8 items 2 and 3 — the de-noised
-# maintenance read path ivf_cluster_skew_read, item 6, the term-skew
-# report bm25_term_stats, the stopword-pruned serving path
-# bm25_topk_pruned it motivates, the quality-aware cluster resolution
-# dedup_keep_best, and its standing-index forms neardup_keep_best and
-# semantic_keep_best — NearDupIndex/IvfIndex.ingest_keep_best,
-# exemplar REPLACEMENT via the shared tombstone tier on both
-# dedup-capable indexes) + the 1 query whose code changed
-# (bm25_ingest_topk: per-table admission sets close the
-# postings/lengths crash window, ADVICE r8 high — clean-run results
-# identical, but the ingest plan changed) + the 14 rows whose RESULTS
-# change under the r9 MinHash family migration (minhash_mix: one
-# affine round → two rounds with xor-shift avalanche, fixing the
-# measured min-wise-independence recall defect; the DuckDB twin
-# regenerates from the same constants, so parity re-proves every row
-# against independently-recomputed new-family results) + the
-# remaining 11 r5-dated rows earmarked last round + the 17 oldest
-# r6-dated rows, alphabetical.
-# The bm25 read rows and the two r8 delete journeys also traverse this
-# round's tombstone-aware code, but with no tombstone table the path is
-# a driver-side exists() check into the identical plan (the
-# embedding_neardup_idx-r7 precedent), so they stay out of
-# _CHANGED_THIS_ROUND (bm25_topk_read's uncapped plan is likewise
-# untouched by the max_df_share addition — default None short-circuits
-# before any new operator; likewise incremental_neardup_idx/_read:
-# NearDupIndex.ingest/build are plan-identical without a quality
-# table). 18 r6-dated rows (regex_filter, rrf_fusion, sales_rollup …
-# wordcount_total, alphabetical tail) remain for the r10 window.
+# Round 10 window = the 2 NEW queries (streaming_keep_best —
+# NearDupIndex.ingest_stream_keep_best under the SNAPSHOT-ISOLATED
+# epoch protocol, VERDICT r9 item 2; pretraining_manifest_kb — the
+# grand composition with quality_aware keep-best dedup, item 3) + the
+# 4 rows whose code/oracle changed (neardup_keep_best /
+# semantic_keep_best: the quality join is now LEFT + a loud unscored-
+# incumbent guard, build() publishes the quality tier delete-first/
+# put-last, and NearDupIndex.build publishes the hash-family marker —
+# ADVICE r9; incremental_neardup_idx: the representative plain
+# NearDupIndex build+ingest journey under the new meta-marker
+# lifecycle; bm25_topk_pruned: the oracle's cap literal is now CAST to
+# DOUBLE, ADVICE r9 low — results identical, oracle text changed, so
+# parity re-proves) + ALL 31 remaining r6-dated rows (the r9 window
+# comment undercounted them as 18 — VERDICT r9 item 1 fixed the count;
+# after this window nothing oracle-backed is older than r7) + the 10
+# oldest r7-dated rows, alphabetical + the 3 rows-only sketches at the
+# window TAIL (VERDICT r9 item 6: they are error-bound-gated in
+# tests/test_sketches.py and hash-unmatchable BY DESIGN, but none has
+# executed under the driver since r1 — three tail slots prove the code
+# paths run in the driver environment; allowlisted in
+# tests/test_registry_lint.py).
+# Out of _CHANGED_THIS_ROUND deliberately: every other minhash row
+# (the family marker adds one tiny build-time put + a driver-side
+# one-row meta read — the embedding_neardup_idx-r7 "driver-side check
+# into the identical plan" precedent; incremental_neardup_idx stands
+# in for the class), dedup_keep_best (batch keep_best_exemplars is
+# untouched), pretraining_manifest_full (quality_aware defaults False
+# and short-circuits to the identical plan), and the bm25 rows other
+# than bm25_topk_pruned (no max_df_share → the CAST never enters
+# their oracle text).
 _CHANGED_THIS_ROUND = [
-    # r9: NEW queries ship their behavior this round
-    "bm25_delete_topk",
-    "bm25_stream_ingest",
-    "bm25_term_stats",
-    "bm25_topk_pruned",
-    "dedup_keep_best",
-    "ivf_cluster_skew_read",
+    # r10: NEW queries ship their behavior this round
+    "streaming_keep_best",
+    "pretraining_manifest_kb",
+    # r10: keep-best quality join LEFT + unscored guard, quality-tier
+    # build ordering, hash-family marker (ADVICE r9)
     "neardup_keep_best",
     "semantic_keep_best",
-    # r9: per-table admission sets in Bm25Index.ingest (ADVICE r8 high)
-    "bm25_ingest_topk",
-    # r9: MinHash FAMILY MIGRATION (functions/hashes.py::minhash_mix —
-    # single affine round → two rounds + xor-shift avalanche, fixing the
-    # measured min-wise-independence defect; twin regenerated from the
-    # same constants). Every minhash-derived row's RESULTS change, so
-    # every one re-verifies this round:
-    "dedup_groups",
-    "dedup_prune",
-    "incremental_neardup",
+    # r10: plain NearDupIndex build/ingest under the new meta-marker
+    # lifecycle (representative journey for the minhash index class)
     "incremental_neardup_idx",
-    "incremental_neardup_read",
-    "lsh_bucket_skew",
-    "minhash_buckets",
-    "minhash_dup_pairs",
-    "neardup_delete_check",
-    "pretraining_manifest",
-    "pretraining_manifest_full",
-    "pretraining_manifest_lm",
-    "pretraining_manifest_sem",
-    "source_overlap",
+    # r10: oracle cap literal CAST to DOUBLE (ADVICE r9 low)
+    "bm25_topk_pruned",
 ]
 _ROTATION_FRONT = [
     *_CHANGED_THIS_ROUND,
-    # the r5-dated rows (earmarked in the r8 window comment;
-    # source_overlap moved up into the family-migration block)
-    "sessionize_batch",
-    "similarity_topk_ivf_idx",
-    "status_priority_sets",
-    "stratified_sample",
-    "streaming_hourly_users",
-    "supplier_variety",
-    "tfidf_terms",
-    "token_positions",
-    "top_supplier",
-    "top_value_parts",
-    "waiting_suppliers",
-    # the oldest r6-dated rows — pure freshness rotation (the
-    # alphabetical tail defers to r10: the family migration claimed
-    # 13 window slots this round)
-    "bigram_lm_quality",
-    "corpus_prep",
-    "corpus_shuffle",
-    "curriculum_order",
-    "dedup_exact",
-    "distinct_tokens",
-    "doc_chunks",
-    "doc_fingerprint",
-    "embedding_neardup_idx",
-    "equi_join",
-    "events_windowed",
-    "filter_group_pct",
-    "hard_negatives",
-    "image_resize",
-    "lang_id",
-    "left_join_order_counts",
+    # ALL 31 remaining r6-dated rows (freshness: after this window
+    # nothing oracle-backed is older than r7)
+    "length_histogram",
+    "maple_filter_pct",
+    "maple_wordcount",
+    "mixture_temperature",
+    "multi_distinct",
+    "multimodal_meta",
+    "nation_segment_list",
+    "orders_by_month",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
+    "qty_outliers",
+    "redact_pii",
+    "regex_filter",
+    "rrf_fusion",
+    "sales_rollup",
+    "simhash_dup_pairs",
+    "simhash_sigs",
+    "similarity_topk",
+    "streaming_click_attribution",
+    "streaming_dedup",
+    "streaming_dedup_watermark",
+    "streaming_enriched",
+    "streaming_rollup",
+    "streaming_sessions",
+    "text_stats",
+    "token_counts",
+    "topk_customers",
+    "window_running",
+    "wordcount",
+    "wordcount_total",
+    # the 10 oldest r7-dated rows, alphabetical (freshness rotation)
+    "asof_last_order",
+    "bigram_docfreq",
+    "bpe_pair_counts",
+    "cheapest_item_per_order",
+    "chunk_ann_topk",
+    "chunk_assignment",
+    "chunk_assignment_sharded",
+    "cohort_retention",
+    "corpus_splits",
+    "customer_order_seq",
+    # the 3 rows-only sketches at the window TAIL (VERDICT r9 item 6:
+    # first driver execution since r1; no oracle BY DESIGN — the
+    # driver records rows>0/err=None, the lint allowlists them)
+    "vocab_sketch",
+    "value_quantiles_sketch",
+    "bigram_lm_quality_sketch",
 ]
 assert len(_ROTATION_FRONT) == 50
 assert set(_ROTATION_FRONT) <= set(QUERIES)

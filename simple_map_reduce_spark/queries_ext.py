@@ -1439,7 +1439,10 @@ def _decon_prune_ctes(src: str) -> str:
 
 
 def pretraining_manifest_oracle(
-    sem: bool = False, lm: bool = False, decon: bool = False
+    sem: bool = False,
+    lm: bool = False,
+    decon: bool = False,
+    keep_best: bool = False,
 ) -> str:
     """One builder for ALL manifest oracles: the lexical-only pipeline,
     (``sem=True``) the variant with the SemDeDup stage spliced between
@@ -1451,7 +1454,11 @@ def pretraining_manifest_oracle(
     A single source keeps the split-bucket CASE, the token count, and
     the prefix-sum / chunk SQL provably in lockstep between the
     registered queries — the deltas are the stage CTE chains feeding
-    ``base`` and/or the surv2 NOT EXISTS filter."""
+    ``base`` and/or the surv2 NOT EXISTS filter. ``keep_best=True``
+    swaps the min-id cluster representative for the quality-aware
+    (token-count desc, doc_id) argmax — the ``quality_aware=True``
+    manifest (VERDICT r9 item 3), same exact-integer ordering as
+    ``dedup_keep_best_oracle``."""
     from .functions.hashes import duckdb_md5_long60
 
     base_where = _qf_pass_where()
@@ -1501,12 +1508,24 @@ def pretraining_manifest_oracle(
     else:
         sem_block = ""
         final_surv = "surv"
-    return f"""
-        {_dedup_reach_cte("base", pre)},
-        surv AS MATERIALIZED (
+    if keep_best:
+        surv_cte = f"""surv AS MATERIALIZED (
+            SELECT doc_id, lang, text FROM (
+                SELECT b.doc_id, b.lang, b.text,
+                       row_number() OVER (
+                           PARTITION BY g.group_id
+                           ORDER BY CAST(len({_TOK}) AS BIGINT) DESC,
+                                    b.doc_id) AS rn
+                FROM base b JOIN groups g USING (doc_id))
+            WHERE rn = 1)"""
+    else:
+        surv_cte = """surv AS MATERIALIZED (
             SELECT b.doc_id, b.lang, b.text
             FROM base b JOIN groups g USING (doc_id)
-            WHERE g.group_id = b.doc_id),
+            WHERE g.group_id = b.doc_id)"""
+    return f"""
+        {_dedup_reach_cte("base", pre)},
+        {surv_cte},
         {sem_block}labeled AS (
             SELECT doc_id, lang, {split_case} AS split,
                    CAST(len({_TOK}) AS BIGINT) AS n_tokens
@@ -1620,6 +1639,48 @@ def pretraining_manifest_full_oracle() -> str:
     """Manifest oracle with the decon + LM + sem chains all spliced in
     (see :func:`pretraining_manifest_oracle`)."""
     return pretraining_manifest_oracle(sem=True, lm=True, decon=True)
+
+
+def q_pretraining_manifest_kb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GRAND composed pipeline with QUALITY-AWARE dedup (VERDICT r9
+    item 3): identical seven-stage program to
+    ``pretraining_manifest_full``, but the lexical near-dup stage keeps
+    each duplicate cluster's BEST member (``keep_best_exemplars``
+    scored by exact token count — the round-9 keep-best semantics
+    composed into the flagship journey) instead of the min-id
+    convention. The oracle recomposes all seven stages with the
+    (token-count desc, doc_id) argmax swapped in at the survivor CTE —
+    a min-id prune in disguise changes which documents reach the
+    splits/packing stages and cannot hash-match."""
+    from .pipelines import pretraining_manifest_full
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = docs.filter(F.col("doc_id") % DECON_MOD == 0)
+    train = docs.filter(F.col("doc_id") % DECON_MOD != 0)
+    return pretraining_manifest_full(
+        train,
+        SPLIT_FRACTIONS,
+        bench,
+        decon_min_shared=DECON_MIN_SHARED,
+        decon_max_bucket=SKEW_CAP,
+        neardup_threshold=MINHASH_THRESHOLD,
+        max_bucket=SKEW_CAP,
+        span=100,
+        emb=emb,
+        sem_k=SEMDEDUP_K,
+        sem_iters=SEMDEDUP_ITERS,
+        sem_tau=SEMDEDUP_TAU,
+        quality_aware=True,
+    )
+
+
+def pretraining_manifest_kb_oracle() -> str:
+    """The grand-composition oracle with the keep-best survivor CTE
+    (see :func:`pretraining_manifest_oracle`)."""
+    return pretraining_manifest_oracle(
+        sem=True, lm=True, decon=True, keep_best=True
+    )
 
 
 def q_streaming_hourly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4366,6 +4427,224 @@ def q_bm25_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.search(BM25_QUERIES, k=BM25_K)
 
 
+def q_streaming_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING quality-aware exemplar replacement (VERDICT r9 item 2:
+    ``NearDupIndex.ingest_stream_keep_best`` under the snapshot-isolated
+    epoch protocol): build the quality-indexed corpus (q = exact token
+    count), then drain the 1-in-10 batch as TWO stream epochs (doc_id %
+    20 == 0, then % 20 == 10; one parquet file each, mtime-ordered,
+    ``maxFilesPerTrigger=1``). Each epoch's corpus challenge is pinned
+    to catalog hardlink snapshots taken at epoch start, so replays
+    re-derive decisions bit-exact even after the epoch's tombstones
+    committed (the crash matrix is pytest; THIS row checks the
+    sequential semantics externally). The oracle recomposes BOTH
+    keep-best epochs SEQUENTIALLY — epoch 0 challenges the built
+    corpus, epoch 1 challenges (corpus − beaten₀) ∪ admitted₀ — with
+    the full decision tier (CC + argmax + pairwise challenge + outcome/
+    kept_by/n_replaced), so single-batch semantics, first-seen-wins in
+    disguise, or a challenge that reads post-epoch state cannot
+    hash-match. Returns the persisted per-epoch decision reports."""
+    import os
+    import shutil
+    import tempfile
+
+    from .catalog import Catalog
+    from .functions.text import token_count
+    from .operators.dedup import NearDupIndex
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "q", token_count("text")
+    )
+    corpus = docs.filter(F.col("doc_id") % INCR_MOD != 0)
+    epochs = [
+        docs.filter(F.col("doc_id") % (2 * INCR_MOD) == 0),
+        docs.filter(F.col("doc_id") % (2 * INCR_MOD) == INCR_MOD),
+    ]
+    root = tempfile.mkdtemp(prefix="kb_stream_")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    for i, part in enumerate(epochs):
+        stage = os.path.join(root, f"stage{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        pf = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        dst = os.path.join(src, f"{'ab'[i]}.parquet")
+        shutil.move(os.path.join(stage, pf), dst)
+        os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+    cat = Catalog(spark, os.path.join(root, "wh"))
+    idx = NearDupIndex(
+        cat, "kb_stream", threshold=MINHASH_THRESHOLD, max_bucket=SKEW_CAP
+    )
+    idx.build(corpus, quality_col="q")
+    stream = (
+        spark.readStream.schema(epochs[0].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    idx.ingest_stream_keep_best(stream, os.path.join(root, "ckpt"), "q")
+    return (
+        cat.get(idx.kb_reports_table)
+        .select("epoch_id", "id", "q", "outcome", "kept_by", "n_replaced")
+        .orderBy("epoch_id", "id")
+    )
+
+
+def _kb_epoch_block(e: int, residue: int, live: str) -> str:
+    """One keep-best epoch as SQL CTEs (shared by both epochs of
+    ``streaming_keep_best_oracle``): the batch's capped intra-batch pair
+    graph → transitive CC (recursive CTE) → (q desc, id) argmax →
+    pairwise challenge against the ``live`` id set (cap recomputed over
+    THAT population, as the Spark side caps the pinned live view) →
+    struct-compare decision → per-epoch report + beaten/admitted sets.
+    Emits CTEs suffixed ``{e}``; the caller chains ``live{e+1}``."""
+    return f"""
+        bn{e} AS MATERIALIZED (SELECT b.* FROM ball b WHERE b.id % {2 * INCR_MOD} = {residue}),
+        bnsz{e} AS (SELECT band_idx, band_hash, count(*) AS n
+                    FROM bn{e} GROUP BY 1, 2),
+        bnc{e} AS MATERIALIZED (SELECT r.* FROM bn{e} r
+                   JOIN bnsz{e} USING (band_idx, band_hash)
+                   WHERE bnsz{e}.n <= {SKEW_CAP}),
+        wcand{e} AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM bnc{e} a JOIN bnc{e} b
+              ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+             AND a.id < b.id),
+        winter{e} AS (
+            SELECT c.id_a, c.id_b, count(*) AS ic
+            FROM wcand{e} c
+            JOIN hshm x ON x.id = c.id_a
+            JOIN hshm y ON y.id = c.id_b AND y.h = x.h
+            GROUP BY 1, 2),
+        wpairs{e} AS (
+            SELECT i.id_a, i.id_b
+            FROM winter{e} i JOIN szall a ON i.id_a = a.id
+                             JOIN szall b ON i.id_b = b.id
+            WHERE i.ic * 1.0 / (a.sz + b.sz - i.ic) >= {MINHASH_THRESHOLD}),
+        wedges{e} AS (SELECT id_a AS s, id_b AS d FROM wpairs{e}
+                      UNION SELECT id_b, id_a FROM wpairs{e}),
+        wreach{e}(s, d) AS (
+            SELECT s, d FROM wedges{e}
+            UNION
+            SELECT r.s, ed.d FROM wreach{e} r JOIN wedges{e} ed ON r.d = ed.s),
+        bdocs{e} AS (SELECT doc_id AS id FROM documents
+                     WHERE doc_id % {2 * INCR_MOD} = {residue}),
+        wgroups{e} AS (
+            SELECT b.id, least(b.id, coalesce(min(r.d), b.id)) AS group_id
+            FROM bdocs{e} b LEFT JOIN wreach{e} r ON r.s = b.id
+            GROUP BY b.id),
+        ranked{e} AS MATERIALIZED (
+            SELECT g.id, g.group_id, q.q,
+                   row_number() OVER (PARTITION BY g.group_id
+                                      ORDER BY q.q DESC, g.id) AS rn
+            FROM wgroups{e} g JOIN qual q USING (id)),
+        winners{e} AS (SELECT group_id, id AS kept_id FROM ranked{e}
+                       WHERE rn = 1),
+        bcraw{e} AS MATERIALIZED (SELECT b.* FROM ball b JOIN {live} l ON b.id = l.id),
+        bcsz{e} AS (SELECT band_idx, band_hash, count(*) AS n
+                    FROM bcraw{e} GROUP BY 1, 2),
+        bc{e} AS MATERIALIZED (SELECT r.* FROM bcraw{e} r
+                  JOIN bcsz{e} USING (band_idx, band_hash)
+                  WHERE bcsz{e}.n <= {SKEW_CAP}),
+        ccand{e} AS (
+            SELECT DISTINCT n.id AS id_new, c.id AS id_corpus
+            FROM bn{e} n
+            JOIN ranked{e} ch ON n.id = ch.id AND ch.rn = 1
+            JOIN bc{e} c ON n.band_idx = c.band_idx
+                        AND n.band_hash = c.band_hash
+                        AND n.id != c.id),
+        cinter{e} AS (
+            SELECT cd.id_new, cd.id_corpus, count(*) AS ic
+            FROM ccand{e} cd
+            JOIN hshm x ON x.id = cd.id_new
+            JOIN hshm y ON y.id = cd.id_corpus AND y.h = x.h
+            GROUP BY 1, 2),
+        cpairs{e} AS (
+            SELECT i.id_new, i.id_corpus
+            FROM cinter{e} i JOIN szall a ON i.id_new = a.id
+                             JOIN szall b ON i.id_corpus = b.id
+            WHERE i.ic * 1.0 / (a.sz + b.sz - i.ic) >= {MINHASH_THRESHOLD}),
+        chal{e} AS MATERIALIZED (
+            SELECT p.id_new, p.id_corpus, qn.q AS q_new, qc.q AS q_inc
+            FROM cpairs{e} p
+            JOIN qual qn ON qn.id = p.id_new
+            JOIN qual qc ON qc.id = p.id_corpus),
+        best_inc{e} AS MATERIALIZED (
+            SELECT id_new, q_inc AS q_best, id_corpus AS best_id FROM (
+                SELECT id_new, id_corpus, q_inc,
+                       row_number() OVER (PARTITION BY id_new
+                                          ORDER BY q_inc DESC, id_corpus)
+                           AS rn
+                FROM chal{e})
+            WHERE rn = 1),
+        admitted{e} AS MATERIALIZED (
+            SELECT r.id FROM ranked{e} r
+            LEFT JOIN best_inc{e} b ON b.id_new = r.id
+            WHERE r.rn = 1
+              AND (b.id_new IS NULL OR r.q > b.q_best
+                   OR (r.q = b.q_best AND r.id < b.best_id))),
+        beaten{e} AS MATERIALIZED (
+            SELECT DISTINCT c.id_corpus AS id
+            FROM chal{e} c JOIN admitted{e} a ON a.id = c.id_new),
+        nrepl{e} AS (
+            SELECT c.id_new AS id,
+                   CAST(count(DISTINCT c.id_corpus) AS BIGINT) AS n_replaced
+            FROM chal{e} c JOIN admitted{e} a ON a.id = c.id_new
+            GROUP BY 1),
+        report{e} AS MATERIALIZED (
+            SELECT r.id, r.q,
+                   CASE WHEN r.rn > 1 THEN 'rejected_batch'
+                        WHEN a.id IS NOT NULL THEN 'admitted'
+                        ELSE 'rejected_corpus' END AS outcome,
+                   CASE WHEN r.rn > 1 THEN w.kept_id
+                        WHEN a.id IS NOT NULL THEN CAST(NULL AS BIGINT)
+                        ELSE b.best_id END AS kept_by,
+                   CASE WHEN a.id IS NOT NULL
+                        THEN coalesce(n.n_replaced, 0)
+                        ELSE 0 END AS n_replaced
+            FROM ranked{e} r
+            JOIN winners{e} w USING (group_id)
+            LEFT JOIN admitted{e} a ON a.id = r.id
+            LEFT JOIN best_inc{e} b ON b.id_new = r.id
+            LEFT JOIN nrepl{e} n ON n.id = r.id)"""
+
+
+def streaming_keep_best_oracle() -> str:
+    """DuckDB twin of ``q_streaming_keep_best``: the shared shingle/
+    minhash/band prefix computed ONCE per doc (band rows are per-doc
+    state, independent of corpus membership — exactly the stored-index
+    property), then the two keep-best epochs recomposed SEQUENTIALLY:
+    epoch 0 against the built corpus, epoch 1 against
+    (corpus − beaten₀) ∪ admitted₀."""
+    return rf"""
+        WITH RECURSIVE {_SHINGLE_CTE}, {_hashed_shingle_cte()},
+        hshm AS MATERIALIZED (SELECT * FROM hsh),
+        qual AS MATERIALIZED (
+            SELECT doc_id AS id,
+                   CAST(len(regexp_extract_all(lower(text), '\w+'))
+                        AS BIGINT) AS q
+            FROM documents),
+        sig_all AS MATERIALIZED ({_sig_select_sql('hshm')}),
+        ball AS MATERIALIZED ({_band_select_sql('sig_all')}),
+        szall AS MATERIALIZED (SELECT id, count(*) AS sz FROM hshm GROUP BY id),
+        live0 AS MATERIALIZED (SELECT doc_id AS id FROM documents
+                  WHERE doc_id % {INCR_MOD} != 0),
+        {_kb_epoch_block(0, 0, 'live0')},
+        live1 AS MATERIALIZED (
+            SELECT id FROM live0
+            WHERE id NOT IN (SELECT id FROM beaten0)
+            UNION ALL
+            SELECT id FROM admitted0),
+        {_kb_epoch_block(1, INCR_MOD, 'live1')}
+        SELECT CAST(0 AS BIGINT) AS epoch_id, id, q, outcome, kept_by,
+               n_replaced
+        FROM report0
+        UNION ALL
+        SELECT CAST(1 AS BIGINT) AS epoch_id, id, q, outcome, kept_by,
+               n_replaced
+        FROM report1
+        ORDER BY epoch_id, id
+    """
+
+
 def q_bm25_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental inverted-index maintenance driven through STRUCTURED
     STREAMING (``Bm25Index.ingest_stream`` — VERDICT r8 item 3; all
@@ -4613,6 +4892,7 @@ EXT_QUERIES = {
     # r9: quality-aware exemplar replacement on BOTH dedup-capable
     # standing indexes (lexical + semantic)
     "neardup_keep_best": q_neardup_keep_best,
+    "streaming_keep_best": q_streaming_keep_best,
     "semantic_keep_best": q_semantic_keep_best,
     # rows-only by policy (HLL vocab estimate — no DuckDB twin);
     # error-bound-gated vs the exact tier in tests/test_lm.py and
@@ -4621,6 +4901,7 @@ EXT_QUERIES = {
     "bigram_lm_quality_sketch": q_bigram_lm_quality_sketch,
     "chunk_hybrid_topk": q_chunk_hybrid_topk,
     "pretraining_manifest_full": q_pretraining_manifest_full,
+    "pretraining_manifest_kb": q_pretraining_manifest_kb,
 }
 
 EXT_ORACLES = {
@@ -4891,7 +5172,9 @@ EXT_ORACLES = {
         corpus_extra_pred=f"id % {INCR_MOD} != {NEARDUP_DELETE_RESIDUE}"
     ),
     "neardup_keep_best": neardup_keep_best_oracle(),
+    "streaming_keep_best": streaming_keep_best_oracle(),
     "semantic_keep_best": semantic_keep_best_oracle(),
     "chunk_hybrid_topk": chunk_hybrid_topk_oracle(),
     "pretraining_manifest_full": pretraining_manifest_full_oracle(),
+    "pretraining_manifest_kb": pretraining_manifest_kb_oracle(),
 }

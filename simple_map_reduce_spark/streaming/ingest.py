@@ -56,6 +56,8 @@ def run_epoch_idempotent_ingest(
     ingest_fn: Callable[[DataFrame], DataFrame],
     maintain_fn: Callable[[], dict] | None = None,
     maintain_every: int = 0,
+    snapshot_tables: list[str] | None = None,
+    snaps_table: str | None = None,
 ) -> None:
     """Drain ``stream_df`` through ``ingest_fn`` one micro-batch at a
     time under the marker-last protocol above. ``ingest_fn`` takes the
@@ -72,7 +74,29 @@ def run_epoch_idempotent_ingest(
     AFTER the marker commit and logs its report. Crash between marker
     and maintain loses only that advisory sweep — the next scheduled
     epoch re-runs it; index state is never at risk because maintain's
-    remedies (vacuum/compact/rebuild) are themselves crash-safe."""
+    remedies (vacuum/compact/rebuild) are themselves crash-safe.
+
+    **Snapshot-isolated epochs** (``snapshot_tables`` + ``snaps_table``
+    — VERDICT r9 item 2, the keep-best streaming form): a keep-best
+    epoch is NOT a pure function of (batch, live state) across its own
+    commit — the tombstones it writes destroy the pre-epoch state a
+    replay needs (a challenger that lost to a now-dead incumbent would
+    replay as admitted). With ``snapshot_tables`` set, each epoch's
+    corpus reads are pinned to hardlink snapshots (``Catalog.snapshot``)
+    taken at FIRST ATTEMPT and recorded in ``snaps_table``
+    ``(epoch_id, table_name, version)`` BEFORE the ingest runs;
+    ``ingest_fn`` is then called as ``ingest_fn(batch_df, pinned)``
+    with the ``{table: version|None}`` mapping (None = the table did
+    not exist at epoch start, e.g. tombstones before the first delete).
+    A replay at ANY crash point finds the snaps rows and re-reads the
+    identical frozen state, so decisions re-derive bit-exact even after
+    the tombstone append committed. Pin order is crash-safe: snapshots
+    first, then ONE atomic snaps append — a crash between the two
+    re-snapshots on replay (the orphaned trees are advisory garbage for
+    ``prune_versions``). After the marker commits the epoch can never
+    replay, so its pinned versions are dropped best-effort
+    (``Catalog.drop_version``); a crash in that cleanup only leaks
+    hardlink trees, never correctness."""
 
     def _append_or_put(df: DataFrame, table: str) -> None:
         if catalog.exists(table):
@@ -80,8 +104,56 @@ def run_epoch_idempotent_ingest(
         else:
             catalog.put(df, table)
 
+    def _pin_epoch(spark, epoch_id: int) -> dict[str, int | None]:
+        """The epoch's frozen corpus state: reuse the recorded pins on
+        replay, else snapshot + record. The snaps append is ONE atomic
+        write AFTER every snapshot exists, so recorded pins always
+        resolve."""
+        if catalog.exists(snaps_table):
+            rows = (
+                catalog.get(snaps_table)
+                .filter(F.col("epoch_id") == int(epoch_id))
+                .collect()
+            )
+            if rows:
+                return {
+                    r.table_name: (int(r.version) if r.version else None)
+                    for r in rows
+                }
+        pinned = {
+            t: (catalog.snapshot(t) if catalog.exists(t) else None)
+            for t in snapshot_tables
+        }
+        _append_or_put(
+            spark.createDataFrame(
+                [(int(epoch_id), t, int(v or 0)) for t, v in pinned.items()],
+                "epoch_id BIGINT, table_name STRING, version BIGINT",
+            ),
+            snaps_table,
+        )
+        return pinned
+
+    def _release_epoch_pins(epoch_id: int) -> None:
+        """Best-effort: a committed epoch never replays, so its pinned
+        snapshot trees are garbage. Failure here leaks hardlink trees
+        (cleaned by prune_versions), never correctness."""
+        if snaps_table is None or not catalog.exists(snaps_table):
+            return
+        try:
+            rows = (
+                catalog.get(snaps_table)
+                .filter(F.col("epoch_id") == int(epoch_id))
+                .collect()
+            )
+            for r in rows:
+                if r.version:
+                    catalog.drop_version(r.table_name, int(r.version))
+        except Exception:  # advisory cleanup only
+            _LOG.warning("snapshot cleanup failed for epoch %s", epoch_id)
+
     def _commit_marker(marker: DataFrame, epoch_id: int) -> None:
         _append_or_put(marker, epochs_table)
+        _release_epoch_pins(epoch_id)
         if maintain_fn is not None and maintain_every > 0:
             n_epochs = catalog.get(epochs_table).count()
             if n_epochs % maintain_every == 0:
@@ -115,7 +187,12 @@ def run_epoch_idempotent_ingest(
                 # finish the commit instead of re-running the ingest
                 _commit_marker(marker, epoch_id)
                 return
-        report = ingest_fn(batch_df).withColumn(
+        if snapshot_tables is not None:
+            pinned = _pin_epoch(spark, epoch_id)
+            report = ingest_fn(batch_df, pinned)
+        else:
+            report = ingest_fn(batch_df)
+        report = report.withColumn(
             "epoch_id", F.lit(epoch_id).cast("bigint")
         )
         _append_or_put(report, reports_table)

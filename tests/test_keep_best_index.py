@@ -474,3 +474,185 @@ def test_quality_table_lifecycle(spark, tmp_path):
     # and ingest_keep_best now refuses
     with pytest.raises(ValueError, match="no quality table"):
         idx.ingest_keep_best(batch, "q")
+
+
+# ---------------------------------------------------------------------------
+# streaming keep-best (snapshot-isolated epochs — VERDICT r9 item 2)
+# ---------------------------------------------------------------------------
+
+# bands == num_hashes (1 row/band) so every J >= 0.3 pair below is a
+# near-certain band collision; the Jaccard verify then gates exactly.
+# Trigram Jaccards: J(10,1)=6/8=0.75, J(12,1)=2/6=0.33, J(10,12)=2/8=0.25.
+STREAM_CORPUS = [
+    (1, "w1 w2 w3 w4 w5 w6 w7 w8", 5),
+    (2, "x1 x2 x3 x4 x5 x6", 9),
+]
+EP0 = [
+    (10, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10", 9),  # beats incumbent 1
+    (12, "w5 w6 w7 w8", 4),                     # loses to incumbent 1
+]
+EP1 = [
+    (20, "x1 x2 x3 x4 x5 x6 x7", 11),           # beats incumbent 2
+    (21, "p1 p2 p3 p4 p5", 1),                  # novel -> admitted
+]
+
+
+def _mk_stream_idx(spark, tmp_path, sub):
+    cat = Catalog(spark, str(tmp_path / sub / "wh"))
+    idx = NearDupIndex(
+        cat, f"skb_{sub}", threshold=0.3, bands=12, num_hashes=12
+    )
+    idx.build(spark.createDataFrame(STREAM_CORPUS, SCHEMA), quality_col="q")
+    return cat, idx
+
+
+def _stage_stream(spark, tmp_path, sub, epochs):
+    import shutil
+
+    root = tmp_path / sub
+    src = root / "src"
+    src.mkdir(parents=True, exist_ok=True)
+    schema = spark.createDataFrame(epochs[0], SCHEMA).schema
+    for i, rows in enumerate(epochs):
+        stage = str(root / f"stage{i}")
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        pf = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        dst = str(src / f"{'abcd'[i]}.parquet")
+        shutil.move(os.path.join(stage, pf), dst)
+        os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    return stream, str(root / "ckpt")
+
+
+def test_streaming_keep_best_matches_sequential_batch(spark, tmp_path):
+    """Two keep-best epochs drained through ingest_stream_keep_best
+    produce the same reports and the same final live exemplar set as
+    two sequential ingest_keep_best calls on a twin index."""
+    cat_s, idx_s = _mk_stream_idx(spark, tmp_path, "seqs")
+    stream, ckpt = _stage_stream(spark, tmp_path, "seqs", [EP0, EP1])
+    idx_s.ingest_stream_keep_best(stream, ckpt, "q")
+
+    cat_b, idx_b = _mk_stream_idx(spark, tmp_path, "seqb")
+    reps = []
+    for rows, ep in ((EP0, 0), (EP1, 1)):
+        rep = idx_b.ingest_keep_best(spark.createDataFrame(rows, SCHEMA), "q")
+        reps.extend((ep,) + tuple(r) for r in rep.collect())
+
+    got = sorted(
+        (r.epoch_id, r.id, r.q, r.outcome, r.kept_by, r.n_replaced)
+        for r in cat_s.get(idx_s.kb_reports_table).collect()
+    )
+    assert got == sorted(reps)
+    live_s = sorted(
+        (r.id, r.q)
+        for r in live(
+            cat_s, idx_s.name, cat_s.get_bucketed(idx_s.quality_table)
+        ).collect()
+    )
+    live_b = sorted(
+        (r.id, r.q)
+        for r in live(
+            cat_b, idx_b.name, cat_b.get_bucketed(idx_b.quality_table)
+        ).collect()
+    )
+    # EP0: 10 replaces 1, 12 loses to the (then-live) 1;
+    # EP1: 20 replaces 2, 21 novel
+    assert live_s == live_b == [(10, 9), (20, 11), (21, 1)]
+    # committed epochs release their pinned snapshot trees
+    for t in (idx_s.buckets_table, idx_s.quality_table):
+        assert cat_s.versions(t) == []
+
+
+def test_streaming_keep_best_replays_across_tombstone_commit(spark, tmp_path):
+    """THE case plain replay cannot survive: the epoch's beaten-incumbent
+    tombstones COMMITTED but the report append crashed. Doc 12's only
+    near-dup is incumbent 1, which doc 10's admission tombstoned — a
+    replay against live state would admit 12 (its incumbent is dead);
+    the snapshot-pinned replay must re-derive the ORIGINAL decision
+    (rejected_corpus, kept_by=1) bit-exact."""
+    cat, idx = _mk_stream_idx(spark, tmp_path, "crashrep")
+    stream, ckpt = _stage_stream(spark, tmp_path, "crashrep", [EP0])
+
+    real_put = cat.put
+
+    def crashing_put(source, name, fmt="text"):
+        if name == idx.kb_reports_table:
+            raise RuntimeError("simulated crash before the report append")
+        return real_put(source, name, fmt)
+
+    cat.put = crashing_put
+    try:
+        with pytest.raises(Exception, match="simulated crash"):
+            idx.ingest_stream_keep_best(stream, ckpt, "q")
+    finally:
+        cat.put = real_put
+
+    # the dangerous state: tombstones committed, report + marker missing
+    assert sorted(r.id for r in read_tombstones(cat, idx.name).collect()) == [1]
+    assert not cat.exists(idx.kb_reports_table)
+    assert not cat.exists(idx.kb_epochs_table)
+    # the pins were recorded BEFORE the ingest ran
+    assert cat.exists(idx.snaps_table)
+    assert cat.versions(idx.buckets_table) != []
+
+    stream2, _ = _stage_stream(spark, tmp_path, "crashrep", [EP0])
+    idx.ingest_stream_keep_best(stream2, ckpt, "q")
+
+    got = {
+        r.id: (r.outcome, r.kept_by, r.n_replaced)
+        for r in cat.get(idx.kb_reports_table).collect()
+    }
+    assert got == {
+        10: ("admitted", None, 1),
+        12: ("rejected_corpus", 1, 0),  # incumbent dead at replay time
+    }
+    live_set = sorted(
+        r.id
+        for r in live(
+            cat, idx.name, cat.get_bucketed(idx.quality_table)
+        ).collect()
+    )
+    assert live_set == [2, 10]
+    # no duplicated tombstone rows from the replay
+    assert sorted(r.id for r in read_tombstones(cat, idx.name).collect()) == [1]
+    # committed epoch released its pinned snapshots
+    for t in (idx.buckets_table, idx.shingles_table, idx.sizes_table,
+              idx.quality_table):
+        assert cat.versions(t) == []
+
+
+def test_hash_family_marker_gates_reads(spark, tmp_path):
+    """ADVICE r9 (medium): an index whose stored band hashes were derived
+    under a different MinHash family (or different banding knobs) must
+    FAIL FAST on check/ingest/ingest_keep_best instead of silently
+    getting ~zero collisions and admitting near-dups as novel."""
+    cat, idx = _mk(spark, tmp_path, "meta", CORPUS)
+    batch = spark.createDataFrame(BATCH, SCHEMA)
+    meta_schema = (
+        "hash_family BIGINT, num_hashes BIGINT, bands BIGINT, "
+        "shingle_n BIGINT"
+    )
+    # tamper: pretend the index was built under family v1 (pre-r9)
+    cat.put(spark.createDataFrame([(1, 12, 4, 3)], meta_schema), idx.meta_table)
+    with pytest.raises(ValueError, match="MinHash"):
+        idx.check(batch)
+    with pytest.raises(ValueError, match="MinHash"):
+        idx.ingest_keep_best(batch, "q")
+    # missing marker (legacy / crashed-rebuild index) refuses too
+    cat.delete(idx.meta_table)
+    with pytest.raises(ValueError, match="hash-family marker"):
+        idx.check(batch)
+    # rebuild republishes the marker and reads work again
+    idx.build(spark.createDataFrame(CORPUS, SCHEMA), quality_col="q")
+    idx.check(batch).count()
+    # an instance with different banding knobs refuses the same index
+    idx_other = NearDupIndex(cat, idx.name, threshold=0.3, bands=6,
+                             num_hashes=12)
+    with pytest.raises(ValueError, match="bands"):
+        idx_other.check(batch)

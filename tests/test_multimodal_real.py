@@ -149,3 +149,195 @@ def test_parse_wav_rejects_short_fmt_and_oversize_chunk():
     good = _wav16([16384, -16384, 16384, -16384])
     with pytest.raises(ValueError, match="exceeds payload"):
         _parse_wav(good[:-2])  # data declares 8 bytes, only 6 remain
+
+
+# ---------------------------------------------------------------------------
+# PNG (VERDICT r9 item 4: the codec-free third real decoder)
+# ---------------------------------------------------------------------------
+
+import zlib
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _png(width, height, color_type, rows, filters=None, depth=8,
+         interlace=0, split_idat=False):
+    """Hand-built PNG: ``rows`` is a list of per-row pixel byte lists
+    (already channel-interleaved); ``filters`` assigns each row's filter
+    byte, with the raw scanline payload computed by FORWARD-filtering
+    the known pixels — so the decoder's unfilter must invert exactly."""
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    bpp = channels
+    filters = filters or [0] * height
+    raw = bytearray()
+    prev = bytes(width * channels)
+    for y in range(height):
+        line = bytes(rows[y])
+        ft = filters[y]
+        enc = bytearray(line)
+        if ft == 1:
+            for i in range(len(line) - 1, bpp - 1, -1):
+                enc[i] = (line[i] - line[i - bpp]) & 0xFF
+        elif ft == 2:
+            for i in range(len(line)):
+                enc[i] = (line[i] - prev[i]) & 0xFF
+        elif ft == 3:
+            for i in range(len(line)):
+                left = line[i - bpp] if i >= bpp else 0
+                enc[i] = (line[i] - ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:
+            for i in range(len(line)):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = (line[i] - pred) & 0xFF
+        raw += bytes([ft]) + bytes(enc)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color_type, 0, 0,
+                       interlace)
+    comp = zlib.compress(bytes(raw))
+    if split_idat:
+        mid = len(comp) // 2
+        idat = _chunk(b"IDAT", comp[:mid]) + _chunk(b"IDAT", comp[mid:])
+    else:
+        idat = _chunk(b"IDAT", comp)
+    return (
+        b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr) + idat
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_parse_png_gray_all_filter_types():
+    """A 4x5 grayscale image exercising every filter type (None, Sub,
+    Up, Average, Paeth) — the unfilter must reconstruct the exact known
+    pixels, proven by the exact mean."""
+    from simple_map_reduce_spark.multimodal import _parse_png
+
+    rows = [
+        [0, 64, 128, 255],
+        [10, 20, 30, 40],
+        [50, 60, 70, 80],
+        [90, 100, 110, 120],
+        [130, 140, 150, 160],
+    ]
+    payload = _png(4, 5, 0, rows, filters=[0, 1, 2, 3, 4])
+    w, h, c, feat = _parse_png(payload)
+    assert (w, h, c) == (4, 5, 1)
+    expected = sum(sum(r) for r in rows) / (20 * 255.0)
+    assert feat[0] == pytest.approx(expected, abs=1e-15)
+    assert feat == [feat[0]] + [feat[0]] * 3  # gray pads with overall
+
+
+def test_parse_png_rgb_and_rgba_channel_means():
+    from simple_map_reduce_spark.multimodal import _parse_png
+
+    # 2x2 RGB: R plane {255,255,0,0}, G plane {0,...}, B plane {255,...}
+    rgb_rows = [
+        [255, 0, 255, 255, 0, 255],
+        [0, 0, 255, 0, 0, 255],
+    ]
+    w, h, c, feat = _parse_png(_png(2, 2, 2, rgb_rows, filters=[4, 1]))
+    assert (w, h, c) == (2, 2, 3)
+    assert feat[0] == pytest.approx(0.5, abs=1e-15)      # R mean
+    assert feat[1] == 0.0                                 # G mean
+    assert feat[2] == pytest.approx(1.0, abs=1e-15)      # B mean
+    # RGBA: alpha plane all 255 -> 4th feature is the alpha mean
+    rgba_rows = [[10, 20, 30, 255, 40, 50, 60, 255]]
+    w, h, c, feat = _parse_png(_png(2, 1, 6, rgba_rows, filters=[2]))
+    assert (w, h, c) == (2, 1, 4)
+    assert feat[3] == pytest.approx(1.0, abs=1e-15)
+    assert feat[0] == pytest.approx(25 / 255.0, abs=1e-15)
+
+
+def test_parse_png_split_idat_and_gray_alpha():
+    """IDAT may arrive as multiple chunks (per spec, they concatenate);
+    gray+alpha (color type 4) decodes as 2 channels."""
+    from simple_map_reduce_spark.multimodal import _parse_png
+
+    rows = [[100, 255, 200, 255], [50, 255, 150, 255]]
+    w, h, c, feat = _parse_png(_png(2, 2, 4, rows, split_idat=True))
+    assert (w, h, c) == (2, 2, 2)
+    assert feat[0] == pytest.approx(125 / 255.0, abs=1e-15)
+    assert feat[1] == pytest.approx(1.0, abs=1e-15)
+
+
+def test_parse_png_rejects_garbage():
+    """The rejection matrix: every malformed form raises ValueError with
+    a diagnostic, never a silent zero feature."""
+    from simple_map_reduce_spark.multimodal import _parse_png
+
+    good = _png(2, 2, 0, [[1, 2], [3, 4]])
+    cases = [
+        (b"not a png at all", "signature"),
+        (good[:20], "exceeds payload"),
+    ]
+    # bad CRC: flip one bit inside the IHDR body
+    bad_crc = bytearray(good)
+    bad_crc[16] ^= 0x01
+    cases.append((bytes(bad_crc), "CRC"))
+    # 16-bit depth / palette / interlaced all refuse
+    cases.append((_png(2, 2, 0, [[1, 2], [3, 4]], depth=16), "bit_depth"))
+    cases.append((_png(2, 2, 0, [[1, 2], [3, 4]], interlace=1), "interlace"))
+    # bad filter byte on a scanline
+    raw = b"\x09" + bytes([1, 2]) + b"\x00" + bytes([3, 4])
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    bad_filter = (
+        b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+    )
+    cases.append((bad_filter, "filter type"))
+    # truncated raster: one scanline missing
+    short = b"\x00" + bytes([1, 2])
+    trunc = (
+        b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(short)) + _chunk(b"IEND", b"")
+    )
+    cases.append((trunc, "scanlines"))
+    # corrupt deflate stream
+    bad_z = (
+        b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", b"\x00bogus") + _chunk(b"IEND", b"")
+    )
+    cases.append((bad_z, "inflate"))
+    # missing IEND
+    cases.append((good[: good.index(b"IEND") - 4], "IEND"))
+    for payload, msg in cases:
+        with pytest.raises(ValueError, match=msg):
+            _parse_png(payload)
+
+
+def test_png_decode_through_spark(spark):
+    """The Arrow contract end to end: binary column in, exact features
+    out, same schema as the PPM tier."""
+    from simple_map_reduce_spark.multimodal import decode_png_features
+
+    p1 = _png(4, 5, 0, [
+        [0, 64, 128, 255],
+        [10, 20, 30, 40],
+        [50, 60, 70, 80],
+        [90, 100, 110, 120],
+        [130, 140, 150, 160],
+    ], filters=[0, 1, 2, 3, 4])
+    p2 = _png(2, 2, 2, [
+        [255, 0, 255, 255, 0, 255],
+        [0, 0, 255, 0, 0, 255],
+    ], filters=[4, 1])
+    media = spark.createDataFrame(
+        [(1, bytearray(p1)), (2, bytearray(p2))],
+        "doc_id bigint, content binary",
+    )
+    out = {r.doc_id: r for r in decode_png_features(media).collect()}
+    assert (out[1].width, out[1].height, out[1].n_channels) == (4, 5, 1)
+    assert (out[2].width, out[2].height, out[2].n_channels) == (2, 2, 3)
+    assert out[2].feature[1] == 0.0
+    assert out[2].feature[0] == pytest.approx(0.5, abs=1e-15)
