@@ -171,6 +171,7 @@ EXTENDED_QUERIES = [
     # build + pins + challenge + tombstones included) and the grand
     # manifest composed WITH quality-aware dedup
     "streaming_keep_best",
+    "streaming_semantic_keep_best",
     "pretraining_manifest_kb",
 ]
 

@@ -1022,6 +1022,8 @@ class IvfIndex:
         tau: float,
         exclude_batch_ids: bool = False,
         collapse: bool = True,
+        assign: DataFrame | None = None,
+        vectors: DataFrame | None = None,
     ) -> DataFrame:
         """The check core over an already-assigned batch frame
         (vec_id, centroid_id, bvec, bn) — shared by :meth:`neardup_check`
@@ -1036,9 +1038,17 @@ class IvfIndex:
         the original intra-batch rows) — with it, a replay re-derives
         the original report exactly. The read-only :meth:`neardup_check`
         keeps the unfiltered funnel (a batch id genuinely present in the
-        corpus should surface as a corpus match there)."""
-        vectors = self.catalog.get_bucketed(self.vectors_table)
-        assign = self._live_assign()
+        corpus should surface as a corpus match there).
+
+        ``assign``/``vectors`` optionally OVERRIDE the live corpus
+        frames — the snapshot-pinned keep-best epoch path passes frozen
+        versions so its decisions stay replay-stable (see
+        :meth:`ingest_keep_best`); every other caller gets the live
+        bucketed scans."""
+        if vectors is None:
+            vectors = self.catalog.get_bucketed(self.vectors_table)
+        if assign is None:
+            assign = self._live_assign()
         cand = (
             assign.join(F.broadcast(bassign), "centroid_id")
             .withColumnRenamed("id", "cid")
@@ -1218,7 +1228,11 @@ class IvfIndex:
         return report
 
     def ingest_keep_best(
-        self, batch_emb: DataFrame, tau: float, quality_col: str
+        self,
+        batch_emb: DataFrame,
+        tau: float,
+        quality_col: str,
+        pinned: dict[str, int | None] | None = None,
     ) -> DataFrame:
         """Quality-aware ingest against a quality-indexed corpus — the
         SEMANTIC twin of :meth:`~..dedup.NearDupIndex.ingest_keep_best`
@@ -1248,10 +1262,21 @@ class IvfIndex:
         challenger ids from the corpus side (intra-batch losers never
         reach the corpus, so that exclusion covers every id a crashed
         attempt could have appended), so a retry before the tombstone
-        commit re-derives identical decisions. NOT wired into
+        commit re-derives identical decisions. NOT wired into plain
         :meth:`ingest_stream` — same pure-function argument as the
-        lexical form. :meth:`maintain`'s automated retrain preserves
-        the quality tier (:meth:`rebuild` re-publishes live quality)."""
+        lexical form; the streaming form is
+        :meth:`ingest_stream_keep_best`, which passes ``pinned``
+        (``{table: snapshot_version|None}``) so every CORPUS-side read
+        of the challenge — centroids, assign, vectors, quality, and
+        the tombstone view — comes from catalog hardlink snapshots
+        frozen at epoch start: decisions become a pure function of
+        (batch, frozen state) across every crash point, including
+        after the tombstone commit (the lexical twin's argument,
+        ``NearDupIndex.ingest_keep_best``). State appends, their
+        have-set probes, and ``append_tombstones`` stay on the LIVE
+        tables — retry idempotence is physical. :meth:`maintain`'s
+        automated retrain preserves the quality tier (:meth:`rebuild`
+        re-publishes live quality)."""
         from ..cache import tracked_persist, untrack
         from .dedup import keep_best_exemplars
         from .tombstones import append_tombstones, refuse_tombstoned
@@ -1261,6 +1286,41 @@ class IvfIndex:
                 f"index '{self.name}' has no quality table: build the "
                 "corpus with quality_col=... before ingest_keep_best"
             )
+        if pinned is None:
+            cents = self.catalog.get(self.centroids_table)
+            assign_c = None  # _neardup_check_assigned reads the live view
+            vectors_c = None
+            q_c = self._corpus_quality()
+        else:
+            if pinned.get(self.quality_table) is None:
+                raise ValueError(
+                    f"index '{self.name}' had no quality table at epoch "
+                    "start: a keep-best epoch cannot be pinned to an "
+                    "unscored corpus"
+                )
+            cents = self.catalog.get_version(
+                self.centroids_table, pinned[self.centroids_table]
+            )
+            assign_c = self.catalog.get_version(
+                self.assign_table, pinned[self.assign_table]
+            )
+            ts_v = pinned.get(self.tombstones_table)
+            if ts_v is not None:
+                assign_c = assign_c.join(
+                    F.broadcast(
+                        self.catalog.get_version(
+                            self.tombstones_table, ts_v
+                        ).select("id")
+                    ),
+                    "id",
+                    "left_anti",
+                )
+            vectors_c = self.catalog.get_version(
+                self.vectors_table, pinned[self.vectors_table]
+            )
+            q_c = self.catalog.get_version(
+                self.quality_table, pinned[self.quality_table]
+            )
         refuse_tombstoned(
             self.catalog, self.name, batch_emb.select(F.col(self.id_col))
         )
@@ -1268,7 +1328,6 @@ class IvfIndex:
             F.col(self.id_col).alias("id"),
             F.col(quality_col).cast("bigint").alias("q"),
         )
-        cents = self.catalog.get(self.centroids_table)
         bassign = tracked_persist(
             _nearest_centroid(
                 _prep(
@@ -1330,8 +1389,10 @@ class IvfIndex:
                     tau,
                     exclude_batch_ids=True,
                     collapse=False,
+                    assign=assign_c,
+                    vectors=vectors_c,
                 ).join(
-                    self._corpus_quality().select(
+                    q_c.select(
                         F.col("id").alias("cid"), F.col("q").alias("q_inc")
                     ),
                     "cid",
@@ -1781,4 +1842,64 @@ class IvfIndex:
             lambda b: self.ingest(b, tau),
             maintain_fn=lambda: self.maintain(**(maintain_kwargs or {})),
             maintain_every=maintain_every,
+        )
+
+    @property
+    def kb_reports_table(self) -> str:
+        return f"{self.name}__kb_reports"
+
+    @property
+    def kb_epochs_table(self) -> str:
+        return f"{self.name}__kb_epochs"
+
+    @property
+    def snaps_table(self) -> str:
+        return f"{self.name}__snaps"
+
+    def ingest_stream_keep_best(
+        self,
+        stream_df: DataFrame,
+        checkpoint_dir: str,
+        tau: float,
+        quality_col: str,
+        maintain_every: int = 0,
+        maintain_kwargs: dict | None = None,
+    ) -> None:
+        """STREAMING keep-best on the semantic index — the embedding-
+        space twin of :meth:`~..dedup.NearDupIndex.ingest_stream_keep_best`
+        (one protocol, both dedup-capable indexes, so the keep-best
+        surface keeps full standing-index symmetry): each epoch's corpus
+        challenge is pinned to hardlink snapshots of the five corpus
+        tables (centroids, assign, vectors, quality, tombstones) frozen
+        at first attempt and recorded in ``{name}__snaps`` BEFORE the
+        ingest, so a replay at ANY crash point — including after the
+        beaten-incumbent tombstones committed — re-derives the ORIGINAL
+        decisions bit-exact. Reports land in ``{name}__kb_reports``,
+        markers in ``{name}__kb_epochs`` (separate from plain-ingest
+        state; an index is either first-seen or keep-best, enforced by
+        the quality-table checks). Committed epochs release their pins
+        best-effort. The centroids table is pinned too: a scheduled
+        ``maintain_every`` retrain between epochs must not re-assign a
+        replayed epoch's batch under NEW centroids."""
+        from ..streaming.ingest import run_epoch_idempotent_ingest
+
+        run_epoch_idempotent_ingest(
+            stream_df,
+            checkpoint_dir,
+            self.catalog,
+            self.kb_reports_table,
+            self.kb_epochs_table,
+            lambda batch, pinned: self.ingest_keep_best(
+                batch, tau, quality_col, pinned=pinned
+            ),
+            maintain_fn=lambda: self.maintain(**(maintain_kwargs or {})),
+            maintain_every=maintain_every,
+            snapshot_tables=[
+                self.centroids_table,
+                self.assign_table,
+                self.vectors_table,
+                self.quality_table,
+                self.tombstones_table,
+            ],
+            snaps_table=self.snaps_table,
         )

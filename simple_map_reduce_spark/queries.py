@@ -247,9 +247,11 @@ QUERIES: dict[str, QueryFn] = {
 # so a behavior change can never ship on a stale green row again (round
 # 2's trigram-default change left jaccard_pairs unverified for a round).
 #
-# Round 10 window = the 2 NEW queries (streaming_keep_best —
+# Round 10 window = the 3 NEW queries (streaming_keep_best —
 # NearDupIndex.ingest_stream_keep_best under the SNAPSHOT-ISOLATED
-# epoch protocol, VERDICT r9 item 2; pretraining_manifest_kb — the
+# epoch protocol, VERDICT r9 item 2; streaming_semantic_keep_best —
+# the IvfIndex twin, completing the protocol's symmetry across both
+# dedup-capable indexes; pretraining_manifest_kb — the
 # grand composition with quality_aware keep-best dedup, item 3) + the
 # 4 rows whose code/oracle changed (neardup_keep_best /
 # semantic_keep_best: the quality join is now LEFT + a loud unscored-
@@ -261,7 +263,7 @@ QUERIES: dict[str, QueryFn] = {
 # DOUBLE, ADVICE r9 low — results identical, oracle text changed, so
 # parity re-proves) + ALL 31 remaining r6-dated rows (the r9 window
 # comment undercounted them as 18 — VERDICT r9 item 1 fixed the count;
-# after this window nothing oracle-backed is older than r7) + the 10
+# after this window nothing oracle-backed is older than r7) + the 9
 # oldest r7-dated rows, alphabetical + the 3 rows-only sketches at the
 # window TAIL (VERDICT r9 item 6: they are error-bound-gated in
 # tests/test_sketches.py and hash-unmatchable BY DESIGN, but none has
@@ -280,6 +282,7 @@ QUERIES: dict[str, QueryFn] = {
 _CHANGED_THIS_ROUND = [
     # r10: NEW queries ship their behavior this round
     "streaming_keep_best",
+    "streaming_semantic_keep_best",
     "pretraining_manifest_kb",
     # r10: keep-best quality join LEFT + unscored guard, quality-tier
     # build ordering, hash-family marker (ADVICE r9)
@@ -326,7 +329,9 @@ _ROTATION_FRONT = [
     "window_running",
     "wordcount",
     "wordcount_total",
-    # the 10 oldest r7-dated rows, alphabetical (freshness rotation)
+    # the 9 oldest r7-dated rows, alphabetical (freshness rotation;
+    # customer_order_seq deferred to r11 — its slot went to
+    # streaming_semantic_keep_best)
     "asof_last_order",
     "bigram_docfreq",
     "bpe_pair_counts",
@@ -336,7 +341,6 @@ _ROTATION_FRONT = [
     "chunk_assignment_sharded",
     "cohort_retention",
     "corpus_splits",
-    "customer_order_seq",
     # the 3 rows-only sketches at the window TAIL (VERDICT r9 item 6:
     # first driver execution since r1; no oracle BY DESIGN — the
     # driver records rows>0/err=None, the lint allowlists them)

@@ -4488,6 +4488,200 @@ def q_streaming_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_semantic_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING keep-best on the SEMANTIC index
+    (``IvfIndex.ingest_stream_keep_best`` — the embedding-space twin of
+    ``streaming_keep_best``, completing the snapshot-isolated protocol's
+    symmetry across both dedup-capable indexes): quality = n_chars
+    (vec_id aligns with doc_id), corpus = the 9-in-10 split built
+    quality-indexed, the 1-in-10 batch drained as TWO stream epochs
+    (vec_id % 20 == 0 then % 20 == 10, mtime-ordered files). Each
+    epoch's corpus challenge reads centroids/assign/vectors/quality/
+    tombstones from hardlink snapshots pinned at epoch start, so
+    replays re-derive decisions bit-exact across the tombstone commit.
+    The oracle recomposes BOTH epochs SEQUENTIALLY (epoch 1 challenges
+    (corpus − beaten₀) ∪ admitted₀ under the SAME corpus-seeded
+    centroids — exactly the pinned-centroids contract)."""
+    import os
+    import shutil
+    import tempfile
+
+    from .catalog import Catalog
+    from .operators.similarity import IvfIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qual = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), F.col("n_chars").alias("q")
+    )
+    embq = emb.join(qual, "vec_id").select("vec_id", "embedding", "q")
+    corpus = embq.filter(F.col("vec_id") % INCR_MOD != 0)
+    epochs = [
+        embq.filter(F.col("vec_id") % (2 * INCR_MOD) == 0),
+        embq.filter(F.col("vec_id") % (2 * INCR_MOD) == INCR_MOD),
+    ]
+    root = tempfile.mkdtemp(prefix="skb_stream_")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    for i, part in enumerate(epochs):
+        stage = os.path.join(root, f"stage{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        pf = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        dst = os.path.join(src, f"{'ab'[i]}.parquet")
+        shutil.move(os.path.join(stage, pf), dst)
+        os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+    cat = Catalog(spark, os.path.join(root, "wh"))
+    idx = IvfIndex(cat, "skb_stream", n_centroids=SEMDEDUP_K)
+    idx.build(corpus, quality_col="q")
+    stream = (
+        spark.readStream.schema(epochs[0].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    idx.ingest_stream_keep_best(
+        stream, os.path.join(root, "ckpt"), SEM_INGEST_TAU, "q"
+    )
+    return (
+        cat.get(idx.kb_reports_table)
+        .select("epoch_id", "id", "q", "outcome", "kept_by", "n_replaced")
+        .orderBy("epoch_id", "id")
+    )
+
+
+def _ivf_kb_epoch_block(e: int, residue: int, live: str, tau: float) -> str:
+    """One SEMANTIC keep-best epoch as SQL CTEs (both epochs of
+    ``streaming_semantic_keep_best_oracle``): the batch's same-cluster
+    cos ≥ tau pair graph → transitive CC → (q desc, id) argmax →
+    pairwise challenge against the ``live`` id set under the SHARED
+    corpus-seeded centroids → struct-compare decision → report +
+    beaten/admitted sets, suffixed ``{e}``."""
+    return f"""
+        be{e} AS MATERIALIZED (
+            SELECT * FROM asgall WHERE vec_id % {2 * INCR_MOD} = {residue}),
+        bp{e} AS (
+            SELECT b2.vec_id AS id_a, b.vec_id AS id_b
+            FROM be{e} b
+            JOIN be{e} b2 ON b.centroid_id = b2.centroid_id
+                          AND b2.vec_id < b.vec_id
+            JOIN v q ON b.vec_id = q.vec_id
+            JOIN v c ON b2.vec_id = c.vec_id
+            WHERE {_cos_sql('q.vec', 'c.vec')} >= {tau}),
+        sedges{e} AS (SELECT id_a AS s, id_b AS d FROM bp{e}
+                      UNION SELECT id_b, id_a FROM bp{e}),
+        sreach{e}(s, d) AS (
+            SELECT s, d FROM sedges{e}
+            UNION
+            SELECT r.s, ed.d FROM sreach{e} r JOIN sedges{e} ed ON r.d = ed.s),
+        sgroups{e} AS (
+            SELECT b.vec_id AS id,
+                   least(b.vec_id, coalesce(min(r.d), b.vec_id)) AS group_id
+            FROM be{e} b LEFT JOIN sreach{e} r ON r.s = b.vec_id
+            GROUP BY b.vec_id),
+        sranked{e} AS MATERIALIZED (
+            SELECT g.id, g.group_id, q.q,
+                   row_number() OVER (PARTITION BY g.group_id
+                                      ORDER BY q.q DESC, g.id) AS rn
+            FROM sgroups{e} g JOIN qual q USING (id)),
+        swinners{e} AS (SELECT group_id, id AS kept_id FROM sranked{e}
+                        WHERE rn = 1),
+        schal{e} AS MATERIALIZED (
+            SELECT b.vec_id AS id_new, a.vec_id AS id_corpus,
+                   qn.q AS q_new, qc.q AS q_inc
+            FROM be{e} b
+            JOIN sranked{e} ch ON ch.id = b.vec_id AND ch.rn = 1
+            JOIN asgall a ON b.centroid_id = a.centroid_id
+            JOIN {live} l ON a.vec_id = l.id
+            JOIN v q ON b.vec_id = q.vec_id
+            JOIN v c ON a.vec_id = c.vec_id
+            JOIN qual qn ON qn.id = b.vec_id
+            JOIN qual qc ON qc.id = a.vec_id
+            WHERE {_cos_sql('q.vec', 'c.vec')} >= {tau}),
+        sbest{e} AS (
+            SELECT id_new, q_inc AS q_best, id_corpus AS best_id FROM (
+                SELECT id_new, id_corpus, q_inc,
+                       row_number() OVER (PARTITION BY id_new
+                                          ORDER BY q_inc DESC, id_corpus)
+                           AS rn
+                FROM schal{e})
+            WHERE rn = 1),
+        sadmitted{e} AS MATERIALIZED (
+            SELECT r.id FROM sranked{e} r
+            LEFT JOIN sbest{e} b ON b.id_new = r.id
+            WHERE r.rn = 1
+              AND (b.id_new IS NULL OR r.q > b.q_best
+                   OR (r.q = b.q_best AND r.id < b.best_id))),
+        sbeaten{e} AS MATERIALIZED (
+            SELECT DISTINCT c.id_corpus AS id
+            FROM schal{e} c JOIN sadmitted{e} a ON a.id = c.id_new),
+        snrepl{e} AS (
+            SELECT c.id_new AS id,
+                   CAST(count(DISTINCT c.id_corpus) AS BIGINT) AS n_replaced
+            FROM schal{e} c JOIN sadmitted{e} a ON a.id = c.id_new
+            GROUP BY 1),
+        sreport{e} AS MATERIALIZED (
+            SELECT r.id, r.q,
+                   CASE WHEN r.rn > 1 THEN 'rejected_batch'
+                        WHEN a.id IS NOT NULL THEN 'admitted'
+                        ELSE 'rejected_corpus' END AS outcome,
+                   CASE WHEN r.rn > 1 THEN w.kept_id
+                        WHEN a.id IS NOT NULL THEN CAST(NULL AS BIGINT)
+                        ELSE b.best_id END AS kept_by,
+                   CASE WHEN a.id IS NOT NULL
+                        THEN coalesce(n.n_replaced, 0)
+                        ELSE 0 END AS n_replaced
+            FROM sranked{e} r
+            JOIN swinners{e} w USING (group_id)
+            LEFT JOIN sadmitted{e} a ON a.id = r.id
+            LEFT JOIN sbest{e} b ON b.id_new = r.id
+            LEFT JOIN snrepl{e} n ON n.id = r.id)"""
+
+
+def streaming_semantic_keep_best_oracle(
+    k: int = SEMDEDUP_K, tau: float = SEM_INGEST_TAU
+) -> str:
+    """DuckDB twin of ``q_streaming_semantic_keep_best``: ONE
+    nearest-centroid assignment of every vector to the corpus-seeded
+    centroids (assignments are per-vector state under fixed centroids —
+    the pinned-centroids contract), then the two keep-best epochs
+    recomposed SEQUENTIALLY: epoch 0 against the built corpus, epoch 1
+    against (corpus − beaten₀) ∪ admitted₀."""
+    return f"""
+        WITH RECURSIVE
+        v AS MATERIALIZED (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        corp AS (SELECT * FROM v WHERE vec_id % {INCR_MOD} != 0),
+        cent AS (SELECT vec_id AS centroid_id, vec AS cvec
+                 FROM corp ORDER BY vec_id LIMIT {k}),
+        asgall AS MATERIALIZED (
+            SELECT vec_id, centroid_id FROM (
+                SELECT a.vec_id, centroid_id,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY {_cos_sql('a.vec', 'cvec')} DESC,
+                                    centroid_id) AS rn
+                FROM v a, cent)
+            WHERE rn = 1),
+        qual AS MATERIALIZED (
+            SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS q
+            FROM documents),
+        slive0 AS MATERIALIZED (SELECT vec_id AS id FROM corp),
+        {_ivf_kb_epoch_block(0, 0, 'slive0', tau)},
+        slive1 AS MATERIALIZED (
+            SELECT id FROM slive0
+            WHERE id NOT IN (SELECT id FROM sbeaten0)
+            UNION ALL
+            SELECT id FROM sadmitted0),
+        {_ivf_kb_epoch_block(1, INCR_MOD, 'slive1', tau)}
+        SELECT CAST(0 AS BIGINT) AS epoch_id, id, q, outcome, kept_by,
+               n_replaced
+        FROM sreport0
+        UNION ALL
+        SELECT CAST(1 AS BIGINT) AS epoch_id, id, q, outcome, kept_by,
+               n_replaced
+        FROM sreport1
+        ORDER BY epoch_id, id
+    """
+
+
 def _kb_epoch_block(e: int, residue: int, live: str) -> str:
     """One keep-best epoch as SQL CTEs (shared by both epochs of
     ``streaming_keep_best_oracle``): the batch's capped intra-batch pair
@@ -4893,6 +5087,7 @@ EXT_QUERIES = {
     # standing indexes (lexical + semantic)
     "neardup_keep_best": q_neardup_keep_best,
     "streaming_keep_best": q_streaming_keep_best,
+    "streaming_semantic_keep_best": q_streaming_semantic_keep_best,
     "semantic_keep_best": q_semantic_keep_best,
     # rows-only by policy (HLL vocab estimate — no DuckDB twin);
     # error-bound-gated vs the exact tier in tests/test_lm.py and
@@ -5173,6 +5368,7 @@ EXT_ORACLES = {
     ),
     "neardup_keep_best": neardup_keep_best_oracle(),
     "streaming_keep_best": streaming_keep_best_oracle(),
+    "streaming_semantic_keep_best": streaming_semantic_keep_best_oracle(),
     "semantic_keep_best": semantic_keep_best_oracle(),
     "chunk_hybrid_topk": chunk_hybrid_topk_oracle(),
     "pretraining_manifest_full": pretraining_manifest_full_oracle(),

@@ -656,3 +656,135 @@ def test_hash_family_marker_gates_reads(spark, tmp_path):
                              num_hashes=12)
     with pytest.raises(ValueError, match="bands"):
         idx_other.check(batch)
+
+
+# ---------------------------------------------------------------------------
+# streaming SEMANTIC keep-best (the IvfIndex twin of the protocol)
+# ---------------------------------------------------------------------------
+
+# cos(A, I) = cos(B, I) = 0.8 >= tau; cos(A, B) = 0.28 < tau, so A and B
+# are NOT intra-batch dups — both challenge incumbent 1 independently.
+SKB_TAU = 0.5
+SKB_CORPUS = [
+    (1, [1.0, 0.0, 0.0, 0.0], 5),
+    (2, [0.0, 0.0, 1.0, 0.0], 9),
+]
+SKB_EP0 = [
+    (10, [0.8, 0.6, 0.0, 0.0], 9),   # beats incumbent 1
+    (12, [0.8, -0.6, 0.0, 0.0], 4),  # loses to incumbent 1
+]
+SKB_EP1 = [
+    (20, [0.0, 0.1, 1.0, 0.0], 11),  # beats incumbent 2
+    (21, [0.0, 0.0, 0.0, 1.0], 1),   # novel -> admitted
+]
+
+
+def _mk_sem_stream_idx(spark, tmp_path, sub):
+    from simple_map_reduce_spark.operators.similarity import IvfIndex
+
+    cat = Catalog(spark, str(tmp_path / sub / "wh"))
+    idx = IvfIndex(cat, f"sskb_{sub}", n_centroids=2)
+    idx.build(spark.createDataFrame(SKB_CORPUS, SEM_SCHEMA), quality_col="q")
+    return cat, idx
+
+
+def _stage_sem_stream(spark, tmp_path, sub, epochs):
+    import shutil
+
+    root = tmp_path / sub
+    src = root / "src"
+    src.mkdir(parents=True, exist_ok=True)
+    schema = spark.createDataFrame(epochs[0], SEM_SCHEMA).schema
+    for i, rows in enumerate(epochs):
+        stage = str(root / f"stage{i}")
+        spark.createDataFrame(rows, SEM_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        pf = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        dst = str(src / f"{'abcd'[i]}.parquet")
+        shutil.move(os.path.join(stage, pf), dst)
+        os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    return stream, str(root / "ckpt")
+
+
+def test_streaming_semantic_keep_best_matches_sequential_batch(spark, tmp_path):
+    cat_s, idx_s = _mk_sem_stream_idx(spark, tmp_path, "sseq")
+    stream, ckpt = _stage_sem_stream(spark, tmp_path, "sseq", [SKB_EP0, SKB_EP1])
+    idx_s.ingest_stream_keep_best(stream, ckpt, SKB_TAU, "q")
+
+    cat_b, idx_b = _mk_sem_stream_idx(spark, tmp_path, "sseqb")
+    reps = []
+    for rows, ep in ((SKB_EP0, 0), (SKB_EP1, 1)):
+        rep = idx_b.ingest_keep_best(
+            spark.createDataFrame(rows, SEM_SCHEMA), SKB_TAU, "q"
+        )
+        reps.extend((ep,) + tuple(r) for r in rep.collect())
+
+    got = sorted(
+        (r.epoch_id, r.id, r.q, r.outcome, r.kept_by, r.n_replaced)
+        for r in cat_s.get(idx_s.kb_reports_table).collect()
+    )
+    assert got == sorted(reps)
+    live_s = sorted(
+        (r.id, r.q)
+        for r in live(
+            cat_s, idx_s.name, cat_s.get_bucketed(idx_s.quality_table)
+        ).collect()
+    )
+    assert live_s == [(10, 9), (20, 11), (21, 1)]
+    for t in (idx_s.assign_table, idx_s.quality_table, idx_s.centroids_table):
+        assert cat_s.versions(t) == []
+
+
+def test_streaming_semantic_keep_best_replays_across_tombstone_commit(
+    spark, tmp_path
+):
+    """Same decisive case as the lexical twin: vec 12's only match is
+    incumbent 1, tombstoned by vec 10's admission in the SAME epoch. A
+    live-state replay would admit 12; the snapshot-pinned replay must
+    re-derive rejected_corpus/kept_by=1."""
+    cat, idx = _mk_sem_stream_idx(spark, tmp_path, "scrash")
+    stream, ckpt = _stage_sem_stream(spark, tmp_path, "scrash", [SKB_EP0])
+
+    real_put = cat.put
+
+    def crashing_put(source, name, fmt="text"):
+        if name == idx.kb_reports_table:
+            raise RuntimeError("simulated crash before the report append")
+        return real_put(source, name, fmt)
+
+    cat.put = crashing_put
+    try:
+        with pytest.raises(Exception, match="simulated crash"):
+            idx.ingest_stream_keep_best(stream, ckpt, SKB_TAU, "q")
+    finally:
+        cat.put = real_put
+
+    assert sorted(r.id for r in read_tombstones(cat, idx.name).collect()) == [1]
+    assert not cat.exists(idx.kb_reports_table)
+    assert cat.exists(idx.snaps_table)
+
+    stream2, _ = _stage_sem_stream(spark, tmp_path, "scrash", [SKB_EP0])
+    idx.ingest_stream_keep_best(stream2, ckpt, SKB_TAU, "q")
+
+    got = {
+        r.id: (r.outcome, r.kept_by, r.n_replaced)
+        for r in cat.get(idx.kb_reports_table).collect()
+    }
+    assert got == {
+        10: ("admitted", None, 1),
+        12: ("rejected_corpus", 1, 0),  # incumbent dead at replay time
+    }
+    live_set = sorted(
+        r.id
+        for r in live(
+            cat, idx.name, cat.get_bucketed(idx.quality_table)
+        ).collect()
+    )
+    assert live_set == [2, 10]
+    assert sorted(r.id for r in read_tombstones(cat, idx.name).collect()) == [1]

@@ -120,6 +120,7 @@ ROWS = {
     "semantic_keep_best": D_KB,
     "ivf_delete_search": D_KB,
     "streaming_keep_best": D_KB,
+    "streaming_semantic_keep_best": D_KB,
 }
 
 
