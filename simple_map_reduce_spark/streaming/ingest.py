@@ -173,7 +173,12 @@ def run_epoch_idempotent_ingest(
                 .count()
             )
             if done:
-                return  # epoch fully committed before the crash
+                # epoch fully committed before the crash; a crash
+                # BETWEEN its marker and its pin cleanup may have
+                # leaked snapshot trees — heal that here (best-effort,
+                # replay-only path)
+                _release_epoch_pins(epoch_id)
+                return
         marker = spark.createDataFrame([(int(epoch_id),)], "epoch_id bigint")
         if catalog.exists(reports_table):
             applied = (
