@@ -4008,7 +4008,17 @@ def q_embedding_neardup_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``embedding_neardup_idx``'s READ path: the semantic near-dup
     check of the 1-in-10 batch against the STANDING corpus index —
     per-check cost ∝ |batch| × probed-cluster population, never
-    |corpus|; the corpus is never re-assigned or shuffled."""
+    |corpus|; the corpus is never re-assigned or shuffled.
+
+    SCALE CONTRACT (measured, SCALE.md §"Second decade"): this
+    registered form pins ``n_centroids=SEMDEDUP_K`` because its oracle
+    recomposes the same quantizer — that makes per-cluster population
+    ∝ N, so candidate volume grows ∝ N²/K and the row is a PARITY
+    tier, not a scale path (at 100× sf0.1 its shuffle spill exceeded
+    the box's disk). Production sizing is ``IvfIndex(n_centroids=None)``
+    → ``ivf_capacity``'s √N rule, measured to complete the same 100×
+    check at 48× the sf0.1 cost (0.84/decade) with recall gated in
+    tests/test_capacity.py."""
     from .catalog import Catalog
     from .operators.similarity import IvfIndex
 

@@ -44,6 +44,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF01 = "/root/testdata/sf0.1"
 D_VERBATIM = "/tmp/sf1x"
 D_KB = "/tmp/sf1xkb"
+# derivative-artifact control + second decade (the 0.57-exponent
+# watch-list row): 10x VERBATIM embeddings reproduce r8's derivative
+# (every vector has 9 exact cos=1.0 cross-copy twins — match population
+# ~100x, a quadratic artifact); 100x sign-mask embeddings extend the
+# natural-match-rate derivative a SECOND decade.
+D_VEMB = "/tmp/sf1xvemb"
+D_100 = "/tmp/sf100xkb"
 N_COPIES = 10
 SHIFT = 1_000_000  # multiple of 20: preserves %10/%20 residue classes
 
@@ -95,8 +102,33 @@ def build_derivatives() -> None:
         con.execute(
             f"COPY ({branches}) TO '{D_KB}/embeddings.parquet' (FORMAT PARQUET)"
         )
+    def _emb_branches(n: int, mask: bool) -> str:
+        return " UNION ALL ".join(
+            f"""SELECT vec_id + {i * SHIFT} AS vec_id,
+                       {'embedding' if (i == 0 or not mask) else
+                        f"CAST(list_transform(range(1, 65), j -> "
+                        f"embedding[j] * (1 - 2 * CAST(hash({i} * 101 + j) % 2 "
+                        f"AS INT))) AS FLOAT[])"} AS embedding,
+                       label
+                FROM '{SF01}/embeddings.parquet'"""
+            for i in range(n)
+        )
+
+    os.makedirs(D_VEMB, exist_ok=True)
+    os.makedirs(D_100, exist_ok=True)
+    if not os.path.exists(f"{D_VEMB}/embeddings.parquet"):
+        con.execute(
+            f"COPY ({_emb_branches(N_COPIES, mask=False)}) "
+            f"TO '{D_VEMB}/embeddings.parquet' (FORMAT PARQUET)"
+        )
+    if not os.path.exists(f"{D_100}/embeddings.parquet"):
+        con.execute(
+            f"COPY ({_emb_branches(100, mask=True)}) "
+            f"TO '{D_100}/embeddings.parquet' (FORMAT PARQUET)"
+        )
     for p in (f"{D_VERBATIM}/documents.parquet", f"{D_KB}/documents.parquet",
-              f"{D_KB}/embeddings.parquet"):
+              f"{D_KB}/embeddings.parquet", f"{D_VEMB}/embeddings.parquet",
+              f"{D_100}/embeddings.parquet"):
         n = con.execute(f"SELECT count(*) FROM '{p}'").fetchone()[0]
         print(f"{p}: {n} rows", flush=True)
     # cross-copy contamination probe: sampled cross-copy cosines vs tau
@@ -124,7 +156,7 @@ ROWS = {
 }
 
 
-def measure(rows: list[str]) -> None:
+def measure(rows: list[str], deriv: str | None = None) -> None:
     import __spark_entry__ as m
     from simple_map_reduce_spark.cache import release_tracked
     from simple_map_reduce_spark.session import get_session
@@ -137,8 +169,9 @@ def measure(rows: list[str]) -> None:
         df.write.format("noop").mode("overwrite").save()
 
     for name in rows:
+        target = deriv or ROWS[name]
         out = {}
-        for sfdir in (SF01, ROWS[name]):
+        for sfdir in (SF01, target):
             force(q[name](spark, sfdir))  # warmup
             release_tracked()
             spark.catalog.clearCache()
@@ -151,11 +184,13 @@ def measure(rows: list[str]) -> None:
                 release_tracked()
                 spark.catalog.clearCache()
             out[sfdir] = round(best, 3)
-        r = out[ROWS[name]] / out[SF01]
+        r = out[target] / out[SF01]
+        decades = 2.0 if target == D_100 else 1.0
         print(json.dumps({
             "row": name, "sf0.1_sec": out[SF01],
-            "x10_sec": out[ROWS[name]], "ratio": round(r, 2),
-            "exponent": round(math.log10(r), 2), "deriv": ROWS[name],
+            "deriv_sec": out[target], "ratio": round(r, 2),
+            "exponent": round(math.log10(r) / decades, 2),
+            "deriv": target,
             "loadavg": round(os.getloadavg()[0], 1),
         }), flush=True)
     spark.stop()
@@ -165,8 +200,11 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--build", action="store_true")
     ap.add_argument("--rows", nargs="*", default=list(ROWS))
+    ap.add_argument("--deriv", default=None,
+                    help="override the 10x dir (e.g. the verbatim-"
+                         "embeddings control or the 100x second decade)")
     args = ap.parse_args()
     if args.build:
         build_derivatives()
     else:
-        measure(args.rows)
+        measure(args.rows, deriv=args.deriv)
