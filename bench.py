@@ -173,6 +173,9 @@ EXTENDED_QUERIES = [
     "streaming_keep_best",
     "streaming_semantic_keep_best",
     "pretraining_manifest_kb",
+    # r10: the √N capacity-sized quantizer (the scale path; its fixed-K
+    # sibling embedding_neardup_idx is the parity tier)
+    "embedding_neardup_capacity",
 ]
 
 

@@ -263,7 +263,7 @@ QUERIES: dict[str, QueryFn] = {
 # DOUBLE, ADVICE r9 low — results identical, oracle text changed, so
 # parity re-proves) + ALL 31 remaining r6-dated rows (the r9 window
 # comment undercounted them as 18 — VERDICT r9 item 1 fixed the count;
-# after this window nothing oracle-backed is older than r7) + the 9
+# after this window nothing oracle-backed is older than r7) + the 8
 # oldest r7-dated rows, alphabetical + the 3 rows-only sketches at the
 # window TAIL (VERDICT r9 item 6: they are error-bound-gated in
 # tests/test_sketches.py and hash-unmatchable BY DESIGN, but none has
@@ -293,6 +293,10 @@ _CHANGED_THIS_ROUND = [
     "incremental_neardup_idx",
     # r10: oracle cap literal CAST to DOUBLE (ADVICE r9 low)
     "bm25_topk_pruned",
+    # r10: NEW — the √N capacity-sized quantizer under the hash gate
+    # (the scale path SCALE.md §"Second decade" measured; its fixed-K
+    # sibling is the parity tier)
+    "embedding_neardup_capacity",
 ]
 _ROTATION_FRONT = [
     *_CHANGED_THIS_ROUND,
@@ -329,10 +333,10 @@ _ROTATION_FRONT = [
     "window_running",
     "wordcount",
     "wordcount_total",
-    # the 9 oldest r7-dated rows, alphabetical (freshness rotation;
-    # customer_order_seq deferred to r11 — its slot went to
-    # streaming_semantic_keep_best)
-    "asof_last_order",
+    # the 8 oldest r7-dated rows, alphabetical (freshness rotation;
+    # asof_last_order / customer_order_seq deferred to r11 — their
+    # slots went to streaming_semantic_keep_best and
+    # embedding_neardup_capacity)
     "bigram_docfreq",
     "bpe_pair_counts",
     "cheapest_item_per_order",

@@ -2702,8 +2702,41 @@ def _ivf_split_asg_ctes(k: int, materialized: bool = False) -> str:
             WHERE rn = 1)"""
 
 
+def q_embedding_neardup_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``embedding_neardup_idx`` on the CAPACITY-SIZED quantizer — the
+    scale path under the driver's hash gate (r10; SCALE.md §"Second
+    decade"): ``IvfIndex(n_centroids=None)`` resolves ``ivf_capacity``'s
+    √N rule at build, the sizing that completed the 100× check the
+    fixed-K parity tier could not (candidate volume N²/K vs N^1.5).
+    The oracle recomputes the SAME √N (round-half cases are impossible
+    for √ of an integer, so Python round and SQL round agree) as a
+    LIMIT expression over the corpus count, then the identical
+    seed-centroid assignment + within-cluster compare — proving the
+    auto-sizing is bit-deterministic, not just recall-gated."""
+    from .catalog import Catalog
+    from .operators.similarity import IvfIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    new = emb.filter(F.col("vec_id") % INCR_MOD == 0)
+    corpus = emb.filter(F.col("vec_id") % INCR_MOD != 0)
+    cat = Catalog(spark, _idx_root("semdup_cap_", sf_dir))
+    idx = IvfIndex(cat, "semdup_cap", n_centroids=None)
+    idx.build(corpus)
+    return idx.neardup_check(new, SEMDEDUP_TAU).orderBy("vec_id")
+
+
+# ivf_capacity's n_centroids rule as a SQL expression over the corpus
+# CTE — max(1, min(65536, round(sqrt(N)), N)), exactly similarity.py's
+# formula (round-half ties cannot occur: sqrt(int) is never exactly x.5)
+IVF_CAPACITY_K_SQL = (
+    "GREATEST(1, LEAST(65536, "
+    "CAST(round(sqrt((SELECT count(*) FROM corp))) AS BIGINT), "
+    "(SELECT count(*) FROM corp)))"
+)
+
+
 def embedding_neardup_idx_oracle(
-    k: int = SEMDEDUP_K, tau: float = SEMDEDUP_TAU
+    k: int | str = SEMDEDUP_K, tau: float = SEMDEDUP_TAU
 ) -> str:
     """DuckDB twin of ``IvfIndex.neardup_check`` over the 1-in-10 split:
     the shared assignment prefix (``_ivf_split_asg_ctes``) + the
@@ -5098,6 +5131,7 @@ EXT_QUERIES = {
     "neardup_keep_best": q_neardup_keep_best,
     "streaming_keep_best": q_streaming_keep_best,
     "streaming_semantic_keep_best": q_streaming_semantic_keep_best,
+    "embedding_neardup_capacity": q_embedding_neardup_capacity,
     "semantic_keep_best": q_semantic_keep_best,
     # rows-only by policy (HLL vocab estimate — no DuckDB twin);
     # error-bound-gated vs the exact tier in tests/test_lm.py and
@@ -5379,6 +5413,9 @@ EXT_ORACLES = {
     "neardup_keep_best": neardup_keep_best_oracle(),
     "streaming_keep_best": streaming_keep_best_oracle(),
     "streaming_semantic_keep_best": streaming_semantic_keep_best_oracle(),
+    "embedding_neardup_capacity": embedding_neardup_idx_oracle(
+        k=IVF_CAPACITY_K_SQL
+    ),
     "semantic_keep_best": semantic_keep_best_oracle(),
     "chunk_hybrid_topk": chunk_hybrid_topk_oracle(),
     "pretraining_manifest_full": pretraining_manifest_full_oracle(),
