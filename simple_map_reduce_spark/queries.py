@@ -247,12 +247,14 @@ QUERIES: dict[str, QueryFn] = {
 # so a behavior change can never ship on a stale green row again (round
 # 2's trigram-default change left jaccard_pairs unverified for a round).
 #
-# Round 10 window = the 3 NEW queries (streaming_keep_best —
+# Round 10 window = the 4 NEW queries (streaming_keep_best —
 # NearDupIndex.ingest_stream_keep_best under the SNAPSHOT-ISOLATED
 # epoch protocol, VERDICT r9 item 2; streaming_semantic_keep_best —
 # the IvfIndex twin, completing the protocol's symmetry across both
 # dedup-capable indexes; pretraining_manifest_kb — the
-# grand composition with quality_aware keep-best dedup, item 3) + the
+# grand composition with quality_aware keep-best dedup, item 3;
+# embedding_neardup_capacity — the √N-sized quantizer under the hash
+# gate, closing the second-decade finding) + the
 # 4 rows whose code/oracle changed (neardup_keep_best /
 # semantic_keep_best: the quality join is now LEFT + a loud unscored-
 # incumbent guard, build() publishes the quality tier delete-first/
