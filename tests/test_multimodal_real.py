@@ -12,6 +12,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import numpy as np
 import pytest
 
 from simple_map_reduce_spark.multimodal import (
@@ -341,3 +342,63 @@ def test_png_decode_through_spark(spark):
     assert (out[2].width, out[2].height, out[2].n_channels) == (2, 2, 3)
     assert out[2].feature[1] == 0.0
     assert out[2].feature[0] == pytest.approx(0.5, abs=1e-15)
+
+
+def test_png_unfilter_roundtrip_property():
+    """Property (hypothesis): for RANDOM pixels, dimensions, channel
+    layouts, and per-row filter choices, the decoder's unfilter inverts
+    the test encoder's forward filter BYTE-EXACTLY. The fixed tests
+    above pin small hand-checked cases; this sweeps the index/stride/
+    bpp space (first-row Up/Average/Paeth against the zero row, first-
+    pixel Sub/Paeth with no left neighbor, 1xN and Nx1 shapes) where
+    off-by-bpp bugs live. Pixels come back from the raw IDAT via an
+    independent minimal chunk walk, so the assertion is on the exact
+    reconstructed scanlines, not a mean that errors could cancel out of."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from simple_map_reduce_spark.multimodal import _parse_png, _png_unfilter
+
+    def idat_raw(blob: bytes) -> bytes:
+        pos, idat = 8, bytearray()
+        while pos + 8 <= len(blob):
+            (clen,) = struct.unpack_from(">I", blob, pos)
+            ctype = blob[pos + 4 : pos + 8]
+            if ctype == b"IDAT":
+                idat += blob[pos + 8 : pos + 8 + clen]
+            pos += 12 + clen
+        return zlib.decompress(bytes(idat))
+
+    @given(
+        color=st.sampled_from([0, 2, 4, 6]),
+        dims=st.tuples(st.integers(1, 7), st.integers(1, 7)),
+        data=st.data(),
+    )
+    @settings(max_examples=60, deadline=None)
+    def prop(color, dims, data):
+        w, h = dims
+        channels = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+        stride = w * channels
+        rows = [
+            data.draw(
+                st.lists(
+                    st.integers(0, 255), min_size=stride, max_size=stride
+                )
+            )
+            for _ in range(h)
+        ]
+        filters = data.draw(
+            st.lists(st.integers(0, 4), min_size=h, max_size=h)
+        )
+        blob = _png(w, h, color, rows, filters=filters)
+        # byte-exact scanline reconstruction
+        got = _png_unfilter(idat_raw(blob), h, stride, channels)
+        assert got == b"".join(bytes(r) for r in rows)
+        # and the full parse agrees on shape + exact channel means
+        pw, ph, pc, feat = _parse_png(blob)
+        assert (pw, ph, pc) == (w, h, channels)
+        arr = np.array(rows, dtype=np.float64).reshape(h, w, channels) / 255.0
+        means = [float(arr[:, :, c].mean()) for c in range(channels)]
+        assert feat == (means + [float(arr.mean())] * 4)[:4]
+
+    prop()
