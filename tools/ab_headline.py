@@ -110,6 +110,16 @@ def main() -> None:
     tree_a, tree_b = sys.argv[1], sys.argv[2]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+    # bench.py's idle gate (both the 1- and 5-min averages): the
+    # interleave + min estimator tolerates a noisy window, but starting
+    # inside a quiet one is strictly better evidence
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT_SEC", "900"))
+    threshold = max(2.0, (os.cpu_count() or 1) / 5)
+    waited = 0.0
+    while waited < budget and max(os.getloadavg()[:2]) > threshold:
+        time.sleep(30)
+        waited += 30
+
     # like-for-like guard: both trees must headline the same queries
     import re
 
@@ -157,6 +167,7 @@ def main() -> None:
                     }
                     for r in runs
                 ],
+                "idle_waited_sec": waited,
                 "min_of_runs_total_a": round(min_a, 3),
                 "min_of_runs_total_b": round(min_b, 3),
                 "same_window_ratio_b_over_a": round(min_b / min_a, 4),
