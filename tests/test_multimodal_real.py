@@ -402,3 +402,237 @@ def test_png_unfilter_roundtrip_property():
         assert feat == (means + [float(arr.mean())] * 4)[:4]
 
     prop()
+
+
+# ---------------------------------------------------------------------------
+# GIF (the codec-free FOURTH real decoder: hand-written LZW)
+# ---------------------------------------------------------------------------
+
+
+def _gif_codes(indices, m):
+    """Greedy LZW encode (code list, no packing): longest dict match,
+    clear first, end last — the canonical GIF compressor shape."""
+    clear = 1 << m
+    d = {(i,): i for i in range(clear)}
+    nxt = clear + 2
+    codes = [clear]
+    buf = ()
+    for s in indices:
+        cand = buf + (s,)
+        if cand in d:
+            buf = cand
+        else:
+            codes.append(d[buf])
+            if nxt < 4096:
+                d[cand] = nxt
+                nxt += 1
+            buf = (s,)
+    if buf:
+        codes.append(d[buf])
+    codes.append(clear + 1)
+    return codes
+
+
+def _pack_codes(codes, m):
+    """LSB-first variable-width packing, simulating the DECODER's table
+    growth so each code is emitted at the width the decoder will read
+    it with (width grows after the table reaches 2^width)."""
+    clear, end = 1 << m, (1 << m) + 1
+    width, nxt, prev_seen = m + 1, clear + 2, False
+    acc = n = 0
+    out = bytearray()
+    for code in codes:
+        assert code < (1 << width)
+        acc |= code << n
+        n += width
+        while n >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+        if code == clear:
+            width, nxt, prev_seen = m + 1, clear + 2, False
+        elif code != end:
+            if prev_seen and nxt < 4096:
+                nxt += 1
+                if nxt == (1 << width) and width < 12:
+                    width += 1
+            prev_seen = True
+    if n:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif(width, height, indices, palette, m=None, sig=b"GIF89a",
+         interlace=False, local=False, extensions=b"", lzw=None,
+         trailer=True):
+    """Hand-built single-frame GIF. ``palette`` is a list of (r, g, b);
+    its length must be a power of two in 2..256. ``lzw`` overrides the
+    encoder with raw LZW bytes (the hand-derived fixtures)."""
+    n = len(palette)
+    bits = n.bit_length() - 1  # n = 2^bits
+    m = m if m is not None else max(2, bits)
+    pal = b"".join(bytes(c) for c in palette)
+    if lzw is None:
+        lzw = _pack_codes(_gif_codes(indices, m), m)
+    sub = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        sub += bytes([len(chunk)]) + chunk
+    sub += b"\x00"
+    lsd_packed = 0x80 | (bits - 1) if not local else 0x00
+    img_packed = (0x80 | (bits - 1) if local else 0x00) | (0x40 if interlace else 0x00)
+    out = (
+        sig
+        + struct.pack("<HHBBB", width, height, lsd_packed, 0, 0)
+        + (pal if not local else b"")
+        + extensions
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, img_packed)
+        + (pal if local else b"")
+        + bytes([m]) + bytes(sub)
+    )
+    return out + (b"\x3b" if trailer else b"")
+
+
+_PAL4 = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+
+
+def test_parse_gif_hand_derived_lzw_stream():
+    """The LZW bytes are derived BY HAND from the GIF89a spec (not by
+    the test encoder — this breaks any encoder/decoder mirror bug).
+    2x2 frame, 4-color palette, m=2 (clear=4, end=5, width starts 3),
+    pixels [0,1,2,3] -> codes 4,0,1,2,3,5. Width evolution: after code
+    2 the table reaches 8 = 2^3 (entries 6,7 added by codes 1,2), so
+    codes 3 and 5 read at width 4. LSB-first packing:
+      (4,w3)(0,w3)(1,w3)(2,w3)(3,w4)(5,w4)
+      = bits 001 000 100 010 1100 1010 (each value LSB-first)
+      = bytes 0x44 0x34 0x05."""
+    from simple_map_reduce_spark.multimodal import _parse_gif
+
+    blob = _gif(2, 2, None, _PAL4, lzw=bytes([0x44, 0x34, 0x05]))
+    w, h, c, feat = _parse_gif(blob)
+    assert (w, h, c) == (2, 2, 3)
+    # pixels are palette entries 0..3: channel means = 255/4 each
+    assert feat[0] == feat[1] == feat[2] == pytest.approx(0.25, abs=1e-15)
+    assert feat[3] == pytest.approx(0.25, abs=1e-15)
+
+
+def test_parse_gif_hand_derived_kwkwk_case():
+    """The KwKwK corner (a code equal to the next unassigned entry),
+    hand-derived: pixels [1,1,1,1] greedy-encode to codes 4,1,6,1,5
+    where 6 is consumed BEFORE it is defined — the decoder must emit
+    prev + prev[0]. Widths: 4,1,6,1 at w3 (table hits 8 after the
+    second 1 defines entry 7), end 5 at w4. LSB-first:
+      001 100 011 100 1010 = bytes 0x8C 0x53."""
+    from simple_map_reduce_spark.multimodal import _parse_gif
+
+    blob = _gif(2, 2, None, _PAL4, lzw=bytes([0x8C, 0x53]))
+    w, h, c, feat = _parse_gif(blob)
+    assert (w, h, c) == (2, 2, 3)
+    # all four pixels are palette[1] = (255, 0, 0)
+    assert feat[0] == pytest.approx(1.0, abs=1e-15)
+    assert feat[1] == feat[2] == 0.0
+    assert feat[3] == pytest.approx(1.0 / 3, abs=1e-15)
+
+
+def test_parse_gif_encoder_roundtrip_and_variants():
+    """Encoder round trip across palette sizes, both signatures, local
+    color tables, skipped extensions (GCE + comment), and a raster big
+    enough to force several width growths."""
+    from simple_map_reduce_spark.multimodal import _parse_gif
+
+    gce = b"\x21\xf9\x04\x01\x00\x00\x00\x00"  # graphic control ext
+    comment = b"\x21\xfe\x05hello\x00"
+    # 16x16, 8-color palette, deterministic pseudo-random indices
+    idx = [(i * 7 + 3) % 8 for i in range(256)]
+    pal8 = [(32 * i, 255 - 32 * i, i) for i in range(8)]
+    blob = _gif(16, 16, idx, pal8, extensions=gce + comment)
+    w, h, c, feat = _parse_gif(blob)
+    assert (w, h, c) == (16, 16, 3)
+    exp = np.array([pal8[i] for i in idx], dtype=np.float64) / 255.0
+    want = [float(exp[:, ch].mean()) for ch in range(3)] + [float(exp.mean())]
+    assert feat == pytest.approx(want, abs=1e-15)
+    # GIF87a + local color table
+    blob87 = _gif(4, 2, [0, 1, 2, 3, 3, 2, 1, 0], _PAL4, sig=b"GIF87a",
+                  local=True)
+    w, h, c, feat = _parse_gif(blob87)
+    assert (w, h, c) == (4, 2, 3)
+    assert feat[0] == feat[1] == feat[2] == pytest.approx(0.25, abs=1e-15)
+
+
+def test_parse_gif_roundtrip_property():
+    """Property (hypothesis): random dims, palette sizes, and index
+    rasters survive encode->decode with exact channel means."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from simple_map_reduce_spark.multimodal import _parse_gif
+
+    @given(
+        dims=st.tuples(st.integers(1, 9), st.integers(1, 9)),
+        bits=st.integers(1, 4),
+        data=st.data(),
+    )
+    @settings(max_examples=40, deadline=None)
+    def prop(dims, bits, data):
+        w, h = dims
+        n = 1 << bits
+        pal = [
+            (i * 255 // max(1, n - 1), (i * 37) % 256, (i * 101) % 256)
+            for i in range(n)
+        ]
+        idx = data.draw(
+            st.lists(st.integers(0, n - 1), min_size=w * h, max_size=w * h)
+        )
+        pw, ph, pc, feat = _parse_gif(_gif(w, h, idx, pal))
+        assert (pw, ph, pc) == (w, h, 3)
+        exp = np.array([pal[i] for i in idx], dtype=np.float64) / 255.0
+        want = [float(exp[:, ch].mean()) for ch in range(3)] + [float(exp.mean())]
+        assert feat == pytest.approx(want, abs=1e-15)
+
+    prop()
+
+
+def test_parse_gif_rejects_garbage():
+    from simple_map_reduce_spark.multimodal import _parse_gif
+
+    good = _gif(2, 2, [0, 1, 2, 3], _PAL4)
+    cases = [
+        (b"JFIF" + good[4:], "signature"),
+        (good[:10], "signature" if len(good[:10]) < 13 else "truncated"),
+        (good[:-1], "trailer"),  # trailer byte stripped
+        (_gif(2, 2, [0, 1, 2, 3], _PAL4, interlace=True), "interlaced"),
+        # LZW raster one pixel short for the declared 2x2 frame
+        (_gif(2, 2, [0, 1, 2], _PAL4), "pixels"),
+        # raster overflows the frame
+        (_gif(2, 2, [0, 1, 2, 3, 1], _PAL4), "overflows"),
+        # truncated sub-block chain: declare 10 data bytes, supply none
+        (good[: good.index(b"\x3b") - 4] + b"\x0a", "sub-block"),
+    ]
+    # bad LZW: a code beyond the table (width-3 code 7 right after clear)
+    #   (4,w3)(7,w3) -> bits 001 111 -> byte 0x3C
+    cases.append((_gif(2, 2, None, _PAL4, lzw=bytes([0x3C])), "LZW code"))
+    # pixel index beyond a 2-entry local-palette (index 3 with pal size 2
+    # still encodes: m=2 allows roots 0..3)
+    pal2 = [(0, 0, 0), (255, 255, 255)]
+    cases.append((_gif(2, 2, [0, 1, 3, 1], pal2, m=2), "palette"))
+    for payload, msg in cases:
+        with pytest.raises(ValueError, match=msg):
+            _parse_gif(payload)
+
+
+def test_gif_decode_through_spark(spark):
+    """The Arrow contract end to end: binary column in, exact features
+    out, same schema as the PPM/PNG tier."""
+    from simple_map_reduce_spark.multimodal import decode_gif_features
+
+    g1 = _gif(2, 2, [0, 1, 2, 3], _PAL4)
+    g2 = _gif(4, 2, [1] * 8, _PAL4)
+    media = spark.createDataFrame(
+        [(1, bytearray(g1)), (2, bytearray(g2))],
+        "doc_id bigint, content binary",
+    )
+    out = {r.doc_id: r for r in decode_gif_features(media).collect()}
+    assert (out[1].width, out[1].height, out[1].n_channels) == (2, 2, 3)
+    assert (out[2].width, out[2].height, out[2].n_channels) == (4, 2, 3)
+    assert out[2].feature[0] == pytest.approx(1.0, abs=1e-15)
+    assert out[2].feature[1] == 0.0
