@@ -411,11 +411,27 @@ def _parse_png(payload: bytes) -> tuple[int, int, int, list[float]]:
             f"interlace={interlace}); Adam7 interlacing not supported"
         )
     n_channels = _PNG_CHANNELS[color]
+    stride = width * n_channels
+    # inflate with a HARD output cap at the exact raster size the IHDR
+    # declares (+1 to detect overrun): deflate amplifies up to ~1000x,
+    # so an uncapped decompress of a crafted 1 MB IDAT could commit ~1 GB
+    # per row on an executor — a decode job over crawled bytes at scale
+    # WILL meet such blobs, and the failure must be a ValueError, not an
+    # executor stall (the GIF LZW twin is capped the same way via its
+    # in-loop n_expected check)
+    expected = height * (stride + 1)
     try:
-        raw = zlib.decompress(bytes(idat))
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), expected + 1)
     except zlib.error as exc:
         raise ValueError(f"IDAT inflate failed: {exc}") from None
-    stride = width * n_channels
+    if len(raw) > expected:
+        raise ValueError(
+            f"inflated size exceeds the declared {expected}-byte raster"
+        )
+    # under the cap, zlib consumed ALL input and produced ALL available
+    # output, so a short raw is a genuinely short stream — the exact
+    # size check in _png_unfilter rejects it
     pixels = _png_unfilter(raw, height, stride, n_channels)
     img = (
         np.frombuffer(pixels, dtype=np.uint8)

@@ -636,3 +636,55 @@ def test_gif_decode_through_spark(spark):
     assert (out[2].width, out[2].height, out[2].n_channels) == (4, 2, 3)
     assert out[2].feature[0] == pytest.approx(1.0, abs=1e-15)
     assert out[2].feature[1] == 0.0
+
+
+def test_all_parsers_fail_closed_on_arbitrary_bytes():
+    """Fuzz property (hypothesis): every real parser either decodes or
+    raises ValueError — NEVER struct.error/IndexError/zlib.error/
+    MemoryError — on (a) arbitrary bytes prefixed with each format's
+    magic (so the fuzz reaches past the signature check) and (b) valid
+    blobs with a few mutated bytes (GIF has no CRC, so mutations drive
+    deep into the LZW/palette paths; PNG mutations mostly die at the
+    CRC, which is itself the contract). A decode job over 100 TB of
+    crawled bytes WILL meet every one of these; fail-closed is the
+    executor-safety contract the bomb caps above complete."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from simple_map_reduce_spark.multimodal import (
+        _parse_gif,
+        _parse_png,
+        _parse_pnm,
+        _parse_wav,
+    )
+
+    valid = [
+        (_parse_gif, _gif(2, 2, [0, 1, 2, 3], _PAL4)),
+        (_parse_png, _png(2, 2, 0, [[0, 64], [128, 255]], filters=[0, 2])),
+        (_parse_pnm, b"P6 2 1 255\n" + bytes([255, 0, 0, 0, 0, 255])),
+        (_parse_wav, _wav16([16384, -16384], sample_rate=16000)),
+    ]
+    magics = [b"GIF89a", b"\x89PNG\r\n\x1a\n", b"P6 ", b"RIFF"]
+
+    @given(
+        which=st.integers(0, 3),
+        junk=st.binary(min_size=0, max_size=120),
+        edits=st.lists(
+            st.tuples(st.integers(0, 10_000), st.integers(0, 255)),
+            min_size=1,
+            max_size=4,
+        ),
+    )
+    @settings(max_examples=150, deadline=None)
+    def prop(which, junk, edits):
+        parse, blob = valid[which]
+        mutated = bytearray(blob)
+        for p, v in edits:
+            mutated[p % len(blob)] = v
+        for payload in (magics[which] + junk, bytes(mutated)):
+            try:
+                parse(payload)
+            except ValueError:
+                pass  # the only permitted failure
+
+    prop()
