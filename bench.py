@@ -176,6 +176,9 @@ EXTENDED_QUERIES = [
     # r10: the √N capacity-sized quantizer (the scale path; its fixed-K
     # sibling embedding_neardup_idx is the parity tier)
     "embedding_neardup_capacity",
+    # r10: quality-aware batch SemDeDup — the keep-best family's batch
+    # semantic tier (same join shape as semdedup_prune + one struct-max)
+    "semdedup_keep_best",
 ]
 
 

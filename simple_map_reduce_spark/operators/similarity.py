@@ -635,6 +635,129 @@ def semdedup_prune(
     return _min_id_exemplar(pairs, "vec_id", "j_id", "psim")
 
 
+def semdedup_keep_best(
+    emb: DataFrame,
+    quality: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 2,
+    tau: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """QUALITY-AWARE SemDeDup — the batch semantic form of the keep-best
+    family, completing its symmetry across all three dedup tiers
+    (lexical batch :func:`~.dedup.keep_best_exemplars`, both standing
+    indexes' ``ingest_keep_best``, and now the batch semantic prune):
+    where :func:`semdedup_prune` keeps each near-duplicate's SMALLEST id
+    (the min-id convention), this keeps the BEST-quality copy.
+
+    Prune rule (deterministic, one pass — the same per-cluster,
+    no-transitive-closure shape as :func:`semdedup_prune`): vector ``i``
+    is pruned when some same-cluster ``j`` with ``cos(i, j) >= tau``
+    DOMINATES it by ``(q, -id)`` (higher quality wins; quality ties
+    break to the smaller id — exactly :func:`~.dedup.keep_best_exemplars`'s
+    exact-integer ordering, so no float quality may enter ``quality``).
+    ``kept_id`` is the BEST such dominator. ``(q, -id)`` is a strict
+    total order, so every tau-pair has exactly one dominator and the
+    survivor set is exactly the local (q, -id)-maxima — like the min-id
+    form, a pruned vector's exemplar may itself be pruned by a still
+    better copy (the paper's one-pass formulation).
+
+    ``quality`` is an ``(id_col, q)`` frame covering EVERY input vector;
+    an unscored vector raises loudly (the ADVICE-r9 lesson: an inner
+    join here would silently drop pairs and leave duplicates live).
+
+    Scale shape: identical to :func:`semdedup_prune` — one broadcast-
+    centroid assignment, one centroid_id-shuffled within-cluster
+    self-join (still ``j < i``: dominance just picks the pair's winner
+    afterward, so the join volume does not double), one struct-max per
+    pruned vector. Returns one row per PRUNED vector:
+    ``(vec_id, centroid_id, kept_id, sim)`` with sim = cos(vec_id,
+    kept_id) rounded to 6 decimals."""
+    from ..cache import tracked_persist, untrack
+
+    cents = (
+        centroids
+        if centroids is not None
+        else kmeans_refine(emb, n_centroids, iters, id_col, vec_col)
+    )
+    corpus = _prep(emb, id_col, vec_col, "id", "vec", "vn")
+    q = quality.select(
+        F.col(id_col).alias("id"), F.col("q").cast("bigint").alias("q")
+    )
+    assigned = tracked_persist(
+        _nearest_centroid(corpus, cents, keep=("vec", "vn")).join(q, "id", "left")
+    )
+    unscored = assigned.filter(F.col("q").isNull()).select("id").limit(5).collect()
+    if unscored:
+        untrack(assigned)
+        shown = sorted(r[0] for r in unscored)
+        raise ValueError(
+            f"semdedup_keep_best: vector(s) with no quality row (e.g. "
+            f"{shown}) — quality must cover every input vector (deciding "
+            "against unscored vectors would silently leave duplicates)"
+        )
+    left = assigned.select(
+        F.col("id").alias("vec_id"),
+        "centroid_id",
+        F.col("vec").alias("avec"),
+        F.col("vn").alias("an"),
+        F.col("q").alias("aq"),
+    )
+    right = assigned.select(
+        F.col("id").alias("j_id"),
+        F.col("centroid_id").alias("j_centroid"),
+        F.col("vec").alias("bvec"),
+        F.col("vn").alias("bn"),
+        F.col("q").alias("bq"),
+    )
+    pairs = (
+        left.join(
+            right,
+            (F.col("centroid_id") == F.col("j_centroid"))
+            & (F.col("j_id") < F.col("vec_id")),
+        )
+        .withColumn(
+            "psim",
+            F.round(
+                dot(F.col("avec"), F.col("bvec")) / (F.col("an") * F.col("bn")), 6
+            ),
+        )
+        .filter(F.col("psim") >= F.lit(tau))
+    )
+    # each tau-pair's single dominator: with j_id < vec_id, a quality
+    # TIE goes to j (the smaller id)
+    win_b = F.col("bq") >= F.col("aq")
+    cand = pairs.select(
+        F.when(win_b, F.col("vec_id")).otherwise(F.col("j_id")).alias("pruned_id"),
+        "centroid_id",
+        F.when(win_b, F.col("j_id")).otherwise(F.col("vec_id")).alias("keeper_id"),
+        F.when(win_b, F.col("bq")).otherwise(F.col("aq")).alias("keeper_q"),
+        "psim",
+    )
+    # the (q, -id)-max dominator per pruned vector; unique keeper ids
+    # make the struct-max deterministic, and psim rides along
+    m = F.max(
+        F.struct(
+            F.col("keeper_q").alias("q"),
+            (-F.col("keeper_id")).alias("neg_id"),
+            F.col("keeper_id").alias("kept_id"),
+            F.col("psim").alias("sim"),
+        )
+    ).alias("m")
+    return (
+        cand.groupBy("pruned_id", "centroid_id")
+        .agg(m)
+        .select(
+            F.col("pruned_id").alias("vec_id"),
+            "centroid_id",
+            F.col("m.kept_id").alias("kept_id"),
+            F.col("m.sim").alias("sim"),
+        )
+    )
+
+
 def cosine_topk_lsh(
     emb: DataFrame,
     query_ids: list[int],

@@ -247,14 +247,16 @@ QUERIES: dict[str, QueryFn] = {
 # so a behavior change can never ship on a stale green row again (round
 # 2's trigram-default change left jaccard_pairs unverified for a round).
 #
-# Round 10 window = the 4 NEW queries (streaming_keep_best —
+# Round 10 window = the 5 NEW queries (streaming_keep_best —
 # NearDupIndex.ingest_stream_keep_best under the SNAPSHOT-ISOLATED
 # epoch protocol, VERDICT r9 item 2; streaming_semantic_keep_best —
 # the IvfIndex twin, completing the protocol's symmetry across both
 # dedup-capable indexes; pretraining_manifest_kb — the
 # grand composition with quality_aware keep-best dedup, item 3;
 # embedding_neardup_capacity — the √N-sized quantizer under the hash
-# gate, closing the second-decade finding) + the
+# gate, closing the second-decade finding; semdedup_keep_best —
+# quality-aware batch SemDeDup, the keep-best family's last missing
+# tier) + the
 # 4 rows whose code/oracle changed (neardup_keep_best /
 # semantic_keep_best: the quality join is now LEFT + a loud unscored-
 # incumbent guard, build() publishes the quality tier delete-first/
@@ -265,7 +267,7 @@ QUERIES: dict[str, QueryFn] = {
 # DOUBLE, ADVICE r9 low — results identical, oracle text changed, so
 # parity re-proves) + ALL 31 remaining r6-dated rows (the r9 window
 # comment undercounted them as 18 — VERDICT r9 item 1 fixed the count;
-# after this window nothing oracle-backed is older than r7) + the 8
+# after this window nothing oracle-backed is older than r7) + the 7
 # oldest r7-dated rows, alphabetical + the 3 rows-only sketches at the
 # window TAIL (VERDICT r9 item 6: they are error-bound-gated in
 # tests/test_sketches.py and hash-unmatchable BY DESIGN, but none has
@@ -299,6 +301,11 @@ _CHANGED_THIS_ROUND = [
     # (the scale path SCALE.md §"Second decade" measured; its fixed-K
     # sibling is the parity tier)
     "embedding_neardup_capacity",
+    # r10: NEW — quality-aware batch SemDeDup (similarity.py::
+    # semdedup_keep_best), completing keep-best symmetry across all
+    # three dedup tiers; its slot came from corpus_splits (r7-dated,
+    # deferred to r11 beside asof_last_order / customer_order_seq)
+    "semdedup_keep_best",
 ]
 _ROTATION_FRONT = [
     *_CHANGED_THIS_ROUND,
@@ -335,10 +342,10 @@ _ROTATION_FRONT = [
     "window_running",
     "wordcount",
     "wordcount_total",
-    # the 8 oldest r7-dated rows, alphabetical (freshness rotation;
-    # asof_last_order / customer_order_seq deferred to r11 — their
-    # slots went to streaming_semantic_keep_best and
-    # embedding_neardup_capacity)
+    # the 7 oldest r7-dated rows, alphabetical (freshness rotation;
+    # asof_last_order / customer_order_seq / corpus_splits deferred to
+    # r11 — their slots went to streaming_semantic_keep_best,
+    # embedding_neardup_capacity, and semdedup_keep_best)
     "bigram_docfreq",
     "bpe_pair_counts",
     "cheapest_item_per_order",
@@ -346,7 +353,6 @@ _ROTATION_FRONT = [
     "chunk_assignment",
     "chunk_assignment_sharded",
     "cohort_retention",
-    "corpus_splits",
     # the 3 rows-only sketches at the window TAIL (VERDICT r9 item 6:
     # first driver execution since r1; no oracle BY DESIGN — the
     # driver records rows>0/err=None, the lint allowlists them)

@@ -396,6 +396,33 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("vec_id")
 
 
+def q_semdedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-AWARE SemDeDup (``similarity.py::semdedup_keep_best``):
+    the batch semantic form of the keep-best family, completing its
+    symmetry across all three dedup tiers (lexical batch + both standing
+    indexes shipped r9/r10). Same quantizer and within-cluster pair
+    graph as ``semdedup_prune``, but each tau-pair's LOWER-quality side
+    is pruned (q = n_chars joined from documents; ties break to the
+    smaller id) and ``kept_id`` is the (q, -id)-max dominator. The
+    oracle replays the unrolled-Lloyd assignment, the quality join, the
+    pair dominance CASE, and the argmax — a min-id prune in disguise
+    keeps different exemplars and cannot hash-match."""
+    from .operators.similarity import semdedup_keep_best
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qual = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), F.col("n_chars").alias("q")
+    )
+    out = semdedup_keep_best(
+        emb,
+        qual,
+        n_centroids=SEMDEDUP_K,
+        iters=SEMDEDUP_ITERS,
+        tau=SEMDEDUP_TAU,
+    )
+    return out.orderBy("vec_id")
+
+
 def q_simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash(docs, "doc_id", "text")
@@ -2223,6 +2250,63 @@ def semdedup_oracle(
         WITH {ctes}
         SELECT vec_id, centroid_id, kept_id, sim
         FROM {pruned}
+        ORDER BY vec_id
+    """
+
+
+def semdedup_keep_best_oracle(
+    k: int = SEMDEDUP_K,
+    iters: int = SEMDEDUP_ITERS,
+    tau: float = SEMDEDUP_TAU,
+) -> str:
+    """DuckDB twin of ``semdedup_keep_best``: the shared unrolled-Lloyd
+    assignment (``_kmeans_ctes`` — byte-identical to the min-id twin's),
+    quality joined from documents (n_chars, exact BIGINT), the same
+    ``j < i`` pair graph with the dominance CASE picking each tau-pair's
+    winner, then the (q DESC, id) row_number argmax — the SQL spelling
+    of the operator's struct-max (both orders are total, so they cannot
+    disagree)."""
+    ctes, cent = _kmeans_ctes(k, iters)
+    sim = _carried_cos_sql("v", "c")
+    return f"""
+        WITH {ctes},
+        kb_qual AS (
+            SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS q
+            FROM documents),
+        kb_asg AS (
+            SELECT a.id, a.centroid_id, a.vec, a.vn, kb_qual.q
+            FROM (
+                SELECT id, centroid_id, vec, vn FROM (
+                    SELECT v.vec_id AS id, c.centroid_id, v.vec, v.vn,
+                           row_number() OVER (PARTITION BY v.vec_id
+                                              ORDER BY {sim} DESC,
+                                                       c.centroid_id) AS rn
+                    FROM v, {cent} c)
+                WHERE rn = 1) a
+            JOIN kb_qual ON a.id = kb_qual.id),
+        kb_pairs AS (
+            SELECT a.id AS aid, a.centroid_id, a.q AS aq,
+                   b.id AS bid, b.q AS bq,
+                   round(list_sum(list_transform(list_zip(a.vec, b.vec),
+                                                 p -> p[1] * p[2]))
+                         / (a.vn * b.vn), 6) AS psim
+            FROM kb_asg a JOIN kb_asg b
+              ON a.centroid_id = b.centroid_id AND b.id < a.id),
+        kb_cand AS (
+            SELECT CASE WHEN bq >= aq THEN aid ELSE bid END AS vec_id,
+                   centroid_id,
+                   CASE WHEN bq >= aq THEN bid ELSE aid END AS keeper_id,
+                   CASE WHEN bq >= aq THEN bq ELSE aq END AS keeper_q,
+                   psim
+            FROM kb_pairs WHERE psim >= {tau})
+        SELECT vec_id, centroid_id, kept_id, sim FROM (
+            SELECT vec_id, centroid_id, keeper_id AS kept_id,
+                   psim AS sim,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY keeper_q DESC, keeper_id)
+                       AS rn
+            FROM kb_cand)
+        WHERE rn = 1
         ORDER BY vec_id
     """
 
@@ -5089,6 +5173,7 @@ EXT_QUERIES = {
     "ivf_refined_centroids": q_ivf_refined_centroids,
     "ivf_refined_topk": q_ivf_refined_topk,
     "semdedup_prune": q_semdedup,
+    "semdedup_keep_best": q_semdedup_keep_best,
     "embedding_neardup_idx": q_embedding_neardup_idx,
     "semantic_ingest": q_semantic_ingest,
     "streaming_semantic_ingest": q_streaming_semantic_ingest,
@@ -5237,6 +5322,7 @@ EXT_ORACLES = {
     "ivf_refined_centroids": ivf_refined_centroids_oracle(),
     "ivf_refined_topk": ivf_refined_topk_oracle(),
     "semdedup_prune": semdedup_oracle(),
+    "semdedup_keep_best": semdedup_keep_best_oracle(),
     "embedding_neardup_idx": embedding_neardup_idx_oracle(),
     "semantic_ingest": semantic_ingest_oracle(),
     "quality_filter": quality_filter_oracle(),

@@ -788,3 +788,22 @@ def test_streaming_semantic_keep_best_replays_across_tombstone_commit(
     )
     assert live_set == [2, 10]
     assert sorted(r.id for r in read_tombstones(cat, idx.name).collect()) == [1]
+
+
+def test_semdedup_keep_best_refuses_unscored_vectors(spark):
+    """The batch semantic keep-best shares the ADVICE-r9 contract: a
+    vector with no quality row raises loudly instead of silently
+    dropping its pairs (which would leave duplicates live)."""
+    from simple_map_reduce_spark.operators.similarity import (
+        semdedup_keep_best,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0, float(i % 2)]) for i in range(6)],
+        ["vec_id", "embedding"],
+    )
+    qual = spark.createDataFrame(
+        [(i, 10 - i) for i in range(5)], ["vec_id", "q"]  # id 5 unscored
+    )
+    with pytest.raises(ValueError, match="no quality row"):
+        semdedup_keep_best(emb, qual, n_centroids=2, tau=0.9)

@@ -452,3 +452,79 @@ def test_rrf_fuse_matches_reference_on_random_runs(spark_global, run_a, run_b):
             for i, (d, ra, rb, s) in enumerate(rows[:5])
         ]
     assert got == sorted(want)
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=-3, max_value=3), min_size=3, max_size=3),
+        min_size=3,
+        max_size=10,
+    ),
+    st.data(),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_semdedup_keep_best_matches_python_reference(spark_global, vecs, data):
+    """Keep-best prune ≡ a pure-Python dominance reference on random
+    small-integer vectors with random integer qualities: i is pruned
+    when some same-cluster tau-neighbor j dominates it by (q, -id), and
+    kept_id is the (q, -id)-max dominator. Same near-threshold/
+    near-tie discards as the min-id sibling above."""
+    import math
+
+    from hypothesis import assume
+
+    from simple_map_reduce_spark.operators.similarity import (
+        kmeans_refine,
+        semdedup_keep_best,
+    )
+
+    vecs = [v for v in vecs if any(x != 0 for x in v)]
+    assume(len(vecs) >= 3)
+    qual = [
+        data.draw(st.integers(min_value=0, max_value=5)) for _ in vecs
+    ]
+    tau, k = 0.9, 2
+    norms = [math.sqrt(sum(x * x for x in v)) for v in vecs]
+
+    def cos(i, j):
+        d = sum(a * b for a, b in zip(vecs[i], vecs[j]))
+        return d / (norms[i] * norms[j])
+
+    seeds = list(range(k))
+    assign = {}
+    for i in range(len(vecs)):
+        sims = [cos(i, s) for s in seeds]
+        best = max(sims)
+        assume(sum(1 for s in sims if abs(s - best) < 1e-6) == 1)
+        assign[i] = sims.index(best)
+    for i in range(len(vecs)):
+        for j in range(i):
+            if assign[i] == assign[j]:
+                assume(abs(cos(i, j) - tau) > 1e-6)
+    # dominance reference: (q, -id) strict total order
+    want = {}
+    for i in range(len(vecs)):
+        doms = [
+            j
+            for j in range(len(vecs))
+            if j != i
+            and assign[j] == assign[i]
+            and cos(i, j) >= tau
+            and (qual[j], -j) > (qual[i], -i)
+        ]
+        if doms:
+            want[i] = max(doms, key=lambda j: (qual[j], -j))
+
+    emb = spark_global.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        ["vec_id", "embedding"],
+    )
+    qdf = spark_global.createDataFrame(
+        [(i, q) for i, q in enumerate(qual)], ["vec_id", "q"]
+    )
+    cents = kmeans_refine(emb, n_centroids=k, iters=0)
+    got = {
+        r.vec_id: r.kept_id
+        for r in semdedup_keep_best(emb, qdf, tau=tau, centroids=cents).collect()
+    }
+    assert got == want, (vecs, qual, assign, got, want)
