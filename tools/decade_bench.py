@@ -153,6 +153,14 @@ ROWS = {
     "ivf_delete_search": D_KB,
     "streaming_keep_best": D_KB,
     "streaming_semantic_keep_best": D_KB,
+    # r10 batch semantic keep-best + its min-id control: same quantizer,
+    # same within-cluster join — measured together so the dominance tier
+    # can be shown to add no scale shape of its own. Both are the
+    # FIXED-K parity tier (the oracle recomposes the quantizer), so the
+    # expected decade reads the N²/K within-cluster shape the √N
+    # capacity rule exists to fix — see SCALE.md §"Second decade".
+    "semdedup_keep_best": D_KB,
+    "semdedup_prune": D_KB,
 }
 
 
