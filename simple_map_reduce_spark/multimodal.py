@@ -176,6 +176,27 @@ PPM_FEATURES_SCHEMA = (
     "doc_id bigint, width int, height int, n_channels int, feature array<double>"
 )
 
+# Absolute raster ceiling shared by EVERY real image parser (PNM/PNG/
+# GIF): dimensions are attacker-declared header fields (PNG u32, GIF
+# u16), so every post-header allocation — inflate cap, LZW output,
+# palette map, the per-byte unfilter loop — must be bounded by a
+# constant the HEADER cannot raise, or a sub-MB blob legitimately
+# commits gigabytes (deflate amplifies ~1000×, GIF LZW ~10⁴×) and the
+# "fail-closed" contract decays into an executor stall / MemoryError.
+# 2^24 px = 16.7 MP (4096×4096) covers 4K stills with headroom; worst
+# bounded raster is RGBA 64 MiB per image, and parallelism is across
+# images, so per-task peak stays executor-sized at any corpus scale.
+MAX_PIXELS = 1 << 24
+
+
+def _check_pixels(width: int, height: int, fmt: str) -> None:
+    """Reject attacker-declared rasters above :data:`MAX_PIXELS` with
+    the contractual ValueError (never MemoryError / a stall)."""
+    if width * height > MAX_PIXELS:
+        raise ValueError(
+            f"{fmt} raster {width}x{height} exceeds MAX_PIXELS={MAX_PIXELS}"
+        )
+
 
 def _parse_wav(payload: bytes) -> tuple[int, int, int, float]:
     """Parse a RIFF/WAVE container (PCM 8/16-bit): (sample_rate,
@@ -275,14 +296,21 @@ def _parse_pnm(payload: bytes) -> tuple[int, int, int, list[float]]:
     width, height, maxval = tokens
     if not (0 < maxval < 65536) or width < 1 or height < 1:
         raise ValueError(f"bad PNM header ({width}x{height}, maxval={maxval})")
+    _check_pixels(width, height, "PNM")
     dtype = np.uint8 if maxval < 256 else ">u2"
     n_px = width * height * n_channels
     if len(payload) - pos < n_px * (1 if maxval < 256 else 2):
         raise ValueError("truncated PNM raster")
     raster = np.frombuffer(payload, dtype=dtype, count=n_px, offset=pos)
-    img = raster.astype(np.float64).reshape(height, width, n_channels) / maxval
-    means = [float(img[:, :, c].mean()) for c in range(n_channels)]
-    overall = float(img.mean())
+    img = raster.reshape(height, width, n_channels)
+    # dtype-accumulated means: float64 SUMS over integer samples are
+    # exact (< 2^53), so values are bit-identical to a float64-copy
+    # mean, without materializing an 8-bytes/px raster copy
+    means = [
+        float(img[:, :, c].mean(dtype=np.float64)) / maxval
+        for c in range(n_channels)
+    ]
+    overall = float(img.mean(dtype=np.float64)) / maxval
     feature = (means + [overall] * 4)[:4]
     return width, height, n_channels, feature
 
@@ -400,6 +428,11 @@ def _parse_png(payload: bytes) -> tuple[int, int, int, list[float]]:
     width, height, depth, color, comp, filt, interlace = ihdr
     if width < 1 or height < 1:
         raise ValueError(f"bad PNG dimensions {width}x{height}")
+    # BEFORE anything sized by the header: IHDR dims are u32, so
+    # without this `expected` below can be ~2^50 (an ineffective
+    # inflate cap) and a dims-consistent zero-filled bomb would walk a
+    # gigabyte raster through the per-byte unfilter loop (ADVICE r10)
+    _check_pixels(width, height, "PNG")
     if depth != 8 or color not in _PNG_CHANNELS:
         raise ValueError(
             f"unsupported PNG (bit_depth={depth}, color_type={color}): "
@@ -433,14 +466,14 @@ def _parse_png(payload: bytes) -> tuple[int, int, int, list[float]]:
     # output, so a short raw is a genuinely short stream — the exact
     # size check in _png_unfilter rejects it
     pixels = _png_unfilter(raw, height, stride, n_channels)
-    img = (
-        np.frombuffer(pixels, dtype=np.uint8)
-        .astype(np.float64)
-        .reshape(height, width, n_channels)
-        / 255.0
-    )
-    means = [float(img[:, :, c].mean()) for c in range(n_channels)]
-    overall = float(img.mean())
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, n_channels)
+    # dtype-accumulated means (exact integer float64 sums): no
+    # 8-bytes/px float copy beside the bounded raster
+    means = [
+        float(img[:, :, c].mean(dtype=np.float64)) / 255.0
+        for c in range(n_channels)
+    ]
+    overall = float(img.mean(dtype=np.float64)) / 255.0
     feature = (means + [overall] * 4)[:4]
     return width, height, n_channels, feature
 
@@ -616,6 +649,11 @@ def _parse_gif(payload: bytes) -> tuple[int, int, int, list[float]]:
             continue  # later frames: structure validated, not decoded
         if width < 1 or height < 1:
             raise ValueError(f"bad GIF frame dimensions {width}x{height}")
+        # BEFORE the LZW decode: u16×u16 dims allow n_expected ≈ 4.3e9,
+        # and LZW amplification (~10⁴×) lets a sub-MB blob legitimately
+        # fill it — the palette-map stage would then MemoryError instead
+        # of the contractual ValueError (ADVICE r10)
+        _check_pixels(width, height, "GIF")
         if ipacked & 0x40:
             raise ValueError("interlaced GIF frames not supported")
         if pal is None:
@@ -623,10 +661,16 @@ def _parse_gif(payload: bytes) -> tuple[int, int, int, list[float]]:
         idx = _gif_lzw_decode(lzw, mcs, width * height, len(pal) // 3)
         rgb = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)[
             np.frombuffer(idx, dtype=np.uint8)
+        ].reshape(height, width, 3)
+        # dtype-accumulated means (exact integer float64 sums): peak
+        # memory stays at the 3-bytes/px palette map, never a float copy
+        means = [
+            float(rgb[:, :, c].mean(dtype=np.float64)) / 255.0 for c in range(3)
         ]
-        img = rgb.astype(np.float64).reshape(height, width, 3) / 255.0
-        means = [float(img[:, :, c].mean()) for c in range(3)]
-        frame = (width, height, 3, means + [float(img.mean())])
+        frame = (
+            width, height, 3,
+            means + [float(rgb.mean(dtype=np.float64)) / 255.0],
+        )
     if frame is None:
         raise ValueError("GIF has no image frame")
     return frame

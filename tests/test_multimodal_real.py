@@ -394,12 +394,16 @@ def test_png_unfilter_roundtrip_property():
         # byte-exact scanline reconstruction
         got = _png_unfilter(idat_raw(blob), h, stride, channels)
         assert got == b"".join(bytes(r) for r in rows)
-        # and the full parse agrees on shape + exact channel means
+        # and the full parse agrees on shape + exact channel means:
+        # integer sums are exact in float64, so sum/n/255 is the
+        # bit-stable contract (matches the parser's dtype-accumulated
+        # mean — NOT a per-element x/255 mean, which differs in the ulp)
         pw, ph, pc, feat = _parse_png(blob)
         assert (pw, ph, pc) == (w, h, channels)
-        arr = np.array(rows, dtype=np.float64).reshape(h, w, channels) / 255.0
-        means = [float(arr[:, :, c].mean()) for c in range(channels)]
-        assert feat == (means + [float(arr.mean())] * 4)[:4]
+        arr = np.array(rows, dtype=np.int64).reshape(h, w, channels)
+        means = [int(arr[:, :, c].sum()) / (h * w) / 255.0 for c in range(channels)]
+        overall = int(arr.sum()) / (h * w * channels) / 255.0
+        assert feat == (means + [overall] * 4)[:4]
 
     prop()
 
@@ -688,3 +692,62 @@ def test_all_parsers_fail_closed_on_arbitrary_bytes():
                 pass  # the only permitted failure
 
     prop()
+
+
+def test_decompression_bombs_rejected_before_allocation():
+    """ADVICE r10 (both mediums): raster size is an attacker-declared
+    header field, so every parser must reject width*height > MAX_PIXELS
+    with the contractual ValueError BEFORE any header-sized allocation
+    (inflate buffer, LZW output, palette map, unfilter loop). Each blob
+    here is a few hundred bytes; pre-cap, the PNG case committed
+    ~460 MB before raising and the GIF case could MemoryError."""
+    from simple_map_reduce_spark.multimodal import (
+        MAX_PIXELS,
+        _parse_gif,
+        _parse_png,
+    )
+
+    # PNG declaring 2^30 x 2^20 (the measured ~460 MB-peak case): the
+    # cap must fire on the IHDR alone, before the IDAT is inflated
+    ihdr = struct.pack(">IIBBBBB", 1 << 30, 1 << 20, 8, 0, 0, 0, 0)
+    bomb_png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(64)))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="MAX_PIXELS"):
+        _parse_png(bomb_png)
+
+    # dims-consistent PNG bomb: 8192x8192 > MAX_PIXELS would pass the
+    # old expected-size inflate cap (zero raster compresses ~1000x) and
+    # enter the per-byte Python unfilter — the cap rejects it first
+    big = 8192
+    assert big * big > MAX_PIXELS
+    ihdr2 = struct.pack(">IIBBBBB", big, big, 8, 0, 0, 0, 0)
+    bomb_png2 = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr2)
+        + _chunk(b"IDAT", zlib.compress(bytes(big * (big + 1))))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="MAX_PIXELS"):
+        _parse_png(bomb_png2)
+
+    # GIF declaring 65535x65535 (~4.3e9 px): must fail before the LZW
+    # decode / palette map, and as ValueError, never MemoryError
+    bomb_gif = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", 65535, 65535, 0x80, 0, 0)  # GCT, 2 colors
+        + bytes(6)  # the 2-entry global color table
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, 65535, 65535, 0)
+        + b"\x02"  # LZW min code size
+        + b"\x01\x44\x00"  # one sub-block + terminator
+        + b"\x3b"
+    )
+    with pytest.raises(ValueError, match="MAX_PIXELS"):
+        _parse_gif(bomb_gif)
+
+    # PNM header declaring 1e10 px: rejected before the raster read
+    with pytest.raises(ValueError, match="MAX_PIXELS"):
+        _parse_pnm(b"P6 100000 100000 255\n" + bytes(16))
