@@ -78,6 +78,10 @@ def _inner(tree: str, sf_dir: str) -> None:
         json.dumps(
             {
                 "tree": tree,
+                # the tree's ACTUAL executed list, for the outer driver's
+                # like-for-like check (ADVICE r10: a source-regex guard
+                # truncates on ']' in comments and dies under python -O)
+                "bench_queries": list(bench.BENCH_QUERIES),
                 "total": round(sum(timings.values()), 4),
                 "queries": timings,
                 "loadavg": [round(x, 2) for x in os.getloadavg()],
@@ -120,15 +124,35 @@ def main() -> None:
         time.sleep(30)
         waited += 30
 
-    # like-for-like guard: both trees must headline the same queries
-    import re
-
+    # like-for-like guard, pass 1 (cheap, BEFORE any measured run):
+    # import each tree's own bench module and read the list it would
+    # actually execute. ADVICE r10 retired the old source-regex parse —
+    # a ']' inside a list comment truncated the match, re.findall
+    # picked up quoted words in comments, and `assert` vanishes under
+    # python -O — so both passes compare real lists and raise
+    # RuntimeError.
     def qlist(path: str) -> list[str]:
-        src = open(os.path.join(path, "bench.py")).read()
-        m = re.search(r"BENCH_QUERIES = \[(.*?)\]", src, re.S)
-        return re.findall(r'"([^"]+)"', m.group(1))
+        proc = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "import sys, json; sys.path.insert(0, sys.argv[1]); "
+                "import bench; print(json.dumps(bench.BENCH_QUERIES))",
+                path,
+            ],
+            cwd=path,
+            capture_output=True,
+            text=True,
+            check=False,
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"cannot read BENCH_QUERIES from {path}:\n{proc.stderr[-2000:]}"
+            )
+        return json.loads(proc.stdout.strip().splitlines()[-1])
 
-    assert qlist(tree_a) == qlist(tree_b), "headline lists differ"
+    if qlist(tree_a) != qlist(tree_b):
+        raise RuntimeError("headline lists differ — comparison is not like-for-like")
 
     # interleave A,B,B,A: both trees sample the window's start AND end,
     # so a monotone load drift biases neither side
@@ -138,6 +162,11 @@ def main() -> None:
         _run_once("b_run2", tree_b, sf_dir),
         _run_once("a_run2", tree_a, sf_dir),
     ]
+    # pass 2: the lists each measured run ACTUALLY executed (emitted by
+    # _inner itself, so no parse can drift from execution)
+    executed = {tuple(r.get("bench_queries", ())) for r in runs}
+    if len(executed) != 1:
+        raise RuntimeError("measured runs executed differing headline lists")
     min_a = min(r["total"] for r in runs if r["label"].startswith("a_"))
     min_b = min(r["total"] for r in runs if r["label"].startswith("b_"))
 
