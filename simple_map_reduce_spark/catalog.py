@@ -208,6 +208,7 @@ class Catalog:
         # unreachable (every API path keys on the table name, and _path
         # refuses dot-names) — drop them too rather than leak the trees
         for v in self.versions(name):
+            self._drop_snap_entry(name, v)
             shutil.rmtree(os.path.join(self.root, f".{name}.v{v}"))
         for scratch in (
             f".{name}.restore-old", f".{name}.restore-tmp",
@@ -246,11 +247,16 @@ class Catalog:
         snapshot does on object storage (Delta/Iceberg) — the API is
         the contract, the linking is the single-box mechanism.
 
-        Bucketed tables: snapshot the DATA only (a restored tree reads
-        correctly by path via :meth:`get`); the session-catalog bucket
-        metadata continues to describe the LIVE table, so take bucketed
-        snapshots for audit/rollback of contents, not for time-traveled
-        bucket-join layouts."""
+        Bucketed tables: the snapshot is LAYOUT-PRESERVING (r11 — the
+        manifest-snapshot behavior of a table format like Iceberg/
+        Delta): the live entry's bucket spec and schema are recorded in
+        a ``_bucket_spec.json`` beside the hardlinks (leading ``_`` =
+        invisible to every parquet scan, like ``_SUCCESS``), and
+        :meth:`get_version` re-registers the frozen tree as a bucketed
+        read. Epoch-pinned readers (``streaming/ingest.py``'s keep-best
+        protocol) therefore keep the bucketed tables' exchange-free
+        join/aggregate plans instead of paying per-epoch corpus
+        Exchanges over plain-parquet pins."""
         path = self._path(name)
         if not os.path.isdir(path):
             raise FileNotFoundError(f"no table {name!r}")
@@ -263,6 +269,31 @@ class Catalog:
         for f in os.listdir(path):
             if f.endswith(".parquet") or f == "_SUCCESS":
                 os.link(os.path.join(path, f), os.path.join(tmp, f))
+        # listTables-gated: a plain/path-only table has no session entry,
+        # and probing DESCRIBE on it would log a spurious analyzer error
+        try:
+            spec = (
+                self._bucket_spec(name) if self._session_entry_is_ours(name) else None
+            )
+        except Exception:
+            spec = None  # no usable session catalog — plain snapshot
+        if spec is not None:
+            import json
+
+            cols, n_buckets = spec
+            schema_ddl = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}"
+                for f in self.get(name).schema.fields
+            )
+            with open(os.path.join(tmp, "_bucket_spec.json"), "w") as fh:
+                json.dump(
+                    {
+                        "bucket_cols": cols,
+                        "num_buckets": n_buckets,
+                        "schema_ddl": schema_ddl,
+                    },
+                    fh,
+                )
         os.rename(tmp, snap)  # publish atomically: half-built trees are .tmp
         return version
 
@@ -278,11 +309,64 @@ class Catalog:
                     out.append(int(tail))
         return sorted(out)
 
+    def _snap_table(self, name: str, version: int) -> str:
+        """Session-catalog identifier for a layout-preserving snapshot
+        registration (``{name}__v{n}__snap``). Never passes through
+        ``_path`` — it names a session entry over a dot-dir, not a
+        table directory of its own."""
+        return f"{name}__v{int(version)}__snap"
+
+    def _drop_snap_entry(self, name: str, version: int) -> None:
+        """Drop the session-catalog registration of a layout-preserving
+        snapshot, if it is OURS (location-checked — an unrelated entry
+        that merely shares the name is never touched). External table:
+        the DROP removes metadata only, never the hardlink tree."""
+        tbl = self._snap_table(name, version)
+        snap = os.path.join(self.root, f".{name}.v{int(version)}")
+        try:
+            if self._session_entry_at(tbl, snap):
+                self.spark.sql(f"DROP TABLE IF EXISTS `{tbl.lower()}`")
+        except Exception:
+            pass  # no usable session catalog
+
     def get_version(self, name: str, version: int) -> DataFrame:
-        """Read a frozen snapshot of ``name``."""
+        """Read a frozen snapshot of ``name``.
+
+        A snapshot of a BUCKETED table carries its bucket spec
+        (``_bucket_spec.json``, written by :meth:`snapshot`) and is
+        served through a session-catalog registration of the frozen
+        tree with the same CLUSTERED/SORTED BY layout — bucket ids live
+        in the part-file NAMES, which hardlinking preserves — so joins
+        and aggregates keyed on the bucket columns keep their
+        exchange-free plans against the pin. Falls back to a plain
+        parquet read (data-correct, layout-free) only when an UNRELATED
+        session entry already owns the registration name."""
         snap = os.path.join(self.root, f".{name}.v{version}")
         if not os.path.isdir(snap):
             raise FileNotFoundError(f"no snapshot v{version} of {name!r}")
+        spec_file = os.path.join(snap, "_bucket_spec.json")
+        if os.path.isfile(spec_file):
+            import json
+
+            with open(spec_file) as fh:
+                spec = json.load(fh)
+            tbl = self._snap_table(name, version)
+            try:
+                ours = self._session_entry_at(tbl, snap)
+                if ours is None:
+                    cols = ", ".join(f"`{c}`" for c in spec["bucket_cols"])
+                    self.spark.sql(
+                        f"CREATE TABLE `{tbl.lower()}` ({spec['schema_ddl']}) "
+                        f"USING PARQUET "
+                        f"CLUSTERED BY ({cols}) SORTED BY ({cols}) "
+                        f"INTO {int(spec['num_buckets'])} BUCKETS "
+                        f"LOCATION '{snap}'"
+                    )
+                    ours = True
+                if ours:
+                    return self.spark.table(tbl)
+            except Exception:
+                pass  # no usable session catalog — plain read below
         return self.spark.read.parquet(snap)
 
     def prune_versions(self, name: str, keep_last: int = 1) -> list[int]:
@@ -316,6 +400,7 @@ class Catalog:
         # the copies the policy promised to keep.
         drop = versions[: max(0, len(versions) - keep_last)] if keep_last else versions
         for v in drop:
+            self._drop_snap_entry(name, v)
             shutil.rmtree(os.path.join(self.root, f".{name}.v{v}"))
         return drop
 
@@ -335,6 +420,7 @@ class Catalog:
         snap = os.path.join(self.root, f".{name}.v{int(version)}")
         if not os.path.isdir(snap):
             return False
+        self._drop_snap_entry(name, version)
         shutil.rmtree(snap)
         return True
 
@@ -356,6 +442,11 @@ class Catalog:
                 shutil.rmtree(stale)
         os.makedirs(tmp)
         for f in os.listdir(snap):
+            if f == "_bucket_spec.json":
+                # snapshot metadata, not table data: the LIVE entry
+                # keeps describing the restored table's layout (and a
+                # later re-bucketing must not read a stale spec here)
+                continue
             os.link(os.path.join(snap, f), os.path.join(tmp, f))
         os.rename(path, old)
         os.rename(tmp, path)

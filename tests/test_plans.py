@@ -567,3 +567,65 @@ def test_pretraining_manifest_full_shape(spark):
     plan = _plan(spark, "pretraining_manifest_full")
     assert "InMemoryTableScan" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pinned_snapshot_reads_stay_bucketed(spark, tmp_path):
+    """r11 (VERDICT r10 item 3): a snapshot of a bucketed table is
+    LAYOUT-PRESERVING — get_version serves the frozen tree as a
+    bucketed read, so the epoch-pinned keep-best challenge keeps the
+    live path's exchange-free plans. Gates BOTH consumer shapes the
+    pinned challenge runs per epoch: the max_bucket skew aggregate on
+    (band_idx, band_hash) and the shingle join on id — pre-r11 each
+    paid a corpus-sized Exchange over the plain-parquet pin."""
+    from pyspark.sql import functions as F
+
+    from simple_map_reduce_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    buckets = spark.range(0, 400).select(
+        (F.col("id") % 50).alias("band_idx"),
+        (F.col("id") % 97).alias("band_hash"),
+        F.col("id").alias("id"),
+    )
+    cat.put_bucketed(buckets, "pb__buckets", ("band_idx", "band_hash"), 8)
+    shingles = spark.range(0, 400).select(
+        F.col("id"), (F.col("id") * 7 % 991).alias("h")
+    )
+    cat.put_bucketed(shingles, "pb__shingles", "id", 8)
+    vb = cat.snapshot("pb__buckets")
+    vs = cat.snapshot("pb__shingles")
+
+    # consumer shape 1: the skew aggregate on the pinned buckets
+    agg = cat.get_version("pb__buckets", vb).groupBy("band_idx", "band_hash").agg(
+        F.count("*").alias("bsz")
+    )
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Bucketed: true" in plan, plan
+
+    # consumer shape 2: pinned shingles joined on id against the live
+    # bucketed table (broadcast disabled so a lost layout would force
+    # a shuffle, not hide behind a BroadcastExchange)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = cat.get_version("pb__shingles", vs).join(
+            cat.get_bucketed("pb__shingles").select("id"), "id"
+        )
+        jplan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Exchange" not in jplan, jplan
+
+    # and the pin is still a PIN: rows appended after the snapshot are
+    # invisible to the frozen read
+    cat.append_bucketed(
+        spark.range(400, 500).select(
+            F.col("id"), (F.col("id") * 7 % 991).alias("h")
+        ),
+        "pb__shingles",
+        "id",
+        8,
+    )
+    assert cat.get_version("pb__shingles", vs).count() == 400
+    assert cat.get_bucketed("pb__shingles").count() == 500
