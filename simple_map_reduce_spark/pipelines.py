@@ -302,7 +302,7 @@ def pretraining_manifest(
     span: int = 1_000_000,
     pairs: DataFrame | None = None,
     emb: DataFrame | None = None,
-    sem_k: int = 32,
+    sem_k: int | None = None,
     sem_iters: int = 2,
     sem_tau: float = 0.35,
     quality_aware: bool = False,
@@ -329,7 +329,11 @@ def pretraining_manifest(
        seeded/trained on the survivor set, within-cluster cosine prune),
        dropping the pruned ids. Lexical first, semantic second: the
        cheap shingle-based prune shrinks the corpus the quadratic
-       within-cluster stage prices;
+       within-cluster stage prices. ``sem_k=None`` (default) lets the
+       prune capacity-size its quantizer (√N over the survivor count —
+       the sizing that survives 100×, SCALE.md); the registered
+       manifest rows pass the explicit parity constant their composed
+       oracle bakes in;
     3. **split assignment** — deterministic frozen-eval-set
        train/val/test (``operators.sampling.split_assign``);
     4. **packing layout** — range-sharded concatenate-and-chunk per

@@ -381,15 +381,21 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup over the embeddings table — the k-means-refined quantizer
     clusters the space, then within-cluster pairwise cosine prunes
     near-duplicates (exemplar = smallest same-cluster id above
-    SEMDEDUP_TAU). The oracle unrolls the same Lloyd rounds in SQL
-    (shared ``_kmeans_ctes``) and replays the assignment + self-join, so
-    the whole cluster-then-prune pipeline is verified bit-for-bit."""
+    SEMDEDUP_TAU). CAPACITY-SIZED since r11 (``n_centroids=None`` →
+    ``ivf_capacity``'s √N rule): the fixed-K form's N²/K within-cluster
+    volume is the measured DNF-at-100× class (SCALE.md, r10 second
+    decade), so the REGISTERED row runs the sizing that survives scale.
+    The oracle unrolls the same Lloyd rounds in SQL (shared
+    ``_kmeans_ctes``) with the SAME √N recomputed as a LIMIT expression
+    (``SEMDEDUP_CAPACITY_K_SQL``) and replays the assignment +
+    self-join, so cluster-then-prune AND the auto-sizing are verified
+    bit-for-bit."""
     from .operators.similarity import semdedup_prune
 
     emb = load_table(spark, sf_dir, "embeddings")
     out = semdedup_prune(
         emb,
-        n_centroids=SEMDEDUP_K,
+        n_centroids=None,
         iters=SEMDEDUP_ITERS,
         tau=SEMDEDUP_TAU,
     )
@@ -403,10 +409,12 @@ def q_semdedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     indexes shipped r9/r10). Same quantizer and within-cluster pair
     graph as ``semdedup_prune``, but each tau-pair's LOWER-quality side
     is pruned (q = n_chars joined from documents; ties break to the
-    smaller id) and ``kept_id`` is the (q, -id)-max dominator. The
-    oracle replays the unrolled-Lloyd assignment, the quality join, the
-    pair dominance CASE, and the argmax — a min-id prune in disguise
-    keeps different exemplars and cannot hash-match."""
+    smaller id) and ``kept_id`` is the (q, -id)-max dominator.
+    CAPACITY-SIZED since r11, like its min-id twin (√N centroids via
+    ``n_centroids=None``; the oracle recomputes the same √N as a LIMIT
+    expression). The oracle replays the unrolled-Lloyd assignment, the
+    quality join, the pair dominance CASE, and the argmax — a min-id
+    prune in disguise keeps different exemplars and cannot hash-match."""
     from .operators.similarity import semdedup_keep_best
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -416,7 +424,7 @@ def q_semdedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = semdedup_keep_best(
         emb,
         qual,
-        n_centroids=SEMDEDUP_K,
+        n_centroids=None,
         iters=SEMDEDUP_ITERS,
         tau=SEMDEDUP_TAU,
     )
@@ -2076,7 +2084,7 @@ def minhash_pairs_oracle() -> str:
     """
 
 
-def _kmeans_ctes(k: int, iters: int, vsrc: str = "embeddings") -> tuple[str, str]:
+def _kmeans_ctes(k: int | str, iters: int, vsrc: str = "embeddings") -> tuple[str, str]:
     """The unrolled Lloyd chain as DuckDB CTEs: one (assignment,
     quantized-mean, empty-cluster-keep) block per round, generated from
     the same parameters the Spark queries pass. Same rounded-cosine
@@ -2202,8 +2210,19 @@ def ivf_refined_topk_oracle(
     """
 
 
+# ivf_capacity's √N rule over the full-corpus CTE ``v`` (the semdedup
+# twin of IVF_CAPACITY_K_SQL, which sizes over the 9-in-10 ``corp``
+# split): max(1, min(65536, round(sqrt(N)), N)) — round-half ties
+# cannot occur, sqrt of an integer is never exactly x.5
+SEMDEDUP_CAPACITY_K_SQL = (
+    "GREATEST(1, LEAST(65536, "
+    "CAST(round(sqrt((SELECT count(*) FROM v))) AS BIGINT), "
+    "(SELECT count(*) FROM v)))"
+)
+
+
 def _semdedup_ctes(
-    k: int, iters: int, tau: float, vsrc: str = "embeddings"
+    k: int | str, iters: int, tau: float, vsrc: str = "embeddings"
 ) -> tuple[str, str]:
     """SemDeDup as a spliceable CTE chain: the unrolled-Lloyd CTEs feed
     the final-centroid assignment, then a within-cluster self-join on
@@ -2240,7 +2259,7 @@ def _semdedup_ctes(
 
 
 def semdedup_oracle(
-    k: int = SEMDEDUP_K,
+    k: int | str = SEMDEDUP_K,
     iters: int = SEMDEDUP_ITERS,
     tau: float = SEMDEDUP_TAU,
 ) -> str:
@@ -2255,7 +2274,7 @@ def semdedup_oracle(
 
 
 def semdedup_keep_best_oracle(
-    k: int = SEMDEDUP_K,
+    k: int | str = SEMDEDUP_K,
     iters: int = SEMDEDUP_ITERS,
     tau: float = SEMDEDUP_TAU,
 ) -> str:
@@ -5321,8 +5340,8 @@ EXT_ORACLES = {
     "label_confusion": label_confusion_oracle(),
     "ivf_refined_centroids": ivf_refined_centroids_oracle(),
     "ivf_refined_topk": ivf_refined_topk_oracle(),
-    "semdedup_prune": semdedup_oracle(),
-    "semdedup_keep_best": semdedup_keep_best_oracle(),
+    "semdedup_prune": semdedup_oracle(k=SEMDEDUP_CAPACITY_K_SQL),
+    "semdedup_keep_best": semdedup_keep_best_oracle(k=SEMDEDUP_CAPACITY_K_SQL),
     "embedding_neardup_idx": embedding_neardup_idx_oracle(),
     "semantic_ingest": semantic_ingest_oracle(),
     "quality_filter": quality_filter_oracle(),

@@ -807,3 +807,72 @@ def test_semdedup_keep_best_refuses_unscored_vectors(spark):
     )
     with pytest.raises(ValueError, match="no quality row"):
         semdedup_keep_best(emb, qual, n_centroids=2, tau=0.9)
+
+
+def test_keep_best_family_refuses_non_integral_quality(spark, tmp_path):
+    """ADVICE r10: every keep-best decision orders by (q, -id) with q
+    cast to bigint — a float quality would silently TRUNCATE under that
+    cast (1.9 -> 1) and can flip dominance/ties with no failure
+    anywhere. All five quality entry points must raise loudly instead:
+    the batch semantic form, the batch lexical form, and both standing
+    indexes' build + keep-best ingest."""
+    from simple_map_reduce_spark.catalog import Catalog
+    from simple_map_reduce_spark.operators.dedup import (
+        NearDupIndex,
+        keep_best_exemplars,
+    )
+    from simple_map_reduce_spark.operators.similarity import (
+        IvfIndex,
+        semdedup_keep_best,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0, float(i % 2)]) for i in range(6)],
+        ["vec_id", "embedding"],
+    )
+    fq = spark.createDataFrame(
+        [(i, 10.0 - i) for i in range(6)], ["vec_id", "q"]  # DOUBLE q
+    )
+    with pytest.raises(ValueError, match="exact-integer"):
+        semdedup_keep_best(emb, fq, n_centroids=2, tau=0.9)
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}", 1.5 * i) for i in range(4)],
+        ["doc_id", "text", "fscore"],
+    )
+    pairs = spark.createDataFrame([(0, 1)], ["id_a", "id_b"])
+    with pytest.raises(ValueError, match="exact-integer"):
+        keep_best_exemplars(docs, pairs, F.col("fscore"))
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    fdocs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta", 2.5) for i in range(3)],
+        ["doc_id", "text", "fq"],
+    )
+    with pytest.raises(ValueError, match="exact-integer"):
+        NearDupIndex(cat, "fq_ndi").build(fdocs, quality_col="fq")
+    femb = spark.createDataFrame(
+        [(i, [1.0, 0.0], 0.5) for i in range(3)],
+        ["vec_id", "embedding", "fq"],
+    )
+    with pytest.raises(ValueError, match="exact-integer"):
+        IvfIndex(cat, "fq_ivf", n_centroids=2).build(femb, quality_col="fq")
+
+
+def test_semdedup_keep_best_refuses_duplicate_quality_ids(spark):
+    """ADVICE r10: a duplicated id in the quality frame multiplies rows
+    through the left join AND the self-join, yielding inconsistent
+    pruned/keeper rows with no failure — must raise loudly instead."""
+    from simple_map_reduce_spark.operators.similarity import (
+        semdedup_keep_best,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0, float(i % 2)]) for i in range(4)],
+        ["vec_id", "embedding"],
+    )
+    qual = spark.createDataFrame(
+        [(0, 9), (1, 8), (2, 7), (3, 6), (2, 99)], ["vec_id", "q"]
+    )
+    with pytest.raises(ValueError, match="duplicate quality row"):
+        semdedup_keep_best(emb, qual, n_centroids=2, tau=0.9)

@@ -230,3 +230,54 @@ def test_ingest_stream_scheduler_below_threshold_is_noop(spark, tmp_path):
     stream = _stream_of(spark, tmp_path, EPOCH_ROWS)
     idx.ingest_stream(stream, str(tmp_path / "ckpt"), maintain_every=1)
     assert cat.file_count(idx.buckets_table) > idx.num_buckets
+
+
+def test_maintain_sweeps_leaked_epoch_pins(spark, tmp_path):
+    """r11 (VERDICT r10 item 6): snapshot trees and __snaps rows leaked
+    by crashed keep-best epochs — previously healed only if the SAME
+    epoch replayed — are collected by the next maintain(), while an
+    UNCOMMITTED epoch's pins (a replay may still need them) survive."""
+    from pyspark.sql import functions as F
+
+    cat = Catalog(spark, str(tmp_path / "mwh_sweep"))
+    docs = spark.createDataFrame(
+        [(0, BASE, 100), (1, NEAR, 90), (2, FAR, 80), (3, FAR2, 70)],
+        ["doc_id", "text", "q"],
+    )
+    idx = NearDupIndex(cat, "sweep_idx")
+    idx.build(docs, quality_col="q")
+
+    # leak class 1: trees with NO snaps row (crash between the
+    # snapshots and the ONE atomic snaps append)
+    orphan_v = cat.snapshot(idx.buckets_table)
+    # leak class 2: snaps rows + trees of a COMMITTED epoch (crash
+    # between the marker commit and the best-effort pin release)
+    committed_pins = {t: cat.snapshot(t) for t in
+                      (idx.shingles_table, idx.sizes_table)}
+    # and pins of an UNCOMMITTED epoch, which MUST survive the sweep
+    live_pin_v = cat.snapshot(idx.quality_table)
+    cat.put(
+        spark.createDataFrame(
+            [(7, t, v) for t, v in committed_pins.items()]
+            + [(9, idx.quality_table, live_pin_v)],
+            "epoch_id BIGINT, table_name STRING, version BIGINT",
+        ),
+        idx.snaps_table,
+    )
+    cat.put(spark.createDataFrame([(7,)], "epoch_id bigint"), idx.kb_epochs_table)
+
+    report = idx.maintain()
+    assert report["pins_dropped"] == 3  # orphan + the 2 committed pins
+    assert report["snaps_rows_dropped"] == 2  # epoch 7's rows
+    assert cat.versions(idx.buckets_table) == []
+    assert all(cat.versions(t) == [] for t in committed_pins)
+    # the uncommitted epoch's pin and snaps row survive intact
+    assert cat.versions(idx.quality_table) == [live_pin_v]
+    snaps = cat.get(idx.snaps_table).collect()
+    assert [(int(r.epoch_id), r.table_name, int(r.version)) for r in snaps] == [
+        (9, idx.quality_table, live_pin_v)
+    ]
+    # idempotent: a second sweep finds nothing
+    report2 = idx.maintain()
+    assert report2["pins_dropped"] == 0 and report2["snaps_rows_dropped"] == 0
+    assert cat.versions(idx.quality_table) == [live_pin_v]

@@ -697,3 +697,33 @@ def test_ivf_cluster_stats_and_rebuild_rebalances(spark, tmp_path):
     assert sorted(r.n_vectors for r in stats2.values()) == [4, 4]
     after = sorted(map(tuple, idx.search_ids([0, 4], k=2).collect()))
     assert after == before
+
+
+def test_semdedup_default_is_capacity_sized(spark):
+    """r11: ``n_centroids=None`` (now the default) resolves ivf_capacity's
+    sqrt(N) rule — the registered rows run the sizing that completed the
+    100x check the fixed-K form DNF'd. Equivalence is exact: the default
+    call must equal an explicit sqrt(N) call bit-for-bit, on both the
+    min-id and keep-best forms."""
+    from simple_map_reduce_spark.operators.similarity import (
+        ivf_capacity,
+        semdedup_keep_best,
+        semdedup_prune,
+    )
+
+    emb = _clustered_emb(spark)
+    k, _ = ivf_capacity(emb.count())
+    assert k == 3  # sqrt(8) rounds to 3 — the default must use exactly this
+    auto = sorted(map(tuple, semdedup_prune(emb, tau=0.9).collect()))
+    fixed = sorted(
+        map(tuple, semdedup_prune(emb, n_centroids=k, tau=0.9).collect())
+    )
+    assert auto == fixed and len(auto) > 0
+    qual = spark.createDataFrame(
+        [(i, (7 - i) * 10) for i in range(8)], ["vec_id", "q"]
+    )
+    auto_kb = sorted(map(tuple, semdedup_keep_best(emb, qual, tau=0.9).collect()))
+    fixed_kb = sorted(
+        map(tuple, semdedup_keep_best(emb, qual, n_centroids=k, tau=0.9).collect())
+    )
+    assert auto_kb == fixed_kb and len(auto_kb) > 0
