@@ -247,118 +247,97 @@ QUERIES: dict[str, QueryFn] = {
 # so a behavior change can never ship on a stale green row again (round
 # 2's trigram-default change left jaccard_pairs unverified for a round).
 #
-# Round 10 window = the 5 NEW queries (streaming_keep_best —
-# NearDupIndex.ingest_stream_keep_best under the SNAPSHOT-ISOLATED
-# epoch protocol, VERDICT r9 item 2; streaming_semantic_keep_best —
-# the IvfIndex twin, completing the protocol's symmetry across both
-# dedup-capable indexes; pretraining_manifest_kb — the
-# grand composition with quality_aware keep-best dedup, item 3;
-# embedding_neardup_capacity — the √N-sized quantizer under the hash
-# gate, closing the second-decade finding; semdedup_keep_best —
-# quality-aware batch SemDeDup, the keep-best family's last missing
-# tier) + the
-# 4 rows whose code/oracle changed (neardup_keep_best /
-# semantic_keep_best: the quality join is now LEFT + a loud unscored-
-# incumbent guard, build() publishes the quality tier delete-first/
-# put-last, and NearDupIndex.build publishes the hash-family marker —
-# ADVICE r9; incremental_neardup_idx: the representative plain
-# NearDupIndex build+ingest journey under the new meta-marker
-# lifecycle; bm25_topk_pruned: the oracle's cap literal is now CAST to
-# DOUBLE, ADVICE r9 low — results identical, oracle text changed, so
-# parity re-proves) + ALL 31 remaining r6-dated rows (the r9 window
-# comment undercounted them as 18 — VERDICT r9 item 1 fixed the count;
-# after this window nothing oracle-backed is older than r7) + the 7
-# oldest r7-dated rows, alphabetical + the 3 rows-only sketches at the
-# window TAIL (VERDICT r9 item 6: they are error-bound-gated in
-# tests/test_sketches.py and hash-unmatchable BY DESIGN, but none has
-# executed under the driver since r1 — three tail slots prove the code
-# paths run in the driver environment; allowlisted in
-# tests/test_registry_lint.py).
-# Out of _CHANGED_THIS_ROUND deliberately: every other minhash row
-# (the family marker adds one tiny build-time put + a driver-side
-# one-row meta read — the embedding_neardup_idx-r7 "driver-side check
-# into the identical plan" precedent; incremental_neardup_idx stands
-# in for the class), dedup_keep_best (batch keep_best_exemplars is
-# untouched), pretraining_manifest_full (quality_aware defaults False
-# and short-circuits to the identical plan), and the bm25 rows other
-# than bm25_topk_pruned (no max_df_share → the CAST never enters
-# their oracle text).
+# Round 11 window = the 8 rows whose code/oracle changed (semdedup_prune
+# / semdedup_keep_best: CAPACITY-SIZED — n_centroids=None resolves
+# ivf_capacity's sqrt(N) rule, the fix for the measured N^2/K
+# DNF-at-100x class, with the oracle recomputing the same sqrt(N) as a
+# LIMIT expression, VERDICT r10 item 1; dedup_keep_best /
+# pretraining_manifest_kb / neardup_keep_best / semantic_keep_best:
+# every keep-best quality entry point now REFUSES non-integral quality
+# instead of silently truncating under the bigint cast, ADVICE r10 —
+# and semdedup_keep_best additionally refuses duplicate quality ids;
+# streaming_keep_best / streaming_semantic_keep_best: snapshots are
+# LAYOUT-PRESERVING, so the pinned epoch challenge keeps the bucketed
+# tables' exchange-free plans instead of paying per-epoch corpus
+# Exchanges — VERDICT r10 item 3, plan-gated in tests/test_plans.py)
+# + ALL 39 r7-dated rows (VERDICT r10 item 1: after this window nothing
+# oracle-backed is older than r8), with the three rows named-deferred
+# from the r10 rotation (asof_last_order, customer_order_seq,
+# corpus_splits — queries.py r10 comment) FIRST so deferrals don't
+# compound (VERDICT r10 item 7)
+# + the 3 alphabetically-first r8-dated rows (audio_features,
+# big_orders, bm25_topk) to fill the window — freshness bonus.
+# Out of _CHANGED_THIS_ROUND deliberately: incremental_neardup_idx and
+# every other plain (non-quality) index row — require_integral_quality
+# fires only on quality-tier entry points, and plain builds/ingests
+# never snapshot; embedding_neardup_capacity (IvfIndex.build without
+# quality, untouched); pretraining_manifest/_full (quality_aware
+# defaults False, sem_k stays the explicit parity constant this round
+# — capacity-sizing the COMPOSED manifest oracle is future work);
+# maintain()'s new epoch-pin sweep (no registry row invokes maintain —
+# pytest-gated in tests/test_maintain.py).
 _CHANGED_THIS_ROUND = [
-    # r10: NEW queries ship their behavior this round
-    "streaming_keep_best",
-    "streaming_semantic_keep_best",
+    # r11: capacity-sized SemDeDup pair (sqrt(N) quantizer + capacity
+    # oracle) + the integral-quality/duplicate-id guards
+    "semdedup_prune",
+    "semdedup_keep_best",
+    # r11: require_integral_quality on keep_best_exemplars and both
+    # indexes' quality tiers (ADVICE r10)
+    "dedup_keep_best",
     "pretraining_manifest_kb",
-    # r10: keep-best quality join LEFT + unscored guard, quality-tier
-    # build ordering, hash-family marker (ADVICE r9)
     "neardup_keep_best",
     "semantic_keep_best",
-    # r10: plain NearDupIndex build/ingest under the new meta-marker
-    # lifecycle (representative journey for the minhash index class)
-    "incremental_neardup_idx",
-    # r10: oracle cap literal CAST to DOUBLE (ADVICE r9 low)
-    "bm25_topk_pruned",
-    # r10: NEW — the √N capacity-sized quantizer under the hash gate
-    # (the scale path SCALE.md §"Second decade" measured; its fixed-K
-    # sibling is the parity tier)
-    "embedding_neardup_capacity",
-    # r10: NEW — quality-aware batch SemDeDup (similarity.py::
-    # semdedup_keep_best), completing keep-best symmetry across all
-    # three dedup tiers; its slot came from corpus_splits (r7-dated,
-    # deferred to r11 beside asof_last_order / customer_order_seq)
-    "semdedup_keep_best",
+    # r11: layout-preserving snapshot pins in the epoch protocol
+    "streaming_keep_best",
+    "streaming_semantic_keep_best",
 ]
 _ROTATION_FRONT = [
     *_CHANGED_THIS_ROUND,
-    # ALL 31 remaining r6-dated rows (freshness: after this window
-    # nothing oracle-backed is older than r7)
-    "length_histogram",
-    "maple_filter_pct",
-    "maple_wordcount",
-    "mixture_temperature",
-    "multi_distinct",
-    "multimodal_meta",
-    "nation_segment_list",
-    "orders_by_month",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_regional_revenue",
-    "qty_outliers",
-    "redact_pii",
-    "regex_filter",
-    "rrf_fusion",
-    "sales_rollup",
-    "simhash_dup_pairs",
-    "simhash_sigs",
-    "similarity_topk",
-    "streaming_click_attribution",
-    "streaming_dedup",
-    "streaming_dedup_watermark",
-    "streaming_enriched",
-    "streaming_rollup",
-    "streaming_sessions",
-    "text_stats",
-    "token_counts",
-    "topk_customers",
-    "window_running",
-    "wordcount",
-    "wordcount_total",
-    # the 7 oldest r7-dated rows, alphabetical (freshness rotation;
-    # asof_last_order / customer_order_seq / corpus_splits deferred to
-    # r11 — their slots went to streaming_semantic_keep_best,
-    # embedding_neardup_capacity, and semdedup_keep_best)
-    "bigram_docfreq",
-    "bpe_pair_counts",
-    "cheapest_item_per_order",
-    "chunk_ann_topk",
-    "chunk_assignment",
-    "chunk_assignment_sharded",
-    "cohort_retention",
-    # the 3 rows-only sketches at the window TAIL (VERDICT r9 item 6:
-    # first driver execution since r1; no oracle BY DESIGN — the
-    # driver records rows>0/err=None, the lint allowlists them)
-    "vocab_sketch",
-    "value_quantiles_sketch",
-    "bigram_lm_quality_sketch",
+    # the 3 rows named-deferred from the r10 rotation, first
+    "asof_last_order",
+    "customer_order_seq",
+    "corpus_splits",
+    # the remaining 36 r7-dated rows, alphabetical
+    "customer_spend_ntile",
+    "customers_without_orders",
+    "decontaminate",
+    "deterministic_sample",
+    "disjunctive_revenue",
+    "dominant_suppliers",
+    "embedding_neardup",
+    "embedding_neardup_lsh",
+    "embedding_quantize",
+    "events_json",
+    "events_pivot",
+    "flag_priority_matrix",
+    "forecast_revenue",
+    "frame_sample",
+    "fuzzy_part_names",
+    "image_features",
+    "ivf_refined_centroids",
+    "ivf_refined_topk",
+    "jaccard_pairs",
+    "label_confusion",
+    "late_ship_priority",
+    "market_share",
+    "mixture_weights",
+    "orders_sorted_limit",
+    "part_type_stats",
+    "parts_ordered",
+    "perplexity_prune",
+    "quality_filter",
+    "repetition_signals",
+    "semantic_ingest",
+    "similarity_topk_ivf",
+    "similarity_topk_lsh",
+    "span_dedup",
+    "stats_summary",
+    "streaming_semantic_ingest",
+    "vocab_encode",
+    # window fill: the 3 alphabetically-first r8-dated rows
+    "audio_features",
+    "big_orders",
+    "bm25_topk",
 ]
 assert len(_ROTATION_FRONT) == 50
 assert set(_ROTATION_FRONT) <= set(QUERIES)
