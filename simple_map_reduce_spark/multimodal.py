@@ -695,6 +695,111 @@ def decode_gif_features(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "content").mapInPandas(run, PPM_FEATURES_SCHEMA)
 
 
+def _parse_bmp(payload: bytes) -> tuple[int, int, int, list[float]]:
+    """Parse an uncompressed Windows BMP (BITMAPINFOHEADER, BI_RGB,
+    8-bit paletted or 24-bit BGR) with the stdlib only — the codec-free
+    FIFTH real decoder beside WAV, PPM, PNG, and GIF, and the last
+    stdlib-reachable image format (JPEG et al. genuinely need a codec).
+    Handles both row orders (positive height = bottom-up per spec,
+    negative = top-down), the 4-byte row padding, and palette sizes
+    from the colors-used field. Every malformed form — bad magic, a
+    non-BITMAPINFOHEADER DIB, compression, planes != 1, unsupported
+    bpp, a data offset or raster running past the payload, an index
+    beyond the palette — raises ValueError; :data:`MAX_PIXELS` bounds
+    every header-sized allocation, the same bomb contract as the other
+    parsers. Feature: per-channel (B, G, R -> R, G, B) mean intensity,
+    the shared 4-dim image contract."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP (bad magic)")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    dib_size = struct.unpack_from("<I", payload, 14)[0]
+    if dib_size < 40:
+        raise ValueError(f"unsupported DIB header size {dib_size}")
+    width, height_raw = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression, _imgsize = struct.unpack_from("<II", payload, 30)
+    colors_used = struct.unpack_from("<I", payload, 46)[0]
+    top_down = height_raw < 0
+    height = -height_raw if top_down else height_raw
+    if width < 1 or height < 1:
+        raise ValueError(f"bad BMP dimensions {width}x{height_raw}")
+    _check_pixels(width, height, "BMP")
+    if planes != 1:
+        raise ValueError(f"BMP planes must be 1, got {planes}")
+    if compression != 0:
+        raise ValueError(
+            f"unsupported BMP compression {compression}: only BI_RGB "
+            "(uncompressed) decodes codec-free here"
+        )
+    if bpp not in (8, 24):
+        raise ValueError(
+            f"unsupported BMP bit depth {bpp}: 8-bit paletted and "
+            "24-bit BGR decode codec-free here"
+        )
+    palette = None
+    if bpp == 8:
+        n_pal = colors_used or 256
+        if not 1 <= n_pal <= 256:
+            raise ValueError(f"bad BMP palette size {n_pal}")
+        pal_off = 14 + dib_size
+        if pal_off + 4 * n_pal > len(payload):
+            raise ValueError("truncated BMP palette")
+        # BGRX quads -> (n_pal, 3) BGR table
+        palette = (
+            np.frombuffer(payload, dtype=np.uint8,
+                          count=4 * n_pal, offset=pal_off)
+            .reshape(-1, 4)[:, :3]
+        )
+    stride = (width * (bpp // 8) + 3) & ~3  # rows pad to 4 bytes
+    if data_off > len(payload) or data_off + stride * height > len(payload):
+        raise ValueError("BMP raster runs past the payload")
+    raster = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * height, offset=data_off
+    ).reshape(height, stride)
+    if not top_down:
+        raster = raster[::-1]  # bottom-up storage per spec
+    if bpp == 8:
+        idx = raster[:, :width]
+        if int(idx.max()) >= len(palette):
+            raise ValueError(
+                f"pixel index {int(idx.max())} beyond the "
+                f"{len(palette)}-color palette"
+            )
+        bgr = palette[idx]  # (h, w, 3) BGR
+    else:
+        bgr = raster[:, : width * 3].reshape(height, width, 3)
+    # dtype-accumulated means (exact integer float64 sums), BGR -> RGB
+    means = [
+        float(bgr[:, :, c].mean(dtype=np.float64)) / 255.0 for c in (2, 1, 0)
+    ]
+    overall = float(bgr.mean(dtype=np.float64)) / 255.0
+    return width, height, 3, means + [overall]
+
+
+def decode_bmp_features(media: DataFrame) -> DataFrame:
+    """REAL image decode for uncompressed BMP — through the SAME Arrow
+    contract as the PPM/PNG/GIF tier (``PPM_FEATURES_SCHEMA``):
+    dimensions from the validated headers, the 4-dim feature from
+    actual per-channel mean intensities (BGR storage reported as
+    RGB)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                w, h, c, feat = _parse_bmp(bytes(content))
+                rows.append((doc_id, w, h, c, feat))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "n_channels", "feature"]
+            )
+
+    return media.select("doc_id", "content").mapInPandas(run, PPM_FEATURES_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_n: int = 10, strict: bool = False) -> DataFrame:
     """Video frame sampling stub: emits 0..n rows per input (UDTF shape —
     one row per sampled frame). Real impl would seek with ffmpeg."""

@@ -656,6 +656,7 @@ def test_all_parsers_fail_closed_on_arbitrary_bytes():
     from hypothesis import strategies as st
 
     from simple_map_reduce_spark.multimodal import (
+        _parse_bmp,
         _parse_gif,
         _parse_png,
         _parse_pnm,
@@ -667,11 +668,13 @@ def test_all_parsers_fail_closed_on_arbitrary_bytes():
         (_parse_png, _png(2, 2, 0, [[0, 64], [128, 255]], filters=[0, 2])),
         (_parse_pnm, b"P6 2 1 255\n" + bytes([255, 0, 0, 0, 0, 255])),
         (_parse_wav, _wav16([16384, -16384], sample_rate=16000)),
+        (_parse_bmp, _bmp(2, 2, [[(255, 0, 0), (0, 255, 0)],
+                                 [(0, 0, 255), (9, 9, 9)]])),
     ]
-    magics = [b"GIF89a", b"\x89PNG\r\n\x1a\n", b"P6 ", b"RIFF"]
+    magics = [b"GIF89a", b"\x89PNG\r\n\x1a\n", b"P6 ", b"RIFF", b"BM"]
 
     @given(
-        which=st.integers(0, 3),
+        which=st.integers(0, 4),
         junk=st.binary(min_size=0, max_size=120),
         edits=st.lists(
             st.tuples(st.integers(0, 10_000), st.integers(0, 255)),
@@ -751,3 +754,104 @@ def test_decompression_bombs_rejected_before_allocation():
     # PNM header declaring 1e10 px: rejected before the raster read
     with pytest.raises(ValueError, match="MAX_PIXELS"):
         _parse_pnm(b"P6 100000 100000 255\n" + bytes(16))
+
+
+# ---------------------------------------------------------------------------
+# BMP (the codec-free FIFTH real decoder)
+# ---------------------------------------------------------------------------
+
+
+def _bmp(width, height, pixels_rgb, bpp=24, top_down=False, palette=None,
+         compression=0, planes=1, data_off=None):
+    """Hand-built uncompressed BMP. ``pixels_rgb`` is row-major
+    top-left-origin [(r,g,b)...] rows; storage converts to BGR, pads
+    rows to 4 bytes, and reverses row order unless ``top_down``."""
+    if bpp == 24:
+        rows = [
+            b"".join(bytes([b, g, r]) for (r, g, b) in row) for row in pixels_rgb
+        ]
+    else:  # 8-bit: pixels_rgb is index rows, palette is [(r,g,b)...]
+        rows = [bytes(row) for row in pixels_rgb]
+    stride = (width * (bpp // 8) + 3) & ~3
+    rows = [r + bytes(stride - len(r)) for r in rows]
+    if not top_down:
+        rows = rows[::-1]
+    raster = b"".join(rows)
+    pal = b""
+    if bpp == 8:
+        pal = b"".join(bytes([b, g, r, 0]) for (r, g, b) in palette)
+    off = data_off if data_off is not None else 54 + len(pal)
+    h_field = -height if top_down else height
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, h_field, planes, bpp, compression,
+        len(raster), 2835, 2835, len(palette or []), 0,
+    )
+    head = b"BM" + struct.pack("<IHHI", off + len(raster), 0, 0, off)
+    return head + dib + pal + raster
+
+
+def test_parse_bmp_24bit_known_pixels_and_padding():
+    from simple_map_reduce_spark.multimodal import _parse_bmp
+
+    px = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (255, 255, 255)]]
+    w, h, c, feat = _parse_bmp(_bmp(2, 2, px))
+    assert (w, h, c) == (2, 2, 3)
+    assert feat[0] == pytest.approx(510 / 4 / 255, abs=1e-15)  # R mean
+    assert feat[1] == pytest.approx(510 / 4 / 255, abs=1e-15)  # G mean
+    assert feat[2] == pytest.approx(510 / 4 / 255, abs=1e-15)  # B mean
+    # bottom-up vs top-down must decode to the SAME image
+    up = _parse_bmp(_bmp(2, 2, px, top_down=False))
+    down = _parse_bmp(_bmp(2, 2, px, top_down=True))
+    assert up == down
+    # 3-wide: stride 12 with 3 pad bytes per row — padding never leaks
+    px3 = [[(10, 20, 30), (40, 50, 60), (70, 80, 90)]]
+    w, h, c, feat3 = _parse_bmp(_bmp(3, 1, px3))
+    assert (w, h) == (3, 1)
+    assert feat3[0] == pytest.approx((10 + 40 + 70) / 3 / 255, abs=1e-15)
+
+
+def test_parse_bmp_8bit_palette():
+    from simple_map_reduce_spark.multimodal import _parse_bmp
+
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)]
+    w, h, c, feat = _parse_bmp(
+        _bmp(2, 2, [[0, 1], [2, 3]], bpp=8, palette=pal, top_down=True)
+    )
+    assert (w, h, c) == (2, 2, 3)
+    assert feat[0] == pytest.approx(510 / 4 / 255, abs=1e-15)
+    # an index beyond the palette fails loudly
+    with pytest.raises(ValueError, match="beyond the"):
+        _parse_bmp(_bmp(1, 1, [[3]], bpp=8, palette=pal[:2], top_down=True))
+
+
+def test_parse_bmp_rejects_garbage():
+    from simple_map_reduce_spark.multimodal import _parse_bmp
+
+    px = [[(1, 2, 3)]]
+    with pytest.raises(ValueError, match="bad magic"):
+        _parse_bmp(b"PNG" + bytes(60))
+    with pytest.raises(ValueError, match="compression"):
+        _parse_bmp(_bmp(1, 1, px, compression=1))
+    with pytest.raises(ValueError, match="planes"):
+        _parse_bmp(_bmp(1, 1, px, planes=2))
+    with pytest.raises(ValueError, match="runs past"):
+        _parse_bmp(_bmp(1, 1, px)[:-2])
+    with pytest.raises(ValueError, match="runs past"):
+        _parse_bmp(_bmp(1, 1, px, data_off=10_000))
+    # the shared bomb cap, before any raster-sized allocation
+    bomb = bytearray(_bmp(1, 1, px))
+    struct.pack_into("<ii", bomb, 18, 100_000, 100_000)
+    with pytest.raises(ValueError, match="MAX_PIXELS"):
+        _parse_bmp(bytes(bomb))
+
+
+def test_bmp_decode_through_spark(spark):
+    from simple_map_reduce_spark.multimodal import decode_bmp_features
+
+    px = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (255, 255, 255)]]
+    media = spark.createDataFrame(
+        [(1, bytearray(_bmp(2, 2, px)))], "doc_id bigint, content binary"
+    )
+    got = decode_bmp_features(media).collect()[0]
+    assert (got.width, got.height, got.n_channels) == (2, 2, 3)
+    assert got.feature[0] == pytest.approx(0.5, abs=1e-12)
