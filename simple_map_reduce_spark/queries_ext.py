@@ -4648,6 +4648,17 @@ def q_streaming_semantic_keep_best(spark: SparkSession, sf_dir: str) -> DataFram
     The oracle recomposes BOTH epochs SEQUENTIALLY (epoch 1 challenges
     (corpus − beaten₀) ∪ admitted₀ under the SAME corpus-seeded
     centroids — exactly the pinned-centroids contract)."""
+    return _streaming_skb_journey(spark, sf_dir, SEMDEDUP_K)
+
+
+def _streaming_skb_journey(
+    spark: SparkSession, sf_dir: str, n_centroids: int | None
+) -> DataFrame:
+    """The semantic streaming keep-best journey with the quantizer
+    sizing as a knob: the registered row passes the explicit parity
+    constant its oracle bakes in; ``tools/decade_bench.py`` passes
+    ``None`` (√N capacity) to measure the protocol's second decade on
+    the sizing production would actually run (SCALE.md)."""
     import os
     import shutil
     import tempfile
@@ -4676,7 +4687,7 @@ def q_streaming_semantic_keep_best(spark: SparkSession, sf_dir: str) -> DataFram
         shutil.move(os.path.join(stage, pf), dst)
         os.utime(dst, (1_000_000_000 + i * 1000,) * 2)
     cat = Catalog(spark, os.path.join(root, "wh"))
-    idx = IvfIndex(cat, "skb_stream", n_centroids=SEMDEDUP_K)
+    idx = IvfIndex(cat, "skb_stream", n_centroids=n_centroids)
     idx.build(corpus, quality_col="q")
     stream = (
         spark.readStream.schema(epochs[0].schema)

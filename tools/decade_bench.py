@@ -126,6 +126,30 @@ def build_derivatives() -> None:
             f"COPY ({_emb_branches(100, mask=True)}) "
             f"TO '{D_100}/embeddings.parquet' (FORMAT PARQUET)"
         )
+    if not os.path.exists(f"{D_100}/documents.parquet"):
+        # 100x disjoint-population documents (the D_KB per-copy word
+        # prefix, two decades): prices the LEXICAL streaming keep-best
+        # journey's second decade, and supplies the aligned n_chars
+        # quality the semantic journey joins on (doc_id == vec_id
+        # ranges shift identically)
+        word_re, backref = r"(\w+)", r"c{i}\1"
+
+        def _doc_text(i: int) -> str:
+            if i == 0:
+                return "text"
+            repl = backref.replace("{i}", str(i))
+            return f"regexp_replace(text, '{word_re}', '{repl}', 'g')"
+
+        branches = " UNION ALL ".join(
+            f"""SELECT doc_id + {i * SHIFT} AS doc_id,
+                       {_doc_text(i)} AS text,
+                       lang, source, n_chars
+                FROM '{SF01}/documents.parquet'"""
+            for i in range(100)
+        )
+        con.execute(
+            f"COPY ({branches}) TO '{D_100}/documents.parquet' (FORMAT PARQUET)"
+        )
     for p in (f"{D_VERBATIM}/documents.parquet", f"{D_KB}/documents.parquet",
               f"{D_KB}/embeddings.parquet", f"{D_VEMB}/embeddings.parquet",
               f"{D_100}/embeddings.parquet"):
@@ -161,17 +185,29 @@ ROWS = {
     # capacity rule exists to fix — see SCALE.md §"Second decade".
     "semdedup_keep_best": D_KB,
     "semdedup_prune": D_KB,
+    # measurement-only auto-sized twin (see measure()); 10x default,
+    # --deriv /tmp/sf100xkb for the second decade
+    "streaming_semantic_keep_best_auto": D_KB,
 }
 
 
-def measure(rows: list[str], deriv: str | None = None) -> None:
+def measure(rows: list[str], deriv: str | None = None, reps: int = 2) -> None:
     import __spark_entry__ as m
     from simple_map_reduce_spark.cache import release_tracked
     from simple_map_reduce_spark.session import get_session
 
     spark = get_session()
     spark.sparkContext.setLogLevel("ERROR")
-    q = m.queries()
+    q = dict(m.queries())
+    # measurement-only variant (r11, VERDICT r10 item 4): the semantic
+    # streaming keep-best journey on the AUTO-SIZED quantizer — the
+    # sizing production runs; the registered row stays on the parity
+    # constant its oracle bakes in
+    from simple_map_reduce_spark.queries_ext import _streaming_skb_journey
+
+    q["streaming_semantic_keep_best_auto"] = (
+        lambda s, sfdir: _streaming_skb_journey(s, sfdir, None)
+    )
 
     def force(df):
         df.write.format("noop").mode("overwrite").save()
@@ -184,7 +220,7 @@ def measure(rows: list[str], deriv: str | None = None) -> None:
             release_tracked()
             spark.catalog.clearCache()
             best = None
-            for _ in range(2):
+            for _ in range(reps):
                 t = time.perf_counter()
                 force(q[name](spark, sfdir))
                 took = time.perf_counter() - t
@@ -211,8 +247,12 @@ if __name__ == "__main__":
     ap.add_argument("--deriv", default=None,
                     help="override the 10x dir (e.g. the verbatim-"
                          "embeddings control or the 100x second decade)")
+    ap.add_argument("--reps", type=int, default=2,
+                    help="measured reps per (row, scale) after the one "
+                         "warmup (min is reported); --reps 1 bounds the "
+                         "wall clock of multi-minute 100x journey runs")
     args = ap.parse_args()
     if args.build:
         build_derivatives()
     else:
-        measure(args.rows, deriv=args.deriv)
+        measure(args.rows, deriv=args.deriv, reps=args.reps)
