@@ -660,6 +660,7 @@ def test_all_parsers_fail_closed_on_arbitrary_bytes():
         _parse_gif,
         _parse_png,
         _parse_pnm,
+        _parse_tiff,
         _parse_wav,
     )
 
@@ -670,11 +671,13 @@ def test_all_parsers_fail_closed_on_arbitrary_bytes():
         (_parse_wav, _wav16([16384, -16384], sample_rate=16000)),
         (_parse_bmp, _bmp(2, 2, [[(255, 0, 0), (0, 255, 0)],
                                  [(0, 0, 255), (9, 9, 9)]])),
+        (_parse_tiff, _tiff(2, 2, bytes([0, 255, 128, 127]))),
     ]
-    magics = [b"GIF89a", b"\x89PNG\r\n\x1a\n", b"P6 ", b"RIFF", b"BM"]
+    magics = [b"GIF89a", b"\x89PNG\r\n\x1a\n", b"P6 ", b"RIFF", b"BM",
+              b"II\x2a\x00"]
 
     @given(
-        which=st.integers(0, 4),
+        which=st.integers(0, 5),
         junk=st.binary(min_size=0, max_size=120),
         edits=st.lists(
             st.tuples(st.integers(0, 10_000), st.integers(0, 255)),
@@ -855,3 +858,119 @@ def test_bmp_decode_through_spark(spark):
     got = decode_bmp_features(media).collect()[0]
     assert (got.width, got.height, got.n_channels) == (2, 2, 3)
     assert got.feature[0] == pytest.approx(0.5, abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# TIFF (the codec-free SIXTH real decoder — closes the category)
+# ---------------------------------------------------------------------------
+
+
+def _tiff(width, height, pixel_bytes, samples=1, photometric=None, bo="<",
+          compression=1, bits=None, strips=1):
+    """Hand-built baseline uncompressed TIFF (either byte order).
+    ``pixel_bytes`` is the full raster; ``strips`` splits it into that
+    many strips with real offset/count arrays."""
+    photometric = (2 if samples == 3 else 1) if photometric is None else photometric
+    bits = bits if bits is not None else [8] * samples
+    rows_per_strip = max(1, height // strips)
+    chunks = []
+    per = rows_per_strip * width * samples
+    for i in range(0, len(pixel_bytes), per):
+        chunks.append(pixel_bytes[i : i + per])
+    header = struct.pack(bo + "2sHI", b"II" if bo == "<" else b"MM", 42, 8)
+    # layout: header(8) IFD, then out-of-line value areas, then strips
+    entries = []
+    def entry(tag, ftype, values):
+        entries.append((tag, ftype, values))
+    entry(256, 3, [width]); entry(257, 3, [height])
+    entry(258, 3, bits); entry(259, 3, [compression])
+    entry(262, 3, [photometric]); entry(277, 3, [samples])
+    entry(278, 3, [rows_per_strip])
+    entry(273, 4, None); entry(279, 4, None)  # filled after layout
+    entries.sort()
+    n = len(entries)
+    ifd_size = 2 + 12 * n + 4
+    tsz = {3: 2, 4: 4}
+    # first pass: compute out-of-line area
+    out_off = 8 + ifd_size
+    overflow = {}
+    for tag, ftype, values in entries:
+        count = len(values) if values is not None else len(chunks)
+        if tsz[ftype] * count > 4:
+            overflow[tag] = out_off
+            out_off += tsz[ftype] * count
+    strip_offsets, pos = [], out_off
+    for c in chunks:
+        strip_offsets.append(pos); pos += len(c)
+    strip_counts = [len(c) for c in chunks]
+    filled = {273: strip_offsets, 279: strip_counts}
+    ifd = struct.pack(bo + "H", n)
+    out_area = b""
+    for tag, ftype, values in entries:
+        values = filled.get(tag, values)
+        count = len(values)
+        fmt = {3: "H", 4: "I"}[ftype]
+        packed = struct.pack(bo + fmt * count, *values)
+        if len(packed) <= 4:
+            ifd += struct.pack(bo + "HHI", tag, ftype, count) + packed.ljust(4, b"\0")
+        else:
+            ifd += struct.pack(bo + "HHII", tag, ftype, count, overflow[tag])
+            out_area += packed
+    ifd += struct.pack(bo + "I", 0)  # next-IFD pointer
+    return header + ifd + out_area + b"".join(chunks)
+
+
+def test_parse_tiff_gray_both_orders_and_whiteiszero():
+    from simple_map_reduce_spark.multimodal import _parse_tiff
+
+    raster = bytes([0, 255, 128, 127])
+    for bo in ("<", ">"):
+        w, h, c, feat = _parse_tiff(_tiff(2, 2, raster, bo=bo))
+        assert (w, h, c) == (2, 2, 1)
+        assert feat[0] == pytest.approx((0 + 255 + 128 + 127) / 4 / 255, abs=1e-15)
+    # PHOTOMETRIC 0 (WhiteIsZero) inverts so the feature is intensity
+    w, h, c, feat0 = _parse_tiff(_tiff(2, 2, raster, photometric=0))
+    assert feat0[0] == pytest.approx((255 + 0 + 127 + 128) / 4 / 255, abs=1e-15)
+
+
+def test_parse_tiff_rgb_multi_strip():
+    from simple_map_reduce_spark.multimodal import _parse_tiff
+
+    px = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)]
+    raster = b"".join(bytes(p) for p in px)
+    w, h, c, feat = _parse_tiff(_tiff(2, 2, raster, samples=3, strips=2))
+    assert (w, h, c) == (2, 2, 3)
+    assert feat[0] == pytest.approx(510 / 4 / 255, abs=1e-15)
+    assert feat[1] == pytest.approx(510 / 4 / 255, abs=1e-15)
+    assert feat[2] == pytest.approx(510 / 4 / 255, abs=1e-15)
+
+
+def test_parse_tiff_rejects_garbage():
+    from simple_map_reduce_spark.multimodal import _parse_tiff
+
+    good = _tiff(2, 2, bytes([0, 255, 128, 127]))
+    with pytest.raises(ValueError, match="byte-order"):
+        _parse_tiff(b"PNG" + bytes(20))
+    with pytest.raises(ValueError, match="magic"):
+        _parse_tiff(b"II\x2b\x00" + bytes(20))
+    with pytest.raises(ValueError, match="compression"):
+        _parse_tiff(_tiff(2, 2, bytes(4), compression=5))
+    with pytest.raises(ValueError, match="bit depths"):
+        _parse_tiff(_tiff(2, 2, bytes(4), bits=[16]))
+    with pytest.raises(ValueError, match="raster bytes|runs past"):
+        _parse_tiff(good[:-2])  # truncated strip
+    # the shared bomb cap: huge declared dims, a tiny actual payload
+    with pytest.raises(ValueError, match="MAX_PIXELS"):
+        _parse_tiff(_tiff(60000, 60000, bytes(8)))
+
+
+def test_tiff_decode_through_spark(spark):
+    from simple_map_reduce_spark.multimodal import decode_tiff_features
+
+    media = spark.createDataFrame(
+        [(1, bytearray(_tiff(2, 2, bytes([0, 255, 128, 127]))))],
+        "doc_id bigint, content binary",
+    )
+    got = decode_tiff_features(media).collect()[0]
+    assert (got.width, got.height, got.n_channels) == (2, 2, 1)
+    assert got.feature[0] == pytest.approx(510 / 4 / 255, abs=1e-12)
