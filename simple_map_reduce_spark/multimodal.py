@@ -352,11 +352,16 @@ _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> bytes:
     """Reverse the PNG per-scanline filters (None/Sub/Up/Average/Paeth —
-    the complete filter method 0 set). Sequential by specification: Sub/
-    Average/Paeth recur on the just-reconstructed left neighbor, so rows
-    reconstruct byte-wise; parallelism lives ACROSS images (one blob per
-    row of the Arrow batch), which is where a 100 TB decode job gets its
-    width anyway."""
+    the complete filter method 0 set). Sub/Average/Paeth recur on the
+    just-reconstructed left neighbor, so those rows reconstruct
+    byte-wise by specification; Up depends only on the PREVIOUS row and
+    is numpy-vectorized (it is the most common filter real encoders
+    emit, so this lifts typical per-image throughput without touching
+    the sequential cases). Parallelism across images (one blob per
+    Arrow-batch row) remains where a 100 TB decode job gets its
+    width."""
+    import numpy as np
+
     if len(raw) != height * (stride + 1):
         raise ValueError(
             f"inflated size {len(raw)} != {height}*(1+{stride}) scanlines"
@@ -374,9 +379,13 @@ def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> bytes:
         elif ftype == 1:  # Sub
             for i in range(bpp, stride):
                 line[i] = (line[i] + line[i - bpp]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 2:  # Up (vectorized: no left-neighbor recurrence)
+            line = bytearray(
+                (
+                    np.frombuffer(bytes(line), dtype=np.uint8)
+                    + np.frombuffer(prev, dtype=np.uint8)
+                ).tobytes()
+            )
         elif ftype == 3:  # Average
             for i in range(stride):
                 left = line[i - bpp] if i >= bpp else 0
