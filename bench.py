@@ -179,6 +179,9 @@ EXTENDED_QUERIES = [
     # r10: quality-aware batch SemDeDup — the keep-best family's batch
     # semantic tier (same join shape as semdedup_prune + one struct-max)
     "semdedup_keep_best",
+    # r11: MMR diversity rerank — corpus priced once by the pool
+    # retrieval, then k unrolled queries x pool JVM stages
+    "mmr_rerank",
 ]
 
 

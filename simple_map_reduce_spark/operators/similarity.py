@@ -124,6 +124,136 @@ def cosine_topk(
     )
 
 
+def mmr_rerank(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    pool: int = 16,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998,
+    SIGIR): diversity-aware selection over each query's candidate pool —
+    the retrieval stack's answer to near-duplicate result lists (a
+    top-k of paraphrases is k slots spent on one answer). Greedy: pick
+    ``argmax lam·sim(q,d) − (1−lam)·max_{s∈selected} sim(d,s)`` k
+    times; lam=1 degenerates to plain top-k, lam→0 maximizes pairwise
+    diversity.
+
+    Spark-first shape (NO Python in the scoring path — the greedy loop
+    unrolls into k tiny JVM stages, the ``kmeans_refine`` idiom): the
+    corpus is touched ONCE by the pool retrieval
+    (:func:`cosine_topk` — or pass ``candidates`` from the IVF/LSH
+    tier to reuse a standing index); every MMR step then runs on
+    queries × pool rows — broadcast-joined, frames of a few hundred
+    rows regardless of corpus size, each step ``localCheckpoint``-ed so
+    plan depth stays O(1) in k. At 100 TB the rerank costs what the
+    pool retrieval costs; MMR itself is corpus-size-free.
+
+    Determinism (oracle-twinned, the unrolled-step pattern): qsims and
+    pairwise sims round to 6 decimals before scoring; the per-step
+    argmax breaks ties on the smaller neighbor_id; the emitted ``mmr``
+    is the RAW double of ``lam·qsim − (1−lam)·pen`` — three IEEE ops in
+    fixed order over identical rounded inputs and identical double
+    constants, so the value is bit-equal cross-engine (a final
+    round(…, 6) would NOT be: lam × a 6-decimal score lands exactly on
+    decimal halves, where Spark's BigDecimal HALF_UP and a binary
+    double round disagree — measured at sf0.01). Returns one row per
+    selected doc:
+    ``(query_id, neighbor_id, mmr, mmr_rank)``, mmr_rank 1-based in
+    selection order."""
+    from ..cache import tracked_persist, untrack
+
+    cand = (
+        candidates
+        if candidates is not None
+        else cosine_topk(emb, query_ids, k=pool, id_col=id_col, vec_col=vec_col)
+    )
+    v = emb.select(
+        F.col(id_col).alias("nid"), _to_double(F.col(vec_col)).alias("nvec")
+    ).withColumn("nn", norm(F.col("nvec")))
+    # one corpus pass attaches candidate vectors: the corpus side is
+    # big, the candidate side is queries x pool — broadcast it
+    cand = tracked_persist(
+        v.join(
+            F.broadcast(cand.select("query_id", "neighbor_id", "score")),
+            v.nid == F.col("neighbor_id"),
+        ).select("query_id", "neighbor_id", "score", "nvec", "nn")
+    )
+    try:
+        pick_struct = F.max(
+            F.struct(
+                F.col("mmr"),
+                (-F.col("neighbor_id")).alias("neg_id"),
+                F.col("neighbor_id").alias("nid"),
+            )
+        ).alias("m")
+
+        def argmax(scored: DataFrame, rank: int) -> DataFrame:
+            picked = (
+                scored.groupBy("query_id")
+                .agg(pick_struct)
+                .select(
+                    "query_id",
+                    F.col("m.nid").alias("neighbor_id"),
+                    F.col("m.mmr").alias("mmr"),
+                    F.lit(rank).cast("bigint").alias("mmr_rank"),
+                )
+            )
+            # rejoin for the picked doc's vector (arrays stay out of the
+            # struct-max comparator)
+            return picked.join(
+                cand.select("query_id", "neighbor_id", "nvec", "nn"),
+                ["query_id", "neighbor_id"],
+            )
+
+        selected = argmax(
+            cand.withColumn("mmr", F.lit(lam) * F.col("score")), 1
+        ).localCheckpoint(eager=True)
+        for step in range(2, k + 1):
+            rem = cand.join(
+                selected.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+                "left_anti",
+            )
+            pen = (
+                rem.join(
+                    selected.select(
+                        "query_id",
+                        F.col("nvec").alias("svec"),
+                        F.col("nn").alias("sn"),
+                    ),
+                    "query_id",
+                )
+                .withColumn(
+                    "psim",
+                    F.round(
+                        dot(F.col("nvec"), F.col("svec"))
+                        / (F.col("nn") * F.col("sn")),
+                        6,
+                    ),
+                )
+                .groupBy("query_id", "neighbor_id", "score")
+                .agg(F.max("psim").alias("pen"))
+            )
+            scored = pen.join(
+                rem.select("query_id", "neighbor_id", "nvec", "nn"),
+                ["query_id", "neighbor_id"],
+            ).withColumn(
+                "mmr",
+                F.lit(lam) * F.col("score") - F.lit(1 - lam) * F.col("pen"),
+            )
+            selected = selected.unionByName(
+                argmax(scored, step)
+            ).localCheckpoint(eager=True)
+        out = selected.select("query_id", "neighbor_id", "mmr", "mmr_rank")
+    finally:
+        untrack(cand)
+    return out
+
+
 def cosine_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,

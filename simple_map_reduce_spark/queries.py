@@ -290,6 +290,11 @@ _CHANGED_THIS_ROUND = [
     # r11: layout-preserving snapshot pins in the epoch protocol
     "streaming_keep_best",
     "streaming_semantic_keep_best",
+    # r11: NEW — MMR diversity rerank (similarity.py::mmr_rerank), the
+    # retrieval stack's diversity tier; unrolled-greedy oracle. Its
+    # window slot came from the bm25_topk r8 freshness fill (r8 rows
+    # are not yet stale; a NEW query must verify the round it ships)
+    "mmr_rerank",
 ]
 _ROTATION_FRONT = [
     *_CHANGED_THIS_ROUND,
@@ -334,10 +339,10 @@ _ROTATION_FRONT = [
     "stats_summary",
     "streaming_semantic_ingest",
     "vocab_encode",
-    # window fill: the 3 alphabetically-first r8-dated rows
+    # window fill: the 2 alphabetically-first r8-dated rows (the third
+    # slot went to mmr_rerank, new this round)
     "audio_features",
     "big_orders",
-    "bm25_topk",
 ]
 assert len(_ROTATION_FRONT) == 50
 assert set(_ROTATION_FRONT) <= set(QUERIES)

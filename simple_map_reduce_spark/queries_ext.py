@@ -59,6 +59,10 @@ SIM_LSH_PLANES = 12
 SIM_LSH_HAMMING = 2
 SIM_IVF_CENTROIDS = 16
 SIM_IVF_NPROBE = 4
+# MMR rerank (r11): pool depth, selections, relevance/diversity mix
+MMR_POOL = 12
+MMR_K = 5
+MMR_LAM = 0.7
 # Lloyd refinement of the IVF quantizer: k seeds, fixed iteration count —
 # the oracle unrolls exactly this many assignment/mean rounds in SQL
 IVF_REFINE_K = 8
@@ -452,6 +456,23 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_topk(emb, SIM_QUERY_IDS, k=SIM_K)
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance rerank
+    (``operators.similarity.mmr_rerank``): diversity-aware selection of
+    MMR_K docs from each query's MMR_POOL-deep cosine candidate pool —
+    lam·qsim − (1−lam)·max-sim-to-selected, greedy, unrolled into k
+    tiny JVM stages over queries × pool rows (the corpus is touched
+    once, by the pool retrieval). The oracle unrolls the SAME k greedy
+    steps as CTEs — remaining-set anti-join, pairwise-penalty max,
+    (mmr DESC, id) argmax per step — so a plain top-k in disguise, a
+    wrong tie-break, or an un-penalized step cannot hash-match."""
+    from .operators.similarity import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = mmr_rerank(emb, SIM_QUERY_IDS, k=MMR_K, pool=MMR_POOL, lam=MMR_LAM)
+    return out.orderBy("query_id", "mmr_rank")
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2647,6 +2668,103 @@ def similarity_topk_oracle(
                                       ORDER BY score DESC, neighbor_id) AS rank
             FROM scored)
         SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+def mmr_rerank_oracle(
+    query_ids: list[int] | None = None,
+    k: int = None,
+    pool: int = None,
+    lam: float = None,
+) -> str:
+    """DuckDB twin of ``mmr_rerank``: the dense candidate pool is the
+    ``similarity_topk`` SQL at depth ``pool`` (vectors carried), then
+    the k greedy MMR steps unroll as CTE blocks — the kmeans-unroll
+    pattern. Step 1 is the (lam·score DESC, id) argmax; each later step
+    anti-joins the selected set, takes the max rounded pairwise cosine
+    to any selected doc as the penalty, and argmaxes
+    lam·score − (1−lam)·penalty with the id tie-break. The emitted mmr
+    is the RAW double — bit-identical cross-engine (identical rounded
+    inputs, the same double constants, the same three-op expression);
+    a final decimal rounding would break parity exactly on the decimal
+    halves lam × a 6-decimal score produces (measured at sf0.01)."""
+    ids = ", ".join(str(i) for i in (query_ids or SIM_QUERY_IDS))
+    k = MMR_K if k is None else k
+    pool = MMR_POOL if pool is None else pool
+    lam = MMR_LAM if lam is None else lam
+    pair = (
+        "round(list_sum(list_transform(list_zip(r.cv, s.cv), p -> p[1] * p[2]))"
+        " / (sqrt(list_sum(list_transform(r.cv, x -> x * x)))"
+        " * sqrt(list_sum(list_transform(s.cv, x -> x * x)))), 6)"
+    )
+    ctes = [
+        f"""q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                  FROM embeddings WHERE vec_id IN ({ids}))""",
+        """c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+                 FROM embeddings)""",
+        """mscored AS (
+            SELECT query_id, neighbor_id, cv,
+                   round(
+                     list_sum(list_transform(list_zip(qv, cv), p -> p[1] * p[2]))
+                     / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+                        * sqrt(list_sum(list_transform(cv, x -> x * x)))), 6)
+                       AS score
+            FROM q, c WHERE neighbor_id != query_id)""",
+        f"""mcand AS MATERIALIZED (
+            SELECT query_id, neighbor_id, score, cv FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY score DESC, neighbor_id)
+                           AS rn
+                FROM mscored)
+            WHERE rn <= {pool})""",
+        f"""selu1 AS (
+            SELECT query_id, neighbor_id, {lam} * score AS mmr,
+                   CAST(1 AS BIGINT) AS mmr_rank
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY query_id
+                      ORDER BY {lam} * score DESC, neighbor_id) AS rn
+                  FROM mcand)
+            WHERE rn = 1)""",
+    ]
+    for i in range(2, k + 1):
+        prev = f"selu{i - 1}"
+        ctes.append(
+            f"""rem{i} AS (
+            SELECT mc.* FROM mcand mc
+            LEFT JOIN {prev} s ON mc.query_id = s.query_id
+                              AND mc.neighbor_id = s.neighbor_id
+            WHERE s.neighbor_id IS NULL)"""
+        )
+        ctes.append(
+            f"""pen{i} AS (
+            SELECT r.query_id, r.neighbor_id, r.score, max({pair}) AS pen
+            FROM rem{i} r
+            JOIN (SELECT su.query_id, mc.cv FROM {prev} su
+                  JOIN mcand mc ON su.query_id = mc.query_id
+                               AND su.neighbor_id = mc.neighbor_id) s
+              ON r.query_id = s.query_id
+            GROUP BY 1, 2, 3)"""
+        )
+        ctes.append(
+            f"""selu{i} AS (
+            SELECT * FROM {prev}
+            UNION ALL
+            SELECT query_id, neighbor_id, mmr, CAST({i} AS BIGINT) AS mmr_rank
+            FROM (SELECT query_id, neighbor_id,
+                         {lam} * score - {1 - lam} * pen AS mmr,
+                         row_number() OVER (
+                             PARTITION BY query_id
+                             ORDER BY {lam} * score - {1 - lam} * pen DESC,
+                                      neighbor_id) AS rn
+                  FROM pen{i})
+            WHERE rn = 1)"""
+        )
+    joined = ",\n        ".join(ctes)
+    return f"""
+        WITH {joined}
+        SELECT query_id, neighbor_id, mmr, mmr_rank
+        FROM selu{k}
+        ORDER BY query_id, mmr_rank
     """
 
 
@@ -5155,6 +5273,7 @@ EXT_QUERIES = {
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "jaccard_pairs": q_jaccard_pairs,
     "similarity_topk": q_similarity_topk,
+    "mmr_rerank": q_mmr_rerank,
     "similarity_topk_ivf": q_similarity_topk_ivf,
     "similarity_topk_ivf_idx": q_similarity_topk_ivf_idx,
     "similarity_topk_lsh": q_similarity_topk_lsh,
@@ -5271,6 +5390,7 @@ EXT_ORACLES = {
     "simhash_dup_pairs": simhash_pairs_oracle(),
     "jaccard_pairs": jaccard_pairs_oracle(),
     "similarity_topk": similarity_topk_oracle(),
+    "mmr_rerank": mmr_rerank_oracle(),
     # the ANN tier is approximate in RECALL but deterministic in
     # COMPUTATION (md5 hyperplanes, id-ordered centroids, rounded sims),
     # so each scale-path query carries a full generated-SQL oracle — only

@@ -727,3 +727,93 @@ def test_semdedup_default_is_capacity_sized(spark):
         map(tuple, semdedup_keep_best(emb, qual, n_centroids=k, tau=0.9).collect())
     )
     assert auto_kb == fixed_kb and len(auto_kb) > 0
+
+
+def test_mmr_rerank_matches_python_reference(spark):
+    """r11: the unrolled-greedy MMR must equal a plain-Python greedy
+    reference bit-for-bit on random vectors — selection order, ids,
+    and raw mmr doubles (rounded-6 sims, (mmr, -id) argmax)."""
+    import math
+    import random
+
+    from simple_map_reduce_spark.operators.similarity import mmr_rerank
+
+    random.seed(17)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(6)]) for i in range(24)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qids, k, pool, lam = [0, 3], 4, 8, 0.7
+    got = {
+        (r.query_id, r.neighbor_id): (r.mmr, r.mmr_rank)
+        for r in mmr_rerank(emb, qids, k=k, pool=pool, lam=lam).collect()
+    }
+    vecs = dict(rows)
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(vecs[a], vecs[b]))
+        na = math.sqrt(sum(x * x for x in vecs[a]))
+        nb = math.sqrt(sum(x * x for x in vecs[b]))
+        return round(d / (na * nb), 6)
+
+    want = {}
+    for qid in qids:
+        cand = sorted(
+            ((cos(qid, n), -n) for n in vecs if n != qid), reverse=True
+        )[:pool]
+        cand = [(-neg, s) for s, neg in cand]
+        sel = []
+        for rank in range(1, k + 1):
+            best = None
+            for n, qs in cand:
+                if any(n == sn for sn, _ in sel):
+                    continue
+                pens = [cos(n, sn) for sn, _ in sel]
+                mmr = lam * qs - (1 - lam) * max(pens) if pens else lam * qs
+                if best is None or (mmr, -n) > (best[1], -best[0]):
+                    best = (n, mmr)
+            sel.append(best)
+            want[(qid, best[0])] = (best[1], rank)
+    assert got == want
+
+
+def test_mmr_rerank_lam_one_is_plain_topk_and_deterministic(spark):
+    """lam=1 removes the diversity penalty: selection must reproduce the
+    plain cosine top-k order exactly; and the whole operator is
+    partitioning-invariant."""
+    from simple_map_reduce_spark.operators.similarity import (
+        cosine_topk,
+        mmr_rerank,
+    )
+
+    emb = _clustered_emb(spark)
+    topk = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in cosine_topk(emb, [0, 1], k=3).collect()
+    }
+    sel = {
+        (r.query_id, r.mmr_rank): r.neighbor_id
+        for r in mmr_rerank(emb, [0, 1], k=3, pool=5, lam=1.0).collect()
+    }
+    assert sel == topk
+    a = sorted(map(tuple, mmr_rerank(emb, [0, 1], k=3, pool=5).collect()))
+    b = sorted(
+        map(tuple, mmr_rerank(emb.repartition(7), [0, 1], k=3, pool=5).collect())
+    )
+    assert a == b and len(a) == 6
+
+
+def test_mmr_rerank_diversifies_clustered_pool(spark):
+    """The point of MMR: with a pool full of one cluster's near-dups
+    plus one off-cluster doc, low lam must pull the off-cluster doc
+    forward past same-cluster twins that out-score it on relevance."""
+    from simple_map_reduce_spark.operators.similarity import mmr_rerank
+
+    emb = _clustered_emb(spark)  # x-cluster {0,2,3,6}, y-cluster {1,4,5,7}
+    out = sorted(
+        (r.mmr_rank, r.neighbor_id)
+        for r in mmr_rerank(emb, [0], k=3, pool=7, lam=0.3).collect()
+    )
+    picked = [n for _, n in out]
+    # rank 1 is the most-relevant x twin; rank 2 must jump to the
+    # y-cluster (every remaining x twin pays ~cos=1 penalty)
+    assert picked[0] in {2, 3, 6}
+    assert picked[1] in {1, 4, 5, 7}
