@@ -91,14 +91,21 @@ def _edge_probe(e: DataFrame) -> tuple[int, int]:
 def _two_star_edges(edges: DataFrame, max_iter: int) -> tuple[DataFrame, int]:
     """Run alternating large/small star to the fixed point; returns the
     converged star edges (center = component min) and the round count."""
+    # LAZY localCheckpoint + immediate probe: the probe's aggregate is
+    # the action that materializes the checkpoint, so each round costs
+    # ONE job instead of two (eager=True ran a materialization job and
+    # then the probe re-scanned the checkpointed blocks). Safe here
+    # because nothing is written between checkpoint and probe — the
+    # eager pins in the ingest protocols exist to freeze state BEFORE a
+    # table append, a hazard this loop does not have.
     e = _canon_edges(
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     probe = _edge_probe(e)
     if probe[0] == 0:
         return e, 0
     for rounds in range(1, max_iter + 1):
-        new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        new_e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         new_probe = _edge_probe(new_e)
         if new_probe == probe:
             # exact re-check: the probe is a hash — paranoia is cheap here

@@ -681,7 +681,10 @@ def kmeans_refine(
         # clusters that attracted no vectors keep their previous centroid
         kept = centroids.join(new_c.select("centroid_id"), "centroid_id", "anti")
         centroids = new_c.select("centroid_id", "cvec", "cn").union(kept)
-        centroids = centroids.localCheckpoint(eager=True)
+        # lazy: the next round's broadcast build (or the caller's first
+        # action) materializes it — one job per round, not two; the
+        # checkpoint still truncates the plan so depth stays O(1)
+        centroids = centroids.localCheckpoint(eager=False)
     return centroids
 
 
