@@ -354,6 +354,7 @@ def pretraining_manifest(
     filter already dropped, changing component labels. A suite derives
     the filtered corpus and its pair set once and feeds every consumer.
     """
+    from .cache import tracked_persist
     from .functions.text import token_count
     from .operators.dedup import minhash_dup_pairs
     from .operators.graph import connected_components
@@ -361,6 +362,24 @@ def pretraining_manifest(
     from .operators.sampling import split_assign
 
     kept = quality_kept_docs(docs, id_col, text_col, lang_col)
+    # Decide with small rows (guide §8 / §2.3): every consumer after the
+    # pair derivation — the CC vertex set, the keep-best score, the
+    # survivor join, the split/packing sizes — needs only (id, lang,
+    # n_tokens). ONE pass over the filtered text produces that narrow
+    # frame, persisted (three scalar columns per doc at any corpus
+    # size); without it each consumer re-ran the Gopher filter's
+    # regex-heavy text conditions against the full scan (the pre-change
+    # physical plan carried 30 regexp_extract_all evaluations across 4
+    # documents scans — 67 in the keep-best grand composition). Full
+    # text is now touched exactly once more, by the shingle derivation
+    # below, and never rides a post-pair join or shuffle.
+    meta = tracked_persist(
+        kept.select(
+            F.col(id_col),
+            F.col(lang_col),
+            token_count(text_col).alias("n_tokens"),
+        )
+    )
     if pairs is None:
         pairs = minhash_dup_pairs(
             kept, id_col, text_col, threshold=neardup_threshold, max_bucket=max_bucket
@@ -368,10 +387,12 @@ def pretraining_manifest(
     if quality_aware:
         from .operators.dedup import keep_best_exemplars
 
+        # the pipeline's quality signal IS the token count the meta pass
+        # already computed — same value, no re-tokenization
         resolution = keep_best_exemplars(
-            kept, pairs, token_count(text_col), id_col=id_col
+            meta, pairs, F.col("n_tokens"), id_col=id_col
         )
-        survivors = kept.join(
+        survivors = meta.join(
             resolution.filter(F.col("kept") == 1).select(
                 F.col("doc_id").alias(id_col)
             ),
@@ -379,23 +400,23 @@ def pretraining_manifest(
         )
     else:
         cc = connected_components(
-            kept.select(F.col(id_col).alias("id")),
+            meta.select(F.col(id_col).alias("id")),
             pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
         )
-        survivors = kept.join(
+        survivors = meta.join(
             cc.filter(F.col("id") == F.col("component")).select(
                 F.col("id").alias(id_col)
             ),
             id_col,
         )
     if emb is not None:
-        from .cache import tracked_persist
         from .operators.similarity import semdedup_prune
 
-        # checkpoint the survivor set once: the Lloyd loop inside
+        # persist the survivor set once: the Lloyd loop inside
         # semdedup_prune localCheckpoints per round, which would
-        # otherwise re-evaluate the whole filter→pairs→CC chain per
-        # iteration (and again for the pairwise stage)
+        # otherwise re-evaluate the whole pairs→CC chain per iteration
+        # (and again for the pairwise stage). Post-restructure this
+        # caches three scalar columns per survivor, not full text.
         survivors = tracked_persist(survivors)
         surv_emb = emb.join(
             survivors.select(F.col(id_col).alias("vec_id")), "vec_id"
@@ -407,7 +428,7 @@ def pretraining_manifest(
             sem_pruned.select(F.col("vec_id").alias(id_col)), id_col, "anti"
         )
     sized = split_assign(survivors, id_col, splits).select(
-        id_col, lang_col, "split", token_count(text_col).alias("n_tokens")
+        id_col, lang_col, "split", "n_tokens"
     )
     return chunk_assignment_sharded(
         sized,
