@@ -378,27 +378,45 @@ def _nearest_centroid(
 ) -> DataFrame:
     """Broadcast nearest-centroid assignment over a prepped
     (id, vec, norm) frame: cosine ROUNDED TO 6 DECIMALS, centroid_id
-    tiebreak, rank-1 row per vector. This is THE single definition of
+    tiebreak, best row per vector. This is THE single definition of
     the assignment contract — ivf_assign, kmeans_refine's Lloyd rounds,
     semdedup_prune, and IvfIndex.neardup_check all call it, and every
     centroid oracle replays exactly this expression — so the
     determinism-critical rounding/tiebreak cannot desynchronize between
-    consumers. Returns (id, centroid_id, *keep)."""
-    w = Window.partitionBy(id_alias).orderBy(
-        F.col("__asim").desc(), F.col("centroid_id")
+    consumers. Returns (id, centroid_id, *keep).
+
+    Implemented as ONE ``max(struct)`` aggregate over the broadcast
+    cross join, not a row_number window (r11, guide §2.3 "aggregate
+    before you shuffle"): the (sim, -centroid_id) prefix is unique per
+    vector — centroid ids are distinct — so the struct max IS the old
+    rank-1 row, bit-identically (Spark's one total order covers the
+    NULL/NaN corners the same way the window's ``desc`` did: an all-NULL
+    sim group falls back to the min-centroid_id tiebreak in both forms).
+    The aggregate partial-combines map-side, so the exchange moves ONE
+    pre-reduced row per vector instead of k candidate rows through a
+    window sort — on a Lloyd round carrying ``keep=("vec",)`` that is
+    k× fewer shuffled 64-double arrays and no per-partition sort.
+    ``keep`` columns ride the struct tail and are never reached by the
+    comparison (the prefix already decides it)."""
+    sim = F.round(
+        dot(F.col(vec_alias), F.col("cvec")) / (F.col(n_alias) * F.col("cn")), 6
     )
+    m = F.max(
+        F.struct(
+            sim.alias("__asim"),
+            (-F.col("centroid_id")).alias("__negc"),
+            *[F.col(c).alias(c) for c in keep],
+        )
+    ).alias("__m")
     return (
         prepped.crossJoin(F.broadcast(centroids))
-        .withColumn(
-            "__asim",
-            F.round(
-                dot(F.col(vec_alias), F.col("cvec")) / (F.col(n_alias) * F.col("cn")),
-                6,
-            ),
+        .groupBy(id_alias)
+        .agg(m)
+        .select(
+            id_alias,
+            (-F.col("__m.__negc")).alias("centroid_id"),
+            *[F.col(f"__m.{c}").alias(c) for c in keep],
         )
-        .withColumn("__arn", F.row_number().over(w))
-        .filter(F.col("__arn") == 1)
-        .select(id_alias, "centroid_id", *keep)
     )
 
 
