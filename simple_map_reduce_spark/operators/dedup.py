@@ -284,8 +284,17 @@ def minhash_dup_pairs(
     rather than OOMs when the shingle set exceeds executor memory.
     """
     sh = tracked_persist(hashed_shingles(df, id_col, text_col, shingle_n))
-    sig = sh.groupBy("id").agg(*_minhash_aggs(num_hashes))
-    buckets = lsh_band_buckets(sig, num_hashes, bands)
+    # ONE groupBy(id) pass carries the k signature minima AND the
+    # shingle-set size (r11, guide §2.3): the signature and the Jaccard
+    # denominator previously each shuffled the full shingle table by id;
+    # persisting the merged aggregate (k+1 ints per doc) replaces the
+    # second corpus-wide shuffle with a cache read.
+    agg = tracked_persist(
+        sh.groupBy("id").agg(
+            *_minhash_aggs(num_hashes), F.count("*").alias("sz")
+        )
+    )
+    buckets = lsh_band_buckets(agg, num_hashes, bands)
     if max_bucket:
         sizes = buckets.groupBy("band_idx", "band_hash").agg(F.count("*").alias("bsz"))
         buckets = buckets.join(
@@ -300,13 +309,19 @@ def minhash_dup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    return _verify_jaccard(cand, sh, threshold)
+    return _verify_jaccard(cand, sh, threshold, sizes=agg.select("id", "sz"))
 
 
-def _verify_jaccard(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+def _verify_jaccard(
+    cand: DataFrame, sh: DataFrame, threshold: float, sizes: DataFrame | None = None
+) -> DataFrame:
     """Exact Jaccard for candidate pairs from integer set sizes; ``sh``
-    is the hashed (id, h) shingle-set — the verify join moves ints."""
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    is the hashed (id, h) shingle-set — the verify join moves ints.
+    ``sizes`` optionally supplies a precomputed (id, sz) frame (the
+    merged signature aggregate) so the denominators don't re-shuffle
+    ``sh`` by id."""
+    if sizes is None:
+        sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "h")
     b = sh.select(F.col("id").alias("id_b"), "h")
     inter = (
@@ -354,10 +369,16 @@ def incremental_neardup_pairs(
     """
     shn = tracked_persist(hashed_shingles(new_df, id_col, text_col, shingle_n))
     shc = tracked_persist(hashed_shingles(corpus_df, id_col, text_col, shingle_n))
-    sig_c = shc.groupBy("id").agg(*_minhash_aggs(num_hashes))
-    bc = lsh_band_buckets(sig_c, num_hashes, bands)
+    # merged signature+size aggregate (see minhash_dup_pairs): one
+    # groupBy(id) pass over the corpus shingles feeds both the band
+    # derivation and the Jaccard denominator
+    agg_c = shc.groupBy("id").agg(
+        *_minhash_aggs(num_hashes), F.count("*").alias("sz")
+    )
+    bc = lsh_band_buckets(agg_c, num_hashes, bands)
     return _asymmetric_neardup_check(
-        shn, shc, bc, num_hashes, bands, threshold, max_bucket
+        shn, shc, bc, num_hashes, bands, threshold, max_bucket,
+        sz_c=agg_c.select("id", "sz"),
     )
 
 
@@ -370,6 +391,7 @@ def _asymmetric_neardup_check(
     threshold: float,
     max_bucket: int,
     sz_c: DataFrame | None = None,
+    agg_n: DataFrame | None = None,
 ) -> DataFrame:
     """Core of the incremental check: new-batch shingles (``shn``) are
     banded and joined against the corpus band-buckets (``bc``), then the
@@ -381,9 +403,16 @@ def _asymmetric_neardup_check(
     ``sz_c`` optionally supplies precomputed corpus shingle-set sizes
     (columns ``id, sz``): without it the sizes are aggregated from
     ``shc`` — a full shuffle of the corpus shingle table per check,
-    which the index precomputes away."""
-    sig_n = shn.groupBy("id").agg(*_minhash_aggs(num_hashes))
-    bn = lsh_band_buckets(sig_n, num_hashes, bands)
+    which the index precomputes away. ``agg_n`` optionally supplies the
+    batch's merged signature+size aggregate (``id, mh_*, sz`` — e.g.
+    the persisted frame from :meth:`NearDupIndex._derive`); by default
+    it is derived here in ONE groupBy(id) pass feeding both the band
+    derivation and the batch-side Jaccard denominator."""
+    if agg_n is None:
+        agg_n = shn.groupBy("id").agg(
+            *_minhash_aggs(num_hashes), F.count("*").alias("sz")
+        )
+    bn = lsh_band_buckets(agg_n, num_hashes, bands)
     if max_bucket:
         sizes = bc.groupBy("band_idx", "band_hash").agg(F.count("*").alias("bsz"))
         bc = bc.join(
@@ -402,7 +431,7 @@ def _asymmetric_neardup_check(
         .select("id_new", "id_corpus")
         .distinct()
     )
-    sz_n = shn.groupBy("id").agg(F.count("*").alias("sz_new"))
+    sz_n = agg_n.select("id", F.col("sz").alias("sz_new"))
     if sz_c is None:
         sz_c = shc.groupBy("id").agg(F.count("*").alias("sz_corpus"))
     else:
@@ -591,15 +620,25 @@ class NearDupIndex:
 
         return live(self.catalog, self.name, self._corpus_buckets())
 
-    def _derive(self, df: DataFrame) -> tuple[DataFrame, DataFrame]:
-        """(shingles, buckets) for a batch — the ONE place text is
-        tokenized. The shingle frame is persisted so the bucket branch
-        doesn't re-tokenize."""
+    def _derive(self, df: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """(shingles, buckets, signature-aggregate) for a batch — the ONE
+        place text is tokenized. The shingle frame is persisted so the
+        bucket branch doesn't re-tokenize; the signature aggregate is
+        persisted and ALSO carries the per-id shingle-set size (``sz``)
+        — one groupBy(id) pass instead of two (r11, guide §2.3), shared
+        by the bucket derivation, the size-table writes, and the batch
+        side of every Jaccard denominator. Both persists are lazy: a
+        path that never evaluates them (e.g. :meth:`check` discards the
+        buckets) pays nothing."""
         sh = tracked_persist(
             hashed_shingles(df, self.id_col, self.text_col, self.shingle_n)
         )
-        sig = sh.groupBy("id").agg(*_minhash_aggs(self.num_hashes))
-        return sh, lsh_band_buckets(sig, self.num_hashes, self.bands)
+        agg = tracked_persist(
+            sh.groupBy("id").agg(
+                *_minhash_aggs(self.num_hashes), F.count("*").alias("sz")
+            )
+        )
+        return sh, lsh_band_buckets(agg, self.num_hashes, self.bands), agg
 
     def build(self, corpus_df: DataFrame, quality_col: str | None = None) -> None:
         """Bootstrap (or rebuild) the index from a standing corpus. Any
@@ -630,7 +669,7 @@ class NearDupIndex:
 
         if self.catalog.exists(self.quality_table):
             self.catalog.delete(self.quality_table)
-        sh, bk = self._derive(corpus_df)
+        sh, bk, agg = self._derive(corpus_df)
         self.catalog.put_bucketed(
             sh, self.shingles_table, self._SHINGLE_KEYS, self.num_buckets
         )
@@ -638,7 +677,7 @@ class NearDupIndex:
             bk, self.buckets_table, self._BUCKET_KEYS, self.num_buckets
         )
         self.catalog.put_bucketed(
-            sh.groupBy("id").agg(F.count("*").alias("sz")),
+            agg.select("id", "sz"),
             self.sizes_table,
             "id",
             self.num_buckets,
@@ -656,7 +695,8 @@ class NearDupIndex:
                 "id",
                 self.num_buckets,
             )
-        untrack(sh)
+        for frame in (sh, agg):
+            untrack(frame)
         self._write_meta()
         drop_tombstones(self.catalog, self.name)
 
@@ -696,7 +736,7 @@ class NearDupIndex:
         shingle/size tables stay raw — the verify is an inner join on
         already-filtered candidate ids)."""
         self._check_meta()
-        shn, _ = self._derive(new_df)
+        shn, _, aggn = self._derive(new_df)
         return _asymmetric_neardup_check(
             shn,
             self._corpus_shingles(),
@@ -706,6 +746,7 @@ class NearDupIndex:
             self.threshold,
             self.max_bucket,
             sz_c=self._corpus_sizes(),
+            agg_n=aggn,
         )
 
     def ingest(self, new_df: DataFrame) -> DataFrame:
@@ -767,17 +808,17 @@ class NearDupIndex:
                 "Rebuild without quality_col to return to plain ingest."
             )
         refuse_tombstoned(self.catalog, self.name, new_df.select(self.id_col))
-        shn, bn = self._derive(new_df)
+        shn, bn, aggn = self._derive(new_df)
         bn = tracked_persist(bn)  # feeds the self-join (both sides) + append
         bc = self._corpus_buckets()  # bucketed scan: cap + join + anti-join
         try:
-            return self._ingest_inner(shn, bn, bc)
+            return self._ingest_inner(shn, bn, bc, aggn)
         finally:
-            for frame in (shn, bn):
+            for frame in (shn, bn, aggn):
                 untrack(frame)
 
     def _ingest_inner(
-        self, shn: DataFrame, bn: DataFrame, bc: DataFrame
+        self, shn: DataFrame, bn: DataFrame, bc: DataFrame, aggn: DataFrame
     ) -> DataFrame:
         # replay safety (streaming.ingest protocol point 4 / ADVICE r6):
         # a crash-replayed epoch re-runs this with the batch's accepted
@@ -805,6 +846,7 @@ class NearDupIndex:
             self.threshold,
             self.max_bucket,
             sz_c=self._corpus_sizes(),
+            agg_n=aggn,
         )
         bnc = bn
         if self.max_bucket:  # same hot-bucket guard as minhash_dup_pairs
@@ -825,7 +867,9 @@ class NearDupIndex:
             .select("id_a", "id_b")
             .distinct()
         )
-        within = _verify_jaccard(within_cand, shn, self.threshold)
+        within = _verify_jaccard(
+            within_cand, shn, self.threshold, sizes=aggn.select("id", "sz")
+        )
         pairs = (
             corpus_pairs.withColumn("matched_in", F.lit("corpus"))
             .union(
@@ -867,8 +911,11 @@ class NearDupIndex:
             self.num_buckets,
         )
         self.catalog.append_bucketed(
-            accepted_sh.groupBy("id")
-            .agg(F.count("*").alias("sz"))
+            # per-id sizes come from the persisted signature aggregate —
+            # filtering ids never changes a kept id's size, so this is
+            # the accepted_sh re-aggregation's value without its shuffle
+            aggn.select("id", "sz")
+            .join(dup_ids, "id", "left_anti")
             .join(have_sz, "id", "left_anti"),
             self.sizes_table,
             "id",
@@ -1010,9 +1057,9 @@ class NearDupIndex:
             F.col(self.id_col).alias("id"),
             F.col(quality_col).cast("bigint").alias("q"),
         )
-        shn, bn = self._derive(new_df)
+        shn, bn, aggn = self._derive(new_df)
         bn = tracked_persist(bn)
-        persisted = [shn, bn]
+        persisted = [shn, bn, aggn]
         try:
             batch_ids = shn.select("id").distinct()
             # --- stage 1: intra-batch keep-best (the batch operator's
@@ -1036,7 +1083,9 @@ class NearDupIndex:
                 .select("id_a", "id_b")
                 .distinct()
             )
-            within = _verify_jaccard(within_cand, shn, self.threshold)
+            within = _verify_jaccard(
+                within_cand, shn, self.threshold, sizes=aggn.select("id", "sz")
+            )
             # persisted: the resolution feeds the challenger funnel AND
             # the decision/report tier — without it the intra-batch
             # verify re-executes per consumer
@@ -1061,6 +1110,10 @@ class NearDupIndex:
                 self.threshold,
                 self.max_bucket,
                 sz_c=sz_c,
+                # per-id signature/size rows are independent of other
+                # rows, so the challenger restriction of the persisted
+                # aggregate IS the filtered batch's aggregate
+                agg_n=aggn.join(F.broadcast(challengers), "id", "left_semi"),
             )
             # persisted: feeds BOTH the per-challenger struct-max and the
             # beaten-incumbent set (each eagerly checkpointed below).
@@ -1202,8 +1255,8 @@ class NearDupIndex:
                 self.num_buckets,
             )
             self.catalog.append_bucketed(
-                accepted_sh.groupBy("id")
-                .agg(F.count("*").alias("sz"))
+                aggn.select("id", "sz")
+                .join(admitted, "id", "left_semi")
                 .join(have_sz, "id", "left_anti"),
                 self.sizes_table,
                 "id",
