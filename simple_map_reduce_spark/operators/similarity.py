@@ -1515,11 +1515,23 @@ class IvfIndex:
         report = corpus_rows.unionByName(batch_rows).localCheckpoint()
         dup_ids = report.select("vec_id").distinct()
         accepted = bassign.join(dup_ids, "vec_id", "left_anti")
-        # r10 candidate: batch-restrict these have-sets with a broadcast
-        # semi-probe (the idiom ingest_keep_best already uses) — held
-        # back from r9 because the plan change would require re-windowing
-        # the whole semantic_ingest row family and the r9 window is full
-        have_a = self.catalog.get_bucketed(self.assign_table).select("id")
+        # retry-idempotence have-sets, batch-restricted FIRST (r11, the
+        # idiom ingest_keep_best and NearDupIndex._ingest_inner already
+        # use — guide §2.3/§2.4): the anti-join only ever asks about
+        # BATCH ids, so each corpus table is cut to them with a
+        # broadcast semi-probe (no Exchange above the bucketed scan)
+        # before the anti-join. The unrestricted form joined the
+        # batch-sized accepted frame against a CORPUS-cardinality id
+        # column — a corpus-side shuffle+sort per ingest that grows
+        # with the index, exactly the per-ingest cost class the
+        # bucketed layout exists to avoid. Results are identical: ids
+        # outside the batch can never match the anti-join's probe side.
+        batch_ids = bassign.select(F.col("vec_id").alias("id")).distinct()
+        have_a = (
+            self.catalog.get_bucketed(self.assign_table)
+            .join(F.broadcast(batch_ids), "id", "left_semi")
+            .select("id")
+        )
         self.catalog.append_bucketed(
             accepted.select(F.col("vec_id").alias("id"), "centroid_id").join(
                 have_a, "id", "left_anti"
@@ -1528,7 +1540,11 @@ class IvfIndex:
             "centroid_id",
             self.num_buckets,
         )
-        have_v = self.catalog.get_bucketed(self.vectors_table).select("id")
+        have_v = (
+            self.catalog.get_bucketed(self.vectors_table)
+            .join(F.broadcast(batch_ids), "id", "left_semi")
+            .select("id")
+        )
         self.catalog.append_bucketed(
             accepted.select(
                 F.col("vec_id").alias("id"),
