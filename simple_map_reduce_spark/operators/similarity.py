@@ -612,8 +612,28 @@ def nearest_centroid_confusion(
 
     Scale shape: centroids are |labels| rows — broadcast; the corpus is
     scanned once, never shuffled for scoring (same funnel as the IVF
-    assignment pass); the output is ≤ |labels|² rows."""
+    assignment pass); the output is ≤ |labels|² rows.
+
+    The per-vector argmax reuses :func:`_nearest_centroid`'s
+    ``max(struct)`` aggregate (r11, guide §2.3 — previously a
+    ``row_number`` window over the corpus×|labels| cross join, i.e. an
+    Exchange of |labels|× the corpus rows plus a per-partition sort):
+    the string label tiebreak becomes the struct form's integer
+    tiebreak by ranking the |labels|-row centroid frame into dense
+    ``centroid_id``s ordered by ``centroid_label`` — the (sim ROUNDED
+    DESC, label ASC) order of the oracle is then exactly
+    ``max(sim, -centroid_id)``, including the NULL/NaN corners
+    (:func:`_nearest_centroid`'s argument). The ranking window runs
+    over |labels| rows on one partition — bounded by label
+    cardinality, never corpus size."""
     cents = label_centroids(emb, label_col, vec_col)
+    wl = Window.orderBy("centroid_label")
+    cents = cents.select(
+        F.row_number().over(wl).alias("centroid_id"),
+        "centroid_label",
+        "cvec",
+        "cn",
+    )
     from ..sources.readers import ensure_parallelism
 
     v = ensure_parallelism(
@@ -623,15 +643,8 @@ def nearest_centroid_confusion(
             _to_double(F.col(vec_col)).alias("vec"),
         )
     ).withColumn("vn", norm(F.col("vec")))
-    w = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("centroid_label"))
-    assigned = (
-        v.crossJoin(F.broadcast(cents))
-        .withColumn(
-            "sim",
-            F.round(dot(F.col("vec"), F.col("cvec")) / (F.col("vn") * F.col("cn")), 6),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+    assigned = _nearest_centroid(
+        v, cents, keep=("true_label", "centroid_label")
     )
     return (
         assigned.groupBy("true_label", "centroid_label")
