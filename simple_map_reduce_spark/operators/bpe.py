@@ -89,9 +89,19 @@ def bpe_train(
     table ``(merge_rank, left_sym, right_sym, pair_cnt)`` in learned
     order — the artifact a tokenizer ships."""
     words = word_frequencies(df, text_col)
+    # LAZY checkpoints on the segmentation frame (r11, the kmeans/CC
+    # loop idiom — graph.py::_two_star_edges): the next round's
+    # pair-count aggregate is the action that materializes it, so each
+    # round costs ONE job instead of two; the checkpoint still truncates
+    # lineage so plan depth stays O(1) in num_merges. Safe because
+    # nothing is written between the checkpoint and that action (the
+    # eager pins in the ingest protocols guard table appends, a hazard
+    # this loop does not have). `best` stays EAGER: its 1-row result is
+    # broadcast into the same round's re-encode AND unioned into the
+    # merge table, and the union must not re-run the TakeOrdered job.
     seg = words.select(
         "word", "freq", F.array_join(F.split("word", ""), ",").alias("seg")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     merges: DataFrame | None = None
     for rank in range(1, num_merges + 1):
         syms = F.split(F.col("seg"), ",")
@@ -126,7 +136,7 @@ def bpe_train(
                 "freq",
                 _merge_fold(F.col("seg"), F.col("_l"), F.col("_r")).alias("seg"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     assert merges is not None
     return merges
