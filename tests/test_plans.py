@@ -376,9 +376,12 @@ def test_label_confusion_centroids_broadcast_corpus_unshuffled(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 2
-    # no exchange keyed on the corpus vector id except the per-row
-    # top-1 window's bounded (id) partitioning
     assert "Exchange rangepartitioning" not in plan
+    # r11: the per-vector argmax is the struct-max AGGREGATE
+    # (_nearest_centroid), not a rank-1 window over the cross join —
+    # no WindowGroupLimit may reappear above the corpus scan (the only
+    # remaining Window ranks the |labels|-row centroid frame)
+    assert "WindowGroupLimit" not in plan
 
 
 def test_source_overlap_is_pair_sided(spark):
