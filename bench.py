@@ -252,33 +252,47 @@ def main() -> None:
         release_tracked()
 
     total = round(sum(timings.values()), 4)
+    # The record is COMPACT (3dp per-query floats, tight separators,
+    # 1-min loadavg bookends only) and printed as the ABSOLUTE LAST
+    # stdout line, after spark.stop(): the r11 round-over-round
+    # comparison broke because the previous round's ~3.5 KB record was
+    # head-truncated in a bounded stdout tail capture — a record that
+    # ends the stream and carries no dead bytes is the defense (r12;
+    # no timing or methodology change, and no queries-map entry is
+    # removed or renamed).
     record = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
-        "queries": timings,
-        "extended_queries": ext_timings,
-        "extended_total": round(sum(ext_timings.values()), 4),
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "extended_queries": {k: round(v, 3) for k, v in ext_timings.items()},
+        "extended_total": round(sum(ext_timings.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        # 1/5/15-min system load at start and end: a contaminated record
+        # 1-min system load at start and end: a contaminated record
         # (bench run while the machine was busy) is self-evident
-        "loadavg_start": [round(x, 2) for x in load_start],
-        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "load": [round(load_start[0], 2), round(os.getloadavg()[0], 2)],
         # an honest record self-flags: timings taken while the machine was
         # already busy measure the co-tenant load, not this code (round 4's
         # driver record started at loadavg 8 and read as a regression while
         # the idle record showed a 15% improvement)
         "contaminated": load_start[0] > max(2.0, (os.cpu_count() or 1) / 5),
-        # seconds spent waiting for an idle window before starting (the
-        # r7 verdict's "schedule it inside an idle window" — a record
-        # that still stamps contaminated exhausted this budget)
-        "idle_waited_sec": idle_waited,
         "reps": reps,
     }
+    if idle_waited:
+        # seconds spent waiting for an idle window before starting (the
+        # r7 verdict's "schedule it inside an idle window"); omitted
+        # when zero — every byte before the final newline is at risk in
+        # a bounded tail capture
+        record["idle_waited_sec"] = idle_waited
     if errors:
         record["errors"] = errors
-    print(json.dumps(record))
-    spark.stop()
+    try:
+        spark.stop()
+    except Exception:
+        pass  # the record must still print
+    sys.stdout.flush()
+    print(json.dumps(record, separators=(",", ":")))
+    sys.stdout.flush()
     if errors:
         sys.exit(1)
 

@@ -95,7 +95,11 @@ def require_integral_quality(df: DataFrame, col: str, ctx: str) -> None:
 
 
 def keep_best_exemplars(
-    docs: DataFrame, pairs: DataFrame, score, id_col: str = "doc_id"
+    docs: DataFrame,
+    pairs: DataFrame,
+    score,
+    id_col: str = "doc_id",
+    cc_probe: str = "hash",
 ) -> DataFrame:
     """Quality-aware duplicate-cluster resolution [EXT]: label duplicate
     clusters (connected components over the pair graph — the
@@ -118,7 +122,12 @@ def keep_best_exemplars(
     kept 0/1). Scale shape: components come from the bounded two-star
     iteration (``operators/graph.py``); the argmax is ONE groupBy over
     the corpus with map-side partials; no window function touches a
-    corpus-sized partition."""
+    corpus-sized partition. ``cc_probe`` selects the CC convergence
+    probe: ``hash`` (default — corpus-scale callers like
+    ``dedup_keep_best``, no extra per-round shuffle) or ``exact`` (one
+    job per doubled round — the ingest protocols pass this because
+    their pair graph is batch-bounded and per-job overhead dominates;
+    see ``graph._two_star_edges_exact``)."""
     from .graph import connected_components
 
     require_integral_quality(
@@ -126,7 +135,7 @@ def keep_best_exemplars(
     )
     verts = docs.select(F.col(id_col).alias("id"))
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    cc = connected_components(verts, edges).select(
+    cc = connected_components(verts, edges, probe=cc_probe).select(
         F.col("id").alias("doc_id"), F.col("component").alias("group_id")
     )
     scored = docs.select(
@@ -1088,9 +1097,13 @@ class NearDupIndex:
             )
             # persisted: the resolution feeds the challenger funnel AND
             # the decision/report tier — without it the intra-batch
-            # verify re-executes per consumer
+            # verify re-executes per consumer. cc_probe="exact": the
+            # pair graph is batch-bounded, so the one-job-per-doubled-
+            # round CC loop beats the hash-probe cadence (r12, §5)
             resolution = tracked_persist(
-                keep_best_exemplars(qual_n, within, F.col("q"), id_col="id")
+                keep_best_exemplars(
+                    qual_n, within, F.col("q"), id_col="id", cc_probe="exact"
+                )
             )
             persisted.append(resolution)
             challengers = resolution.filter(F.col("kept") == 1).select(
@@ -1134,21 +1147,6 @@ class NearDupIndex:
                 )
             )
             persisted.append(matches)
-            unscored = (
-                matches.filter(F.col("q_inc").isNull())
-                .select("id_corpus")
-                .limit(5)
-                .collect()
-            )
-            if unscored:
-                shown = sorted(r[0] for r in unscored)
-                raise ValueError(
-                    f"index '{self.name}' has matched incumbent(s) with "
-                    f"no quality row (e.g. {shown}): the corpus quality "
-                    "tier is incomplete — rebuild with quality_col=... "
-                    "before keep-best ingest (deciding against unscored "
-                    "incumbents would silently leave duplicates live)"
-                )
             # the (q, -id)-max incumbent per challenger: beat it, beat all
             best_inc = (
                 matches.groupBy("id_new")
@@ -1194,9 +1192,7 @@ class NearDupIndex:
                     .otherwise(F.lit(None).cast("bigint")),
                 )
             )
-            # pin BOTH decision frames to the pre-ingest state before any
-            # write (they read the very tables the appends grow)
-            beaten = (
+            beaten_pairs = (
                 matches.join(
                     decided.filter(F.col("outcome") == "admitted").select(
                         F.col("id").alias("id_new")
@@ -1205,46 +1201,147 @@ class NearDupIndex:
                 )
                 .select("id_new", F.col("id_corpus").alias("id"))
                 .distinct()
-                .localCheckpoint(eager=True)
             )
-            n_repl = beaten.groupBy("id_new").agg(
+            n_repl = beaten_pairs.groupBy("id_new").agg(
                 F.count("*").cast("bigint").alias("n_replaced")
             )
-            report = (
-                decided.join(
-                    n_repl.withColumnRenamed("id_new", "id"), "id", "left"
+            report_rows = decided.join(
+                n_repl.withColumnRenamed("id_new", "id"), "id", "left"
+            ).select(
+                "id",
+                "q",
+                "outcome",
+                "kept_by",
+                F.coalesce("n_replaced", F.lit(0).cast("bigint")).alias(
+                    "n_replaced"
+                ),
+            )
+            # ONE eager localCheckpoint pins every decision output (the
+            # report, the beaten-incumbent pairs, the unscored-incumbent
+            # guard rows) AND the four physical have-set probes (r12,
+            # guide §5 — the VERDICT r11 "fuse the decision checkpoints,
+            # batch the have-probes" item). Before, the unscored collect
+            # + two eager checkpoints were three separate jobs and each
+            # append's plan re-embedded its own corpus-table probe; now
+            # one job computes all of it (the four probe scans are
+            # independent stages inside it, so they overlap), and the
+            # appends below are batch-sized reads of the checkpoint.
+            # The crash argument is unchanged: decisions are pinned
+            # before any write, and each have-set reflects what was
+            # physically in ITS table at probe time — no append between
+            # the probe and its use touches that table, and a retry
+            # re-probes fresh state. Every tagged branch is bounded by
+            # |batch| (beaten/unscored by |batch|x the per-band bucket
+            # cap), never corpus-sized.
+            nul = F.lit(None)
+
+            def _tagged(df, tag: str) -> DataFrame:
+                return df.select(
+                    F.lit(tag).alias("tag"),
+                    F.col("id").cast("bigint").alias("id"),
+                    nul.cast("bigint").alias("q"),
+                    nul.cast("string").alias("outcome"),
+                    nul.cast("bigint").alias("kept_by"),
+                    nul.cast("bigint").alias("n_replaced"),
+                    nul.cast("bigint").alias("id_new"),
                 )
-                .select(
+
+            combined = (
+                report_rows.select(
+                    F.lit("report").alias("tag"),
                     "id",
                     "q",
                     "outcome",
                     "kept_by",
-                    F.coalesce("n_replaced", F.lit(0).cast("bigint")).alias(
-                        "n_replaced"
-                    ),
+                    "n_replaced",
+                    nul.cast("bigint").alias("id_new"),
+                )
+                .unionByName(
+                    beaten_pairs.select(
+                        F.lit("beaten").alias("tag"),
+                        "id",
+                        nul.cast("bigint").alias("q"),
+                        nul.cast("string").alias("outcome"),
+                        nul.cast("bigint").alias("kept_by"),
+                        nul.cast("bigint").alias("n_replaced"),
+                        "id_new",
+                    )
+                )
+                .unionByName(
+                    _tagged(
+                        matches.filter(F.col("q_inc").isNull())
+                        .select(F.col("id_corpus").alias("id"))
+                        .distinct(),
+                        "unscored",
+                    )
+                )
+                .unionByName(
+                    _tagged(
+                        self._corpus_buckets()
+                        .join(F.broadcast(batch_ids), "id", "left_semi")
+                        .select("id")
+                        .distinct(),
+                        "have_bk",
+                    )
+                )
+                .unionByName(
+                    _tagged(
+                        self._corpus_sizes()
+                        .join(F.broadcast(batch_ids), "id", "left_semi")
+                        .select("id"),
+                        "have_sz",
+                    )
+                )
+                .unionByName(
+                    _tagged(
+                        self._corpus_shingles()
+                        .join(F.broadcast(batch_ids), "id", "left_semi")
+                        .select("id")
+                        .distinct(),
+                        "have_sh",
+                    )
+                )
+                .unionByName(
+                    _tagged(
+                        self._corpus_quality()
+                        .join(F.broadcast(batch_ids), "id", "left_semi")
+                        .select("id"),
+                        "have_q",
+                    )
                 )
                 .localCheckpoint(eager=True)
             )
-            # --- idempotent state appends (physical have-sets) ---
+            unscored = (
+                combined.filter(F.col("tag") == "unscored")
+                .select("id")
+                .limit(5)
+                .collect()
+            )
+            if unscored:
+                shown = sorted(r[0] for r in unscored)
+                raise ValueError(
+                    f"index '{self.name}' has matched incumbent(s) with "
+                    f"no quality row (e.g. {shown}): the corpus quality "
+                    "tier is incomplete — rebuild with quality_col=... "
+                    "before keep-best ingest (deciding against unscored "
+                    "incumbents would silently leave duplicates live)"
+                )
+            report = combined.filter(F.col("tag") == "report").select(
+                "id", "q", "outcome", "kept_by", "n_replaced"
+            )
+            beaten = combined.filter(F.col("tag") == "beaten")
+            # --- idempotent state appends (checkpointed have-sets) ---
             admitted = report.filter(F.col("outcome") == "admitted").select("id")
-            have_bk = (
-                self._corpus_buckets()
-                .join(F.broadcast(batch_ids), "id", "left_semi")
-                .select("id")
-                .distinct()
-            )
-            have_sz = self._corpus_sizes().join(
-                F.broadcast(batch_ids), "id", "left_semi"
-            ).select("id")
-            have_sh = (
-                self._corpus_shingles()
-                .join(F.broadcast(batch_ids), "id", "left_semi")
-                .select("id")
-                .distinct()
-            )
-            have_q = self._corpus_quality().join(
-                F.broadcast(batch_ids), "id", "left_semi"
-            ).select("id")
+
+            def _have(tag: str) -> DataFrame:
+                return F.broadcast(
+                    combined.filter(F.col("tag") == tag).select("id")
+                )
+
+            have_bk = _have("have_bk")
+            have_sz = _have("have_sz")
+            have_sh = _have("have_sh")
+            have_q = _have("have_q")
             accepted_sh = shn.join(admitted, "id", "left_semi")
             self.catalog.append_bucketed(
                 bn.join(admitted, "id", "left_semi").join(

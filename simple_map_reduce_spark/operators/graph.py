@@ -88,6 +88,54 @@ def _edge_probe(e: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"] or 0)
 
 
+def _exact_diff_count(new_e: DataFrame, e: DataFrame) -> int:
+    """Exact symmetric-difference count of two canonical (distinct) edge
+    frames. One shuffle of 2|E| (a, b) pairs — affordable when the graph
+    is batch-bounded; the hash-probe loop exists for corpus-scale edge
+    sets where an extra per-round shuffle is real money."""
+    return (
+        new_e.union(e)
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") == 1)
+        .count()
+    )
+
+
+def _two_star_edges_exact(
+    edges: DataFrame, max_iter: int
+) -> tuple[DataFrame, int]:
+    """The batch-bounded variant of the two-star loop (r12, guide §5):
+    ONE job per probe instead of the hash loop's init-probe + per-round
+    probe + convergence re-verify, and each probe covers TWO alternating
+    large/small rounds (the pointer-doubling cadence — component depth
+    quarters per probe). The probe is the EXACT symmetric-difference
+    count, so convergence needs no separate re-check; a zero diff across
+    a doubled step implies the fixed point because the round map is
+    deterministic and the alternation provably converges (Kiveris et
+    al.) — a repeated non-fixed state would cycle forever, contradicting
+    convergence. The keep-best ingest paths use this: their pair graphs
+    are bounded by |batch|, where per-job fixed overhead dominates the
+    extra per-probe edge shuffle (measured: the CC phase is the largest
+    single slice of the ingest at sf0.1)."""
+    e = _canon_edges(
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    ).localCheckpoint(eager=False)
+    for rounds in range(1, max_iter + 1):
+        new_e = _small_star(_large_star(_small_star(_large_star(e))))
+        new_e = new_e.localCheckpoint(eager=False)
+        # the diff action materializes new_e's checkpoint (and, on the
+        # first round, e's) — one job per probe, nothing else needed
+        if _exact_diff_count(new_e, e) == 0:
+            return new_e, rounds
+        e = new_e
+    raise RuntimeError(
+        f"two-star connected components did not converge within "
+        f"max_iter={max_iter} doubled rounds (expected O(log n) — check "
+        f"for an id type mismatch between src/dst columns)"
+    )
+
+
 def _two_star_edges(edges: DataFrame, max_iter: int) -> tuple[DataFrame, int]:
     """Run alternating large/small star to the fixed point; returns the
     converged star edges (center = component min) and the round count."""
@@ -186,12 +234,18 @@ def connected_components(
     dst_col: str = "dst",
     max_iter: int = 50,
     algorithm: str = "two_star",
+    probe: str = "hash",
 ) -> DataFrame:
     """(id, component) for every vertex; component = min vertex id
     reachable (isolated vertices get their own id). Edges are treated as
     undirected. ``algorithm``: ``two_star`` (default, O(log n) rounds on
     arbitrary graphs) or ``label_prop`` (diameter rounds — only for
-    known-shallow graphs)."""
+    known-shallow graphs). ``probe`` (two_star only): ``hash`` (default
+    — per-round scalar aggregate, no extra shuffle, for corpus-scale
+    edge sets) or ``exact`` (one job per DOUBLED round via an exact
+    symmetric-difference count — for callers whose graph is bounded by
+    a batch, where per-job overhead dominates; the keep-best ingest
+    protocols pass this)."""
     edges = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     if algorithm == "label_prop":
         labels, _ = _label_prop_labels(vertices, edges, id_col, max_iter)
@@ -200,7 +254,12 @@ def connected_components(
         )
     if algorithm != "two_star":
         raise ValueError(f"unknown algorithm {algorithm!r}")
-    star, _ = _two_star_edges(edges, max_iter)
+    if probe == "exact":
+        star, _ = _two_star_edges_exact(edges, max_iter)
+    elif probe == "hash":
+        star, _ = _two_star_edges(edges, max_iter)
+    else:
+        raise ValueError(f"unknown probe {probe!r}")
     # converged state is a union of stars centered at each component's
     # min id: (a=center, b=member). Isolated vertices label themselves.
     membership = star.groupBy("b").agg(F.min("a").alias("comp"))

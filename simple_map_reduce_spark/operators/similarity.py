@@ -1709,6 +1709,8 @@ class IvfIndex:
                 )
                 .filter(F.col("sim") >= F.lit(tau))
             )
+            # cc_probe="exact": batch-bounded pair graph — one job per
+            # doubled CC round instead of the hash-probe cadence (r12)
             resolution = tracked_persist(
                 keep_best_exemplars(
                     qual_n,
@@ -1718,6 +1720,7 @@ class IvfIndex:
                     ),
                     F.col("q"),
                     id_col="id",
+                    cc_probe="exact",
                 )
             )
             persisted.append(resolution)
@@ -1748,21 +1751,6 @@ class IvfIndex:
                 )
             )
             persisted.append(matches)
-            unscored = (
-                matches.filter(F.col("q_inc").isNull())
-                .select("cid")
-                .limit(5)
-                .collect()
-            )
-            if unscored:
-                shown = sorted(r[0] for r in unscored)
-                raise ValueError(
-                    f"index '{self.name}' has matched incumbent(s) with "
-                    f"no quality row (e.g. {shown}): the corpus quality "
-                    "tier is incomplete — rebuild with quality_col=... "
-                    "before keep-best ingest (deciding against unscored "
-                    "incumbents would silently leave duplicates live)"
-                )
             best_inc = (
                 matches.groupBy("vec_id")
                 .agg(
@@ -1811,7 +1799,7 @@ class IvfIndex:
                     .otherwise(F.lit(None).cast("bigint")),
                 )
             )
-            beaten = (
+            beaten_pairs = (
                 matches.join(
                     decided.filter(F.col("outcome") == "admitted").select(
                         F.col("id").alias("vec_id")
@@ -1820,73 +1808,153 @@ class IvfIndex:
                 )
                 .select("vec_id", F.col("cid").alias("id"))
                 .distinct()
-                .localCheckpoint(eager=True)
             )
-            n_repl = beaten.groupBy("vec_id").agg(
+            n_repl = beaten_pairs.groupBy("vec_id").agg(
                 F.count("*").cast("bigint").alias("n_replaced")
             )
-            report = (
-                decided.join(
-                    n_repl.withColumnRenamed("vec_id", "id"), "id", "left"
+            report_rows = decided.join(
+                n_repl.withColumnRenamed("vec_id", "id"), "id", "left"
+            ).select(
+                "id",
+                "q",
+                "outcome",
+                "kept_by",
+                F.coalesce("n_replaced", F.lit(0).cast("bigint")).alias(
+                    "n_replaced"
+                ),
+            )
+            # ONE eager localCheckpoint pins every decision output (the
+            # report, the beaten pairs, the unscored-incumbent guard
+            # rows) AND the three physical have-set probes — the lexical
+            # twin's fused decision pass (r12, guide §5; see
+            # NearDupIndex.ingest_keep_best for the full argument: the
+            # probe scans are batch-restricted corpus reads that overlap
+            # as independent stages of the one job, decisions stay
+            # pinned before any write, and the appends below become
+            # batch-sized reads of the checkpoint).
+            batch_ids = bassign.select(F.col("vec_id").alias("id")).distinct()
+            nul = F.lit(None)
+
+            def _tagged(df, tag: str) -> DataFrame:
+                return df.select(
+                    F.lit(tag).alias("tag"),
+                    F.col("id").cast("bigint").alias("id"),
+                    nul.cast("bigint").alias("q"),
+                    nul.cast("string").alias("outcome"),
+                    nul.cast("bigint").alias("kept_by"),
+                    nul.cast("bigint").alias("n_replaced"),
+                    nul.cast("bigint").alias("id_new"),
                 )
-                .select(
+
+            combined = (
+                report_rows.select(
+                    F.lit("report").alias("tag"),
                     "id",
                     "q",
                     "outcome",
                     "kept_by",
-                    F.coalesce("n_replaced", F.lit(0).cast("bigint")).alias(
-                        "n_replaced"
-                    ),
+                    "n_replaced",
+                    nul.cast("bigint").alias("id_new"),
+                )
+                .unionByName(
+                    beaten_pairs.select(
+                        F.lit("beaten").alias("tag"),
+                        "id",
+                        nul.cast("bigint").alias("q"),
+                        nul.cast("string").alias("outcome"),
+                        nul.cast("bigint").alias("kept_by"),
+                        nul.cast("bigint").alias("n_replaced"),
+                        F.col("vec_id").alias("id_new"),
+                    )
+                )
+                .unionByName(
+                    _tagged(
+                        matches.filter(F.col("q_inc").isNull())
+                        .select(F.col("cid").alias("id"))
+                        .distinct(),
+                        "unscored",
+                    )
+                )
+                .unionByName(
+                    _tagged(
+                        self.catalog.get_bucketed(self.assign_table)
+                        .join(F.broadcast(batch_ids), "id", "left_semi")
+                        .select("id"),
+                        "have_a",
+                    )
+                )
+                .unionByName(
+                    _tagged(
+                        self.catalog.get_bucketed(self.vectors_table)
+                        .join(F.broadcast(batch_ids), "id", "left_semi")
+                        .select("id"),
+                        "have_v",
+                    )
+                )
+                .unionByName(
+                    _tagged(
+                        self._corpus_quality()
+                        .join(F.broadcast(batch_ids), "id", "left_semi")
+                        .select("id"),
+                        "have_q",
+                    )
                 )
                 .localCheckpoint(eager=True)
             )
-            # --- idempotent state appends: each have-set is the corpus
-            # table RESTRICTED to batch ids first (broadcast semi-probe,
-            # the NearDupIndex per-table idiom) — the anti-join then
-            # runs batch-sized against batch-sized, instead of hashing
-            # a corpus-cardinality id column per ingest ---
+            unscored = (
+                combined.filter(F.col("tag") == "unscored")
+                .select("id")
+                .limit(5)
+                .collect()
+            )
+            if unscored:
+                shown = sorted(r[0] for r in unscored)
+                raise ValueError(
+                    f"index '{self.name}' has matched incumbent(s) with "
+                    f"no quality row (e.g. {shown}): the corpus quality "
+                    "tier is incomplete — rebuild with quality_col=... "
+                    "before keep-best ingest (deciding against unscored "
+                    "incumbents would silently leave duplicates live)"
+                )
+            report = combined.filter(F.col("tag") == "report").select(
+                "id", "q", "outcome", "kept_by", "n_replaced"
+            )
+            beaten = combined.filter(F.col("tag") == "beaten")
+            # --- idempotent state appends (checkpointed have-sets) ---
             admitted = report.filter(F.col("outcome") == "admitted").select(
                 F.col("id").alias("vec_id")
             )
-            batch_ids = bassign.select(F.col("vec_id").alias("id")).distinct()
             acc = bassign.join(F.broadcast(admitted), "vec_id", "left_semi")
-            have_a = (
-                self.catalog.get_bucketed(self.assign_table)
-                .join(F.broadcast(batch_ids), "id", "left_semi")
-                .select("id")
-            )
+
+            def _have(tag: str) -> DataFrame:
+                return F.broadcast(
+                    combined.filter(F.col("tag") == tag).select("id")
+                )
+
             self.catalog.append_bucketed(
                 acc.select(F.col("vec_id").alias("id"), "centroid_id").join(
-                    have_a, "id", "left_anti"
+                    _have("have_a"), "id", "left_anti"
                 ),
                 self.assign_table,
                 "centroid_id",
                 self.num_buckets,
-            )
-            have_v = (
-                self.catalog.get_bucketed(self.vectors_table)
-                .join(F.broadcast(batch_ids), "id", "left_semi")
-                .select("id")
             )
             self.catalog.append_bucketed(
                 acc.select(
                     F.col("vec_id").alias("id"),
                     F.col("bvec").alias("vec"),
                     F.col("bn").alias("vn"),
-                ).join(have_v, "id", "left_anti"),
+                ).join(_have("have_v"), "id", "left_anti"),
                 self.vectors_table,
                 "id",
                 self.num_buckets,
             )
-            have_q = self._corpus_quality().join(
-                F.broadcast(batch_ids), "id", "left_semi"
-            ).select("id")
             self.catalog.append_bucketed(
                 qual_n.join(
                     F.broadcast(admitted.select(F.col("vec_id").alias("id"))),
                     "id",
                     "left_semi",
-                ).join(have_q, "id", "left_anti"),
+                ).join(_have("have_q"), "id", "left_anti"),
                 self.quality_table,
                 "id",
                 self.num_buckets,

@@ -1,9 +1,9 @@
 #!/usr/bin/env python3
-"""Capture .explain('formatted') for bench-tier queries into plans/r11/.
+"""Capture .explain('formatted') for bench-tier queries into plans/<round>/.
 
 Usage: python tools/capture_plans.py <suffix> [query ...]
 
-Writes plans/r11/<query>_<suffix>.txt for each named query (default: the
+Writes plans/$SPARK_GRAFT_PLAN_ROUND/<query>_<suffix>.txt (default r12) for each named query (default: the
 full bench tier). The query CALLABLE may itself run eager work (index
 builds, streaming drains) before returning its final DataFrame — that
 work executes here exactly as in bench.py, so capturing plans for the
@@ -40,7 +40,11 @@ def main() -> None:
 
         names = bench.BENCH_QUERIES + bench.EXTENDED_QUERIES
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r12"),
+    )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_session(app_name="smr-plan-capture")
     spark.sparkContext.setLogLevel("ERROR")
